@@ -1,0 +1,105 @@
+"""Deterministic ontology fixtures (FIXTURES.md §3).
+
+Mini-OBO content mirrors the reference's own unit-test fixtures
+(reference: tests/test_mapping.py:18-72) plus the MPO terms, small enough
+to hand-verify and rich enough to exercise every resolution tier
+(exact / synonym / id / alt_id / xref / fuzzy / prefix fallback).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+HPO_OBO = """format-version: 1.2
+data-version: releases/2021-02-01
+ontology: Human Phenotype Ontology
+
+[Term]
+id: HP:0000822
+name: Hypertension
+synonym: "High blood pressure" EXACT []
+alt_id: HP:0999999
+
+[Term]
+id: HP:0001627
+name: Diabetes
+synonym: "Sugar diabetes" EXACT []
+
+[Term]
+id: HP:0002090
+name: Asthma
+synonym: "Reactive airway disease" EXACT []
+"""
+
+DO_OBO = """format-version: 1.2
+data-version: releases/2021-02-01
+ontology: Disease Ontology
+
+[Term]
+id: DOID:0050167
+name: Hypertension
+synonym: "High blood pressure" EXACT []
+
+[Term]
+id: DOID:1612
+name: Diabetes Mellitus
+synonym: "Sugar diabetes" EXACT []
+synonym: "Diabetes" EXACT []
+xref: ICD10CM:E11
+
+[Term]
+id: DOID:9352
+name: Asthma
+synonym: "Reactive airway disease" EXACT []
+
+[Term]
+id: DOID:9351
+name: Obesity
+synonym: "Fatty syndrome" EXACT []
+
+[Term]
+id: DOID:1388
+name: Anemia
+synonym: "Lack of red blood cells" EXACT []
+"""
+
+MPO_OBO = """format-version: 1.2
+ontology: Mammalian Phenotype Ontology
+
+[Term]
+id: MP:0001943
+name: Obesity
+
+[Term]
+id: MP:0001902
+name: Abnormal behavior
+"""
+
+CUSTOM_MAPPINGS = {"CompletelyUnknownTerm": "HP:0999001"}
+
+
+def write_ontology_fixtures(dirpath: str) -> Dict[str, str]:
+    """Write the mini-OBO files, return {ontology_id: path}."""
+    os.makedirs(dirpath, exist_ok=True)
+    paths = {}
+    for onto, content in (("HPO", HPO_OBO), ("DO", DO_OBO), ("MPO", MPO_OBO)):
+        p = os.path.join(dirpath, f"{onto}.obo")
+        if not os.path.exists(p):
+            with open(p, "w", encoding="utf-8") as fh:
+                fh.write(content)
+        paths[onto] = p
+    return paths
+
+
+def fixture_config(dirpath: str, fuzzy_threshold: int = 80) -> dict:
+    """Reference-shaped config dict over the fixture ontologies."""
+    paths = write_ontology_fixtures(dirpath)
+    return {
+        "ontologies": {
+            onto: {"name": onto, "file": path, "source": "local", "format": "obo"}
+            for onto, path in paths.items()
+        },
+        "default_ontologies": ["HPO", "DO", "MPO"],
+        "fuzzy_threshold": fuzzy_threshold,
+    }

@@ -1,0 +1,163 @@
+"""Term-resolution cascade with the reference's observed semantics.
+
+Implements ``OntologyMapper.map_term`` (reference: src/phenoqc/mapping.py:
+315-388) as a picklable, broadcast-friendly object.  Effective per-(term,
+ontology) resolution order — SURVEY.md §2.13:
+
+1. normalize (NFKC cascade)
+2. custom mappings (normalized-key exact; a hit answers *all* ontologies)
+3. (direct-ID regex tier is dead code in the reference — ``_extract_direct_id``
+   is called but never defined, and the AttributeError is swallowed at
+   mapping.py:347-348 — so it is intentionally NOT implemented)
+4. exact dictionary lookup on the normalized term
+5. fuzzy: WRatio over dict keys, insertion order, score_cutoff=threshold
+6. prefix+space fallback ``^([a-z]+)\\s+(\\w+)$`` via PREFIX_ALIASES
+7. None
+
+The object is built once on the driver from OBO files and shipped to
+executors via ``SparkContext.broadcast`` — the Spark analogue of the
+reference pickling the whole mapper into each worker process
+(batch_processing.py:1163-1198).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional
+
+from . import fuzzy
+from .normalize import normalize_text
+from .obo import build_alt_to_primary, build_term_dict
+
+PREFIX_ALIASES = {
+    "hp": "HPO",
+    "hpo": "HPO",
+    "do": "DO",
+    "doid": "DO",
+    "mp": "MPO",
+    "mpo": "MPO",
+    "go": "GO",
+    "mondo": "MONDO",
+    "efo": "EFO",
+    "mesh": "MESH",
+}
+
+_PREFIX_SPACE_RE = re.compile(r"^([a-z]+)\s+(\w+)$")
+
+
+class TermResolver:
+    """Broadcastable ontology dictionaries + the resolution cascade."""
+
+    def __init__(
+        self,
+        ontologies: Dict[str, Dict[str, str]],
+        default_ontologies: List[str],
+        fuzzy_threshold: float = 80,
+        custom_mappings: Optional[Dict[str, str]] = None,
+        alt_to_primary: Optional[Dict[str, Dict[str, str]]] = None,
+    ) -> None:
+        if not default_ontologies:
+            raise ValueError("No default ontologies specified in the configuration.")
+        self.ontologies = ontologies
+        self.default_ontologies = list(default_ontologies)
+        self.fuzzy_threshold = float(fuzzy_threshold)
+        self.custom_norm = {
+            normalize_text(k): v for k, v in (custom_mappings or {}).items()
+        }
+        self.alt_to_primary = alt_to_primary or {}
+        # ordered key tuples for the fuzzy tier (stable tie-break)
+        self._key_lists = {o: tuple(d.keys()) for o, d in ontologies.items()}
+        self._cache: Dict[str, Dict[str, Optional[str]]] = {}
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_config(cls, config: dict, custom_mappings: Optional[dict] = None) -> "TermResolver":
+        """Build from the reference's YAML config shape (local OBO sources)."""
+        ontologies: Dict[str, Dict[str, str]] = {}
+        alt_maps: Dict[str, Dict[str, str]] = {}
+        for onto_id, info in (config.get("ontologies") or {}).items():
+            source = str(info.get("source", "local")).lower()
+            if source != "local":
+                raise NotImplementedError(
+                    "URL ontology sources need network access; use source: local"
+                )
+            path = info.get("file")
+            if not path:
+                raise FileNotFoundError(f"Ontology file missing for '{onto_id}'")
+            import os
+
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"Ontology file '{path}' for '{onto_id}' not found."
+                )
+            ontologies[onto_id] = build_term_dict(path, info.get("format", "obo"))
+            alt_maps[onto_id] = build_alt_to_primary(path)
+        return cls(
+            ontologies,
+            config.get("default_ontologies", []),
+            config.get("fuzzy_threshold", 80),
+            custom_mappings,
+            alt_maps,
+        )
+
+    # -- resolution ----------------------------------------------------------
+
+    def map_term(
+        self, term, target_ontologies: Optional[List[str]] = None
+    ) -> Dict[str, Optional[str]]:
+        targets = target_ontologies or self.default_ontologies
+        term_norm = normalize_text(term)
+
+        if self.custom_norm and term_norm in self.custom_norm:
+            return {o: self.custom_norm[term_norm] for o in targets}
+
+        out: Dict[str, Optional[str]] = {}
+        for onto in targets:
+            d = self.ontologies.get(onto, {})
+            mapped = d.get(term_norm)
+            if mapped is None and d and term_norm:
+                hit = fuzzy.extract_one(
+                    term_norm, self._key_lists.get(onto, ()), self.fuzzy_threshold
+                )
+                if hit is not None:
+                    mapped = d.get(hit[0])
+            if mapped is None:
+                m = _PREFIX_SPACE_RE.match(term_norm)
+                if m:
+                    pref, core = m.group(1), m.group(2)
+                    if PREFIX_ALIASES.get(pref) == onto:
+                        if onto == "HPO":
+                            mapped = (
+                                f"HP:{int(core):07d}" if core.isdigit() else f"HP:{core}"
+                            )
+                        elif onto == "DO":
+                            mapped = f"DOID:{core}"
+                        elif onto == "MPO":
+                            mapped = f"MP:{core}"
+            out[onto] = mapped
+        return out
+
+    def map_term_cached(self, term_norm: str) -> Dict[str, Optional[str]]:
+        """Per-executor memoized resolution over already-normalized terms.
+
+        The engine deduplicates terms with a salted distinct *before* the UDF
+        (SURVEY.md §4.2), so this cache only absorbs residual within-batch
+        repeats.
+        """
+        hit = self._cache.get(term_norm)
+        if hit is None:
+            hit = self.map_term(term_norm)
+            self._cache[term_norm] = hit
+        return hit
+
+    def map_terms(self, terms, target_ontologies=None):
+        return {t: self.map_term(t, target_ontologies) for t in terms}
+
+    def get_supported_ontologies(self) -> List[str]:
+        return list(self.ontologies.keys())
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_cache"] = {}
+        return state
