@@ -1,0 +1,68 @@
+"""Entity-linking over *distinct* terms (the engine's J1 join).
+
+Scale design (SURVEY.md §2.3/§4.2): resolution cost is paid once per
+distinct normalized surface form — mirroring the reference's per-chunk
+``dropna().unique()`` (reference: src/phenoqc/batch_processing.py:594) but
+globally.  The ontology dictionaries ride a Spark broadcast variable
+(never shuffled); the resolved vocabulary joins back to the fact side as a
+broadcast hash join, so the 100 TB fact table is never shuffled for
+linking.  Hub-term skew therefore collapses map-side in the partial
+aggregate of ``distinct`` and never reaches a skewed shuffle join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+LINK_SCHEMA = (
+    "term_norm string, ontology string, term_id string, tier string, score double"
+)
+
+
+def link_distinct_terms(
+    distinct_terms: DataFrame,
+    resolver_bc,
+    ontologies: List[str] | None = None,
+) -> DataFrame:
+    """distinct (term_norm) → long (term_norm, ontology, term_id, tier, score).
+
+    Unmapped (term, ontology) pairs are emitted with NULL term_id so
+    mapping-rate metrics (reference: batch_processing.py:778-790) can be
+    computed from the same output.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resolver = resolver_bc.value
+        targets = ontologies or resolver.default_ontologies
+        for pdf in batches:
+            terms = pdf["term_norm"].tolist()
+            out_term, out_onto, out_id, out_tier, out_score = [], [], [], [], []
+            for t in terms:
+                detailed = resolver.map_term_cached(t)
+                for onto in targets:
+                    res = detailed.get(onto)
+                    out_term.append(t)
+                    out_onto.append(onto)
+                    if res is None:
+                        out_id.append(None)
+                        out_tier.append(None)
+                        out_score.append(None)
+                    else:
+                        out_id.append(res[0])
+                        out_tier.append(res[1])
+                        out_score.append(res[2])
+            yield pd.DataFrame(
+                {
+                    "term_norm": out_term,
+                    "ontology": out_onto,
+                    "term_id": out_id,
+                    "tier": out_tier,
+                    "score": out_score,
+                }
+            )
+
+    return distinct_terms.select("term_norm").mapInPandas(gen, LINK_SCHEMA)

@@ -103,40 +103,59 @@ class TermResolver:
 
     # -- resolution ----------------------------------------------------------
 
-    def map_term(
+    def map_term_detailed(
         self, term, target_ontologies: Optional[List[str]] = None
-    ) -> Dict[str, Optional[str]]:
+    ) -> Dict[str, Optional[tuple]]:
+        """Resolve one term; per ontology returns (id, tier, score) or None.
+
+        tier ∈ {custom, exact, fuzzy, prefix}; score is the WRatio score for
+        the fuzzy tier, 100.0 otherwise.  The id values are identical to the
+        reference's ``map_term`` — tier/score are engine-side provenance.
+        """
         targets = target_ontologies or self.default_ontologies
         term_norm = normalize_text(term)
 
         if self.custom_norm and term_norm in self.custom_norm:
-            return {o: self.custom_norm[term_norm] for o in targets}
+            cid = self.custom_norm[term_norm]
+            return {o: (cid, "custom", 100.0) for o in targets}
 
-        out: Dict[str, Optional[str]] = {}
+        out: Dict[str, Optional[tuple]] = {}
         for onto in targets:
             d = self.ontologies.get(onto, {})
+            res: Optional[tuple] = None
             mapped = d.get(term_norm)
-            if mapped is None and d and term_norm:
+            if mapped is not None:
+                res = (mapped, "exact", 100.0)
+            elif d and term_norm:
                 hit = fuzzy.extract_one(
                     term_norm, self._key_lists.get(onto, ()), self.fuzzy_threshold
                 )
                 if hit is not None:
-                    mapped = d.get(hit[0])
-            if mapped is None:
+                    fid = d.get(hit[0])
+                    if fid is not None:
+                        res = (fid, "fuzzy", float(hit[1]))
+            if res is None:
                 m = _PREFIX_SPACE_RE.match(term_norm)
                 if m:
                     pref, core = m.group(1), m.group(2)
                     if PREFIX_ALIASES.get(pref) == onto:
+                        pid = None
                         if onto == "HPO":
-                            mapped = (
-                                f"HP:{int(core):07d}" if core.isdigit() else f"HP:{core}"
-                            )
+                            pid = f"HP:{int(core):07d}" if core.isdigit() else f"HP:{core}"
                         elif onto == "DO":
-                            mapped = f"DOID:{core}"
+                            pid = f"DOID:{core}"
                         elif onto == "MPO":
-                            mapped = f"MP:{core}"
-            out[onto] = mapped
+                            pid = f"MP:{core}"
+                        if pid is not None:
+                            res = (pid, "prefix", 100.0)
+            out[onto] = res
         return out
+
+    def map_term(
+        self, term, target_ontologies: Optional[List[str]] = None
+    ) -> Dict[str, Optional[str]]:
+        detailed = self.map_term_detailed(term, target_ontologies)
+        return {o: (v[0] if v else None) for o, v in detailed.items()}
 
     def map_term_cached(self, term_norm: str) -> Dict[str, Optional[str]]:
         """Per-executor memoized resolution over already-normalized terms.
@@ -147,7 +166,7 @@ class TermResolver:
         """
         hit = self._cache.get(term_norm)
         if hit is None:
-            hit = self.map_term(term_norm)
+            hit = self.map_term_detailed(term_norm)
             self._cache[term_norm] = hit
         return hit
 

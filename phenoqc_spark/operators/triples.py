@@ -1,0 +1,145 @@
+"""Triple factory: parsed pages → long-format (subj, pred, obj) triples.
+
+The reference adds one ``{ONTO}_ID`` column per (phenotype column ×
+ontology) (reference: src/phenoqc/batch_processing.py:594-620); exploded to
+long format that is exactly a (subj, pred, obj) set (SURVEY.md §1.1.5).
+
+Scale shape (SURVEY.md §4.3):
+
+    pages ──explode──> (url, sid, column, term)      [fact side, NEVER shuffled]
+                │ normalize (Arrow UDF)
+                ├─ distinct(term_norm)               [vocab side: map-side partial
+                │      │                              dedup collapses hub terms]
+                │      └─ link UDF (broadcast dicts) [vocab-sized work]
+                └─ broadcast join back on term_norm  [no shuffle of fact side]
+
+The distinct+broadcast-back pattern is what makes hub-term skew a non-issue:
+duplicates collapse in the partial aggregate on the map side, and the big
+side's partitioning is preserved end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.linking import link_distinct_terms
+from ..functions.text import normalize_terms
+
+PHENO_COLUMNS = [
+    "PrimaryPhenotype",
+    "SecondaryPhenotype",
+    "TertiaryPhenotype",
+    "DiseaseCode",
+]
+ARRAY_COLUMNS = ["ObservedFeatures"]
+
+
+def terms_long(
+    records: DataFrame,
+    pheno_columns: List[str] | None = None,
+    array_columns: List[str] | None = None,
+    id_col: str = "SampleID",
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, sample_id, column, term, term_norm) from wide phenotype columns.
+
+    Scalar columns stack via an inline array-of-structs explode; array
+    columns (ObservedFeatures) explode element-wise.  All JVM-side except
+    the NFKC normalization (Arrow pandas UDF).
+    """
+    pheno_columns = PHENO_COLUMNS if pheno_columns is None else pheno_columns
+    array_columns = ARRAY_COLUMNS if array_columns is None else array_columns
+    base_cols = [F.col(url_col).alias("url"), F.col(id_col).alias("sample_id")]
+
+    parts = []
+    if pheno_columns:
+        stacked = records.select(
+            *base_cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(c).alias("column"), F.col(c).alias("term"))
+                        for c in pheno_columns
+                    ]
+                )
+            ).alias("kv"),
+        ).select("url", "sample_id", "kv.column", "kv.term")
+        parts.append(stacked.filter(F.col("term").isNotNull()))
+    for c in array_columns:
+        parts.append(
+            records.select(
+                *base_cols,
+                F.lit(c).alias("column"),
+                F.explode(F.col(c)).alias("term"),
+            ).filter(F.col("term").isNotNull())
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("term_norm", normalize_terms(F.col("term")))
+
+
+def resolve_vocab(terms: DataFrame, resolver_bc) -> DataFrame:
+    """Distinct normalized terms → (term_norm, ontology, term_id, tier, score).
+
+    Includes unmapped rows (NULL term_id) so mapping-rate metrics come from
+    the same vocabulary-sized table.  Cost is paid once per distinct term
+    (reference: batch_processing.py:594 resolves per-chunk uniques; global
+    distinct is strictly fewer resolutions).
+    """
+    vocab = terms.select("term_norm").filter(F.col("term_norm") != "").distinct()
+    return link_distinct_terms(vocab, resolver_bc)
+
+
+def link_terms(
+    terms: DataFrame,
+    links: DataFrame,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Join resolved links back to the fact side.
+
+    The resolved-vocabulary side is broadcast — at 10^12 docs the fact side
+    is never shuffled for linking.  Set ``broadcast_vocab=False`` when the
+    vocabulary outgrows the driver; AQE then plans the shuffle join and the
+    prior distinct has already collapsed hub-term skew.
+    """
+    matched = links.filter(F.col("term_id").isNotNull())
+    matched = F.broadcast(matched) if broadcast_vocab else matched
+    return terms.join(matched, "term_norm", "inner")
+
+
+def triples(linked: DataFrame) -> DataFrame:
+    """(subj, pred, obj, tier, score, provenance) from linked terms."""
+    return (
+        linked.select(
+            F.concat_ws("#", F.col("url"), F.col("sample_id")).alias("subj"),
+            F.concat(F.col("column"), F.lit("->"), F.col("ontology")).alias("pred"),
+            F.col("term_id").alias("obj"),
+            F.col("tier"),
+            F.col("score"),
+            F.col("url").alias("provenance"),
+        )
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+
+
+def mapping_stats(terms: DataFrame, links: DataFrame) -> DataFrame:
+    """Per (column, ontology) mapping success over distinct (column, term)
+    pairs (reference: batch_processing.py:334-342,778-790; the engine uses
+    global distinct pairs instead of per-chunk uniques — documented delta).
+    """
+    col_terms = (
+        terms.filter(F.col("term_norm") != "")
+        .select("column", "term_norm")
+        .distinct()
+    )
+    joined = col_terms.join(F.broadcast(links), "term_norm", "inner")
+    return joined.groupBy("column", "ontology").agg(
+        F.count("*").alias("total_terms"),
+        F.sum(F.col("term_id").isNotNull().cast("int")).alias("mapped_terms"),
+        F.round(
+            100.0 * F.sum(F.col("term_id").isNotNull().cast("int")) / F.count("*"), 2
+        ).alias("success_rate_pct"),
+    )

@@ -1,0 +1,98 @@
+"""End-to-end KG-construction pipeline: pages → validated records → triples.
+
+Recasts the reference's per-file loop (reference:
+src/phenoqc/batch_processing.py:240-1031) as one lazy Catalyst plan:
+
+    scan pages  (column-pruned; partition pruning on warc_ts at scale)
+    → filter lang='en'                          (codegen)
+    → extract_text(html)                        (Arrow UDF, byte-identical)
+    → parse record (str_to_map)                 (JVM)
+    → typed projection (try_cast)               (JVM)
+    → terms explode → normalize → distinct → link (broadcast dicts)
+    → triples explode-back                      (broadcast join)
+    → per-partition audit metrics               (partial aggregation)
+
+The per-file ProcessPoolExecutor boundary becomes task parallelism over
+partitions; checkpoint-resume is handled by the audit/status layer
+(operators/resume.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.text import extract_text, parse_records, record_field
+from .operators import triples as T
+
+NUMERIC_FIELDS = [
+    "Height_cm",
+    "Weight_kg",
+    "Cholesterol_mgdl",
+    "BP_systolic",
+    "BP_diastolic",
+    "Glucose_mgdl",
+    "Creatinine_mgdl",
+]
+STRING_FIELDS = [
+    "SampleID",
+    "PrimaryPhenotype",
+    "SecondaryPhenotype",
+    "TertiaryPhenotype",
+    "DiseaseCode",
+    "VisitDate",
+    "SampleCollectionDateTime",
+    "GenomeSampleID",
+    "HospitalID",
+    "label",
+]
+
+
+def extract_records(pages: DataFrame, lang: str = "en") -> DataFrame:
+    """pages → typed record DataFrame (url, warc_ts, SampleID, …).
+
+    ``extract_text`` is the only Python step; parsing and casting stay in
+    whole-stage codegen.
+    """
+    df = pages.filter(F.col("lang") == lang)
+    df = df.withColumn("extracted_text", extract_text(F.col("html")))
+    df = parse_records(df, "extracted_text")
+    cols = [F.col("url"), F.col("warc_ts"), F.col("extracted_text")]
+    for name in STRING_FIELDS:
+        cols.append(record_field(name).alias(name))
+    for name in NUMERIC_FIELDS:
+        cols.append(record_field(name).cast("double").alias(name))
+    cols.append(
+        F.from_json(record_field("ObservedFeatures"), "array<string>").alias(
+            "ObservedFeatures"
+        )
+    )
+    return df.select(*cols)
+
+
+def build_triples(
+    records: DataFrame, resolver_bc, broadcast_vocab: bool = True
+):
+    """records → (triples_df, links_df, terms_df)."""
+    terms = T.terms_long(records)
+    links = T.resolve_vocab(terms, resolver_bc)
+    linked = T.link_terms(terms, links, broadcast_vocab=broadcast_vocab)
+    return T.triples(linked), links, terms
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    resolver,
+    broadcast_vocab: bool = True,
+) -> dict:
+    """Full DAG; returns {'triples', 'records', 'links', 'terms', 'mapping_stats'}."""
+    resolver_bc = spark.sparkContext.broadcast(resolver)
+    records = extract_records(pages)
+    trip, links, terms = build_triples(records, resolver_bc, broadcast_vocab)
+    return {
+        "records": records,
+        "triples": trip,
+        "links": links,
+        "terms": terms,
+        "mapping_stats": T.mapping_stats(terms, links),
+    }
