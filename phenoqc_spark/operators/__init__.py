@@ -1,3 +1,25 @@
-from . import triples
+from . import (
+    canonicalize,
+    dedup,
+    imputation,
+    multimodal,
+    quality,
+    resume,
+    similarity,
+    textstats,
+    triples,
+    validation,
+)
 
-__all__ = ["triples"]
+__all__ = [
+    "canonicalize",
+    "dedup",
+    "imputation",
+    "multimodal",
+    "quality",
+    "resume",
+    "similarity",
+    "textstats",
+    "triples",
+    "validation",
+]

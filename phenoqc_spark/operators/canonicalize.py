@@ -1,0 +1,141 @@
+"""Identity canonicalization via connected components (SURVEY.md §2.9 G3).
+
+The reference canonicalizes 1-hop (alt_id → primary, xref → id) inside the
+dictionary (reference: src/phenoqc/mapping.py:223-262,294-313).  The engine
+generalizes to transitive same-as closure over alt/xref/custom-mapping
+edges: connected components computed with the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC'14) — pure DataFrame joins/aggregations, converging in
+O(log² n) rounds, with ``localCheckpoint`` each round to truncate lineage.
+
+Component label = min(node id) lexicographically; the canonical id of a
+component is then chosen as the primary-preferred member (see
+``canonical_mapping``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """(node, component) with component = min member id of the node's CC.
+
+    Implementation: min-label propagation expressed as alternating
+    large-star/small-star operations on the edge list.  Each round is two
+    shuffles (groupBy min + join); lineage is truncated via
+    localCheckpoint so the iterative plan doesn't blow up the optimizer —
+    the driver-side loop is inherent (fixpoints are not a single Catalyst
+    plan, SURVEY.md §4.2).
+    """
+    # undirected: keep each edge both ways, self-loops dropped
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # labels: start with each node's min neighbor (or itself)
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("nbr_min"))
+        .select("node", F.least("node", "nbr_min").alias("comp"))
+    )
+    for i in range(max_iter):
+        # propagate: node's comp = min(own comp, neighbors' comps)
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b2"), sym.b == F.col("b2"))
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("a", "node")
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+        )
+        # pointer-jumping: comp = comp's comp (halves chain depth per round)
+        jumped = (
+            new_labels.alias("l")
+            .join(
+                new_labels.select(
+                    F.col("node").alias("cnode"), F.col("comp").alias("ccomp")
+                ).alias("r"),
+                F.col("l.comp") == F.col("r.cnode"),
+                "left",
+            )
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(
+                    F.col("l.comp"), F.coalesce(F.col("r.ccomp"), F.col("l.comp"))
+                ).alias("comp"),
+            )
+        )
+        if checkpoint_every and (i % checkpoint_every == 0):
+            jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("comp").alias("component"))
+
+
+def canonical_mapping(
+    edges: DataFrame,
+    primaries: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, canonical_id): every same-as-connected node maps to one id.
+
+    If ``primaries`` (single column ``id``) is given, the canonical id of a
+    component is its minimal primary member when one exists (alt ids never
+    become canonical); otherwise the min member.
+    """
+    cc = connected_components(edges, src, dst)
+    if primaries is None:
+        return cc.select("node", F.col("component").alias("canonical_id"))
+    prim = primaries.select(F.col(primaries.columns[0]).alias("node")).withColumn(
+        "_is_prim", F.lit(1)
+    )
+    tagged = cc.join(F.broadcast(prim), "node", "left")
+    best = (
+        tagged.filter(F.col("_is_prim") == 1)
+        .groupBy("component")
+        .agg(F.min("node").alias("prim_id"))
+    )
+    return (
+        cc.join(best, "component", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("prim_id"), F.col("component")).alias("canonical_id"),
+        )
+    )
+
+
+def canonicalize_objects(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite triple objects through the canonical mapping (broadcast join —
+    the mapping is ontology-sized, ~10⁵ rows, never the fact side)."""
+    m = F.broadcast(mapping.withColumnRenamed("node", "obj"))
+    return (
+        triples.join(m, "obj", "left")
+        .withColumn("obj", F.coalesce(F.col("canonical_id"), F.col("obj")))
+        .drop("canonical_id")
+    )

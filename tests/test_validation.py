@@ -1,0 +1,114 @@
+"""Validation-operator tests with the reference's golden fixtures
+(reference: tests/test_validation.py — 4-row clinical frame: duplicated
+S001 with conflicting Age, -5 Age integrity issue, 'Unknown' Gender)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from phenoqc_spark.operators import validation as V
+
+
+@pytest.fixture(scope="module")
+def clinical(spark):
+    rows = [
+        ("S001", 34, "M", "2021-01-01"),
+        ("S001", 35, "M", "2021-01-02"),
+        ("S002", -5, "F", "2021-02-30"),
+        ("S003", None, "Unknown", None),
+    ]
+    return spark.createDataFrame(
+        rows, "SampleID string, Age int, Gender string, VisitDate string"
+    )
+
+
+def test_duplicates(clinical):
+    dups = V.duplicates(clinical, ["SampleID"]).collect()
+    assert len(dups) == 2
+    assert all(r.SampleID == "S001" for r in dups)
+
+
+def test_conflicts(clinical):
+    conf = V.conflicts(clinical, ["SampleID"]).collect()
+    assert len(conf) == 2
+    assert {r.Age for r in conf} == {34, 35}
+
+
+def test_required_missing(clinical):
+    miss = V.required_missing(clinical, ["SampleID", "Age"]).collect()
+    assert len(miss) == 1 and miss[0].SampleID == "S003"
+
+
+def test_range_violations(clinical):
+    out = V.range_violations(
+        clinical, {"Age": {"minimum": 0, "maximum": 120}}, ["SampleID"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0].SampleID == "S002" and out[0].value == "-5"
+
+
+def test_format_date(clinical):
+    bad = V.format_violations(clinical, "VisitDate", "date").collect()
+    # regex-only check (reference validation.py:240-242): 2021-02-30 passes
+    # the pattern; NULL passes; no violations in this frame
+    assert len(bad) == 0
+    strict = clinical.filter(
+        ~V.format_valid(F.col("VisitDate"), "date")
+        | (F.col("VisitDate").isNotNull() & F.expr("try_to_date(VisitDate)").isNull())
+    )
+    assert strict.count() == 1  # 2021-02-30 is not a real date
+
+
+def test_referential_integrity(spark, clinical):
+    ref = spark.createDataFrame([("S001",), ("S002",)], "SampleID string")
+    issues = V.referential_integrity_issues(clinical, ref, "SampleID").collect()
+    assert {r.SampleID for r in issues} == {"S003"}
+
+
+def test_anomalies_zscore(spark):
+    rows = [(float(i),) for i in range(1, 30)] + [(1000.0,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = V.anomalies_zscore(df, ["x"]).collect()
+    assert len(out) == 1 and out[0].x == 1000.0
+
+
+def test_zero_variance_skipped(spark):
+    df = spark.createDataFrame([(1.0,), (1.0,), (1.0,)], "x double")
+    assert V.anomalies_zscore(df, ["x"]).count() == 0
+
+
+def test_missing_counts(spark):
+    # reference fixture (tests/test_missing_data.py:10-22):
+    # Age: 2 missing, Gender: 1, Measurement: 1
+    rows = [
+        ("S1", None, "M", 1.0),
+        ("S2", 30, None, None),
+        ("S3", None, "F", 3.0),
+        ("S4", 40, "F", 4.0),
+        ("S5", 50, "M", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "SampleID string, Age int, Gender string, Measurement double")
+    counts = {r.column: r.missing_count for r in V.missing_counts(df).collect()}
+    assert counts == {"Age": 2, "Gender": 1, "Measurement": 1}
+
+
+def test_flag_missing(spark):
+    rows = [("S1", None), ("S2", 1.0)]
+    df = spark.createDataFrame(rows, "SampleID string, x double")
+    flagged = {r.SampleID: r.MissingDataFlag for r in V.flag_missing(df).collect()}
+    assert flagged == {"S1": True, "S2": False}
+
+
+def test_schema_violation_flag(spark, clinical):
+    schema = {
+        "type": "object",
+        "properties": {
+            "SampleID": {"type": "string"},
+            "Age": {"type": ["integer", "null"], "minimum": 0},
+            "Gender": {"type": ["string", "null"], "enum": ["M", "F", "Unknown", None]},
+        },
+        "required": ["SampleID"],
+    }
+    flagged = V.schema_violation_flag(clinical, schema)
+    out = {r.SampleID + str(r.Age): r.SchemaViolationFlag for r in flagged.collect()}
+    assert out["S002-5"] is True  # Age -5 < minimum
+    assert out["S00134"] is False
