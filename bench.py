@@ -1,0 +1,90 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "triples_per_hour": ...}
+
+Headliners: the full KG pipeline (pages → triples, the north-star
+workload) plus representative operator queries at the bench scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "200000"))
+
+
+def main() -> None:
+    from phenoqc_spark.session import get_spark
+
+    spark = get_spark(
+        "phenoqc-bench",
+        master=f"local[{CPUS}]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(max(int(CPUS) * 2, 8)),
+            "spark.ui.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from phenoqc_spark import pages as PG
+    from phenoqc_spark.pipeline import run_pipeline
+
+    timings: dict[str, float] = {}
+    n_triples = 0
+
+    # headline: full KG pipeline at bench page count
+    t0 = time.time()
+    pages = PG.generate_pages(spark, PAGES_ROWS, partitions=int(CPUS) * 2)
+    out = run_pipeline(spark, pages, E._resolver())
+    n_triples = out["triples"].count()
+    timings["kg_pipeline"] = round(time.time() - t0, 3)
+
+    qs = E.queries()
+    for name in (
+        "q1_pricing",
+        "q3_shipping",
+        "v_anomalies_zscore",
+        "agg_window_running",
+        "dd_minhash_lsh",
+        "sim_knn_bruteforce",
+        "txt_quality",
+        "kg_canonicalize_cc",
+    ):
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    tph = round(n_triples / timings["kg_pipeline"] * 3600.0, 1)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline+operator headline wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pages_rows": PAGES_ROWS,
+                "n_triples": n_triples,
+                "triples_per_hour": tph,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

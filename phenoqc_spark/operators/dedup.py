@@ -182,19 +182,9 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact verify on candidates only
+    # exact verify on candidates only: count shared shingles per pair
     sh = word_shingles(df, n, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "shingle", "shingle_b"
-            ),
-            (F.col("doc_b") == F.col("doc_b")) & (F.col("shingle") == F.col("shingle_b")),
-        )
-    )
-    # simpler + join-pruned: count shared shingles per candidate pair
     shared = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(

@@ -70,13 +70,25 @@ def impute(
     exclude = set(exclude_columns or [])
     num_cols = set(numeric_columns(df))
 
+    # Reference semantics (missing_data.py:81-84): columns with zero missing
+    # are skipped entirely — also prevents fill-literal type promotion and
+    # saves the per-column mode jobs.  One aggregate pass for all counts.
+    candidates = [c for c in df.columns if c not in exclude]
+    if not candidates:
+        return df
+    null_counts = df.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in candidates]
+    ).collect()[0]
+
     by_strategy: Dict[str, List[str]] = {}
-    for c in df.columns:
-        if c in exclude:
+    for c in candidates:
+        if not null_counts[c]:
             continue
         strat = (field_strategies or {}).get(c, strategy)
         if strat in SIMPLE or strat in ADVANCED:
             by_strategy.setdefault(strat, []).append(c)
+    if not by_strategy:
+        return df
 
     out = df
     mask_cols = []

@@ -99,11 +99,12 @@ def lsh_sign_buckets(
     computed with zip_with/aggregate, JVM-side.
     """
     planes = _hyperplanes(dim, n_planes, seed)
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     sign_bits = []
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
         dot = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+            F.zip_with(F.col("v"), plane, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -111,9 +112,7 @@ def lsh_sign_buckets(
     bucket = sign_bits[0]
     for b in sign_bits[1:]:
         bucket = bucket + b
-    return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).withColumn(
-        "bucket", bucket.cast("long")
-    )
+    return base.withColumn("bucket", bucket.cast("long"))
 
 
 def cosine_topk_lsh(

@@ -1,0 +1,3 @@
+from .tables import load_table, TABLES
+
+__all__ = ["load_table", "TABLES"]
