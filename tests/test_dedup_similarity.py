@@ -1,0 +1,128 @@
+"""Dedup, similarity, text-analytics, multimodal, and streaming tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from phenoqc_spark.operators import dedup as D
+from phenoqc_spark.operators import multimodal as M
+from phenoqc_spark.operators import similarity as S
+from phenoqc_spark.operators import textstats as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different text about spark engines"),
+        (4, "el rapido zorro marron salta sobre el perro"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(docs):
+    kept = D.dedup_exact(docs)
+    assert kept.count() == 4
+    groups = D.exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1 and groups[0].n_docs == 2 and groups[0].keep_id == 0
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in D.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_dups(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in D.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=32, bands=16).collect()}
+    assert pairs.get((0, 1)) == 1.0
+    # LSH candidates verified by exact jaccard → no false positives ≥ t
+    assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_simhash_near_dups(docs):
+    sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_near_dups(docs, max_hamming=16).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) in pairs
+
+
+def test_cosine_topk(spark):
+    rows = [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame([(0, [1.0, 0.1])], "query_id long, query_vec array<float>")
+    top = S.cosine_topk_bruteforce(emb, qdf, k=5).collect()
+    assert [r.vec_id for r in top] == [0, 2, 4, 6, 8]
+    assert top[0].rank == 1
+
+
+def test_ann_lsh_self_retrieval(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = [(i, rng.normal(size=8).astype(float).tolist()) for i in range(50)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.cosine_topk_lsh(emb, qdf, dim=8, k=3, n_planes=6).collect()
+    # every query's own vector is in the same bucket → rank 1, cosine 1.0
+    top1 = {r.query_id: r for r in out if r.rank == 1}
+    for qid in (0, 1, 2):
+        assert top1[qid].vec_id == qid and abs(top1[qid].cosine - 1.0) < 1e-6
+
+
+def test_embedding_near_dups(spark):
+    base = [(0, [1.0, 2.0, 3.0, 4.0]), (1, [-4.0, 3.0, -2.0, 1.0])]
+    dups = [(10, [2.0, 4.0, 6.0, 8.0])]  # same direction as 0
+    emb = spark.createDataFrame(base + dups, "vec_id long, embedding array<float>")
+    pairs = S.embedding_near_dups(emb, dim=4, threshold=0.99, n_planes=6).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 10)}
+
+
+def test_textstats(docs):
+    t = {r.doc_id: r for r in X.token_count(docs).collect()}
+    assert t[0].n_tokens == 9
+    q = {r.doc_id: r for r in X.quality_score(docs).collect()}
+    assert q[0].quality_score >= 0.8  # clean english sentence
+    l = {r.doc_id: r.lang_pred for r in X.language_id(docs).collect()}
+    assert l[0] == "en" and l[4] == "es"
+    f = {r.doc_id: r.fp for r in X.fingerprint(docs).collect()}
+    assert f[0] == f[1] and f[0] != f[2]
+
+
+def test_multimodal_features(spark):
+    media = M.synthesize_media(spark, 30)
+    feats = M.extract_features(media, dim=8).collect()
+    assert len(feats) == 30
+    v = feats[0].feature
+    assert len(v) == 8 and abs(sum(x * x for x in v) - 1.0) < 1e-9
+    with pytest.raises(NotImplementedError):
+        M.extract_features(media, decode="real")
+
+
+def test_frame_sample_plan(spark):
+    media = M.synthesize_media(spark, 20)
+    plan = M.frame_sample_plan(media, every_ms=100000)
+    row = plan.groupBy("media_id").count().first()
+    assert row["count"] >= 1
+
+
+def test_streaming_triples(spark, resolver, tmp_path):
+    from phenoqc_spark import pages as PG
+    from phenoqc_spark.streaming import stream_triples
+
+    src = str(tmp_path / "pages_in")
+    PG.generate_pages(spark, 150, partitions=2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "ckpt")
+    query = stream_triples(spark, stream, resolver, out, ckpt)
+    query.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert set(got.columns) >= {"subj", "pred", "obj"}
