@@ -1,0 +1,99 @@
+"""spark-submit entry point for the KG-construction pipeline.
+
+    spark-submit --master local[32] --py-files phenoqc_spark.zip \
+        jobs/run_kg_job.py --pages /data/pages --out /data/out \
+        --onto-dir /data/ontologies [--resume] [--generate-rows N]
+
+Replaces the reference CLI (reference: src/phenoqc/cli.py:202-292 +
+batch_processing.py:1034-1209): config + ontologies load on the driver,
+dictionaries broadcast, one lazy DAG per run, per-part_key audit rows, and
+``--resume`` skips completed buckets (idempotent partition overwrite).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", help="parquet path of the pages table")
+    ap.add_argument("--generate-rows", type=int, default=0,
+                    help="generate a deterministic pages table instead of reading one")
+    ap.add_argument("--out", required=True, help="output root (triples/, audit/)")
+    ap.add_argument("--onto-dir", default="/tmp/phenoqc_spark_onto")
+    ap.add_argument("--fuzzy-threshold", type=int, default=80)
+    ap.add_argument("--custom-mappings", help="JSON file of term -> id overrides")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--buckets", type=int, default=64)
+    args = ap.parse_args()
+
+    from phenoqc_spark.fixtures import fixture_config
+    from phenoqc_spark.ontology import TermResolver
+    from phenoqc_spark.operators import resume as R
+    from phenoqc_spark.operators import triples as T
+    from phenoqc_spark.operators.validation import schema_violation_flag
+    from phenoqc_spark.pipeline import extract_records
+    from phenoqc_spark.session import get_spark
+
+    spark = get_spark("kg-job")
+    custom = None
+    if args.custom_mappings:
+        with open(args.custom_mappings) as fh:
+            custom = json.load(fh)
+    resolver = TermResolver.from_config(
+        fixture_config(args.onto_dir, args.fuzzy_threshold), custom
+    )
+    resolver_bc = spark.sparkContext.broadcast(resolver)
+
+    if args.generate_rows:
+        from phenoqc_spark.pages import generate_pages
+
+        pages = generate_pages(spark, args.generate_rows)
+    else:
+        pages = spark.read.parquet(args.pages)
+
+    run_id = uuid.uuid4().hex[:12]
+    audit_path = os.path.join(args.out, "audit")
+    triples_path = os.path.join(args.out, "triples")
+
+    keyed = R.with_part_key(pages, args.buckets)
+    if args.resume:
+        done = R.completed_part_keys(spark, audit_path)
+        keyed = R.filter_resumable(keyed, done)
+
+    records = extract_records(keyed).join(
+        keyed.select("url", "part_key"), "url"
+    )
+    terms = T.terms_long(records)
+    links = T.resolve_vocab(terms, resolver_bc)
+    trip = T.triples(T.link_terms(terms, links))
+    trip_keyed = trip.withColumn(
+        "part_key", F.pmod(F.xxhash64(F.col("provenance")), F.lit(args.buckets)).cast("int")
+    )
+
+    t0 = time.time()
+    R.write_triples_idempotent(trip_keyed, triples_path)
+    metrics = R.partition_metrics(records, trip_keyed)
+    R.append_audit(spark, audit_path, run_id, metrics)
+    n = spark.read.parquet(triples_path).count()
+    print(json.dumps({
+        "run_id": run_id,
+        "sec": round(time.time() - t0, 2),
+        "triples_total": n,
+        "resumed": bool(args.resume),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

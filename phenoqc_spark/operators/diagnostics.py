@@ -1,0 +1,322 @@
+"""Imputation diagnostics: tuning, bias report, stability CV, MI uncertainty
+(reference: src/phenoqc/missing_data.py:298-452, quality_metrics.py:307-616).
+
+The reference computes these on pandas frames on one machine; the engine
+keeps that *statistical scope* (they are sample-level diagnostics, run on a
+bounded `df.sample(...).toPandas()` — reference caps at `max_cells`) while
+the heavy per-cell work stays NumPy.  scipy is unavailable here, so the
+statistics are implemented from their definitions: two-sample KS (max ECDF
+gap), Wasserstein-1 (quantile-difference integral), PSI, Cramér's V
+(chi-square / n·min(r-1,c-1)), SMD (pooled-SD standardized mean diff),
+variance ratio.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+
+# ---------------------------------------------------------------------------
+# statistics (scipy-free)
+# ---------------------------------------------------------------------------
+
+def ks_statistic(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.sort(a[~np.isnan(a)])
+    b = np.sort(b[~np.isnan(b)])
+    if a.size == 0 or b.size == 0:
+        return float("nan")
+    grid = np.concatenate([a, b])
+    ca = np.searchsorted(a, grid, side="right") / a.size
+    cb = np.searchsorted(b, grid, side="right") / b.size
+    return float(np.max(np.abs(ca - cb)))
+
+
+def wasserstein1(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.sort(a[~np.isnan(a)])
+    b = np.sort(b[~np.isnan(b)])
+    if a.size == 0 or b.size == 0:
+        return float("nan")
+    q = np.linspace(0, 1, max(a.size, b.size), endpoint=False) + 0.5 / max(a.size, b.size)
+    qa = np.quantile(a, q)
+    qb = np.quantile(b, q)
+    return float(np.mean(np.abs(qa - qb)))
+
+
+def psi(expected: np.ndarray, actual: np.ndarray, bins: int = 10) -> float:
+    expected = expected[~np.isnan(expected)]
+    actual = actual[~np.isnan(actual)]
+    if expected.size == 0 or actual.size == 0:
+        return float("nan")
+    edges = np.quantile(expected, np.linspace(0, 1, bins + 1))
+    edges[0], edges[-1] = -np.inf, np.inf
+    e_frac = np.histogram(expected, edges)[0] / expected.size
+    a_frac = np.histogram(actual, edges)[0] / actual.size
+    e_frac = np.clip(e_frac, 1e-6, None)
+    a_frac = np.clip(a_frac, 1e-6, None)
+    return float(np.sum((a_frac - e_frac) * np.log(a_frac / e_frac)))
+
+
+def cramers_v(a: pd.Series, b: pd.Series) -> float:
+    tab = pd.crosstab(a, b)
+    if tab.size == 0 or min(tab.shape) < 2:
+        return 0.0
+    obs = tab.to_numpy(dtype=float)
+    n = obs.sum()
+    row = obs.sum(1, keepdims=True)
+    col = obs.sum(0, keepdims=True)
+    exp = row @ col / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        chi2 = np.nansum(np.where(exp > 0, (obs - exp) ** 2 / exp, 0.0))
+    k = min(tab.shape) - 1
+    return float(np.sqrt(chi2 / (n * k))) if n > 0 and k > 0 else 0.0
+
+
+def smd(a: np.ndarray, b: np.ndarray) -> float:
+    a = a[~np.isnan(a)]
+    b = b[~np.isnan(b)]
+    if a.size < 2 or b.size < 2:
+        return float("nan")
+    pooled = np.sqrt((a.var(ddof=1) + b.var(ddof=1)) / 2.0)
+    if pooled == 0:
+        return 0.0
+    return float(abs(a.mean() - b.mean()) / pooled)
+
+
+def variance_ratio(a: np.ndarray, b: np.ndarray) -> float:
+    a = a[~np.isnan(a)]
+    b = b[~np.isnan(b)]
+    if a.size < 2 or b.size < 2:
+        return float("nan")
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    if min(va, vb) == 0:
+        return float("inf") if max(va, vb) > 0 else 1.0
+    return float(max(va, vb) / min(va, vb))
+
+
+# ---------------------------------------------------------------------------
+# bias report (I8): observed vs imputed distribution per column
+# ---------------------------------------------------------------------------
+
+def imputation_bias_report(
+    before: pd.DataFrame,
+    after: pd.DataFrame,
+    numeric_cols: Optional[List[str]] = None,
+    smd_warn: float = 0.1,
+    var_ratio_warn: float = 2.0,
+    ks_warn: float = 0.1,
+    psi_warn: float = 0.1,
+) -> pd.DataFrame:
+    """Per-column bias metrics between observed values and imputed values
+    (reference: quality_metrics.py:307-444 semantics: compare the observed
+    distribution against the post-imputation values at originally-missing
+    positions)."""
+    rows = []
+    cols = numeric_cols or [c for c in before.columns if pd.api.types.is_numeric_dtype(before[c])]
+    for c in cols:
+        obs_mask = before[c].notna()
+        mis_mask = before[c].isna()
+        obs = before.loc[obs_mask, c].to_numpy(dtype=float)
+        imp = after.loc[mis_mask, c].to_numpy(dtype=float)
+        imp = imp[~np.isnan(imp)]
+        if obs.size == 0 or imp.size == 0:
+            continue
+        row = {
+            "column": c,
+            "n_obs": int(obs.size),
+            "n_imp": int(imp.size),
+            "smd": smd(obs, imp),
+            "var_ratio": variance_ratio(obs, imp),
+            "ks": ks_statistic(obs, imp),
+            "wasserstein": wasserstein1(obs, imp),
+            "psi": psi(obs, imp),
+        }
+        row["warn"] = bool(
+            (row["smd"] == row["smd"] and row["smd"] > smd_warn)
+            or (row["var_ratio"] == row["var_ratio"] and row["var_ratio"] > var_ratio_warn)
+            or (row["ks"] == row["ks"] and row["ks"] > ks_warn)
+            or (row["psi"] == row["psi"] and row["psi"] > psi_warn)
+        )
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# tuning (I6): mask-and-score grid search on a bounded sample
+# ---------------------------------------------------------------------------
+
+DEFAULT_GRIDS = {
+    "knn": {"n_neighbors": [3, 5, 7]},
+    "mice": {"max_iter": [5, 10, 15]},
+    "svd": {"rank": [2, 3, 5]},
+}
+
+
+def _apply_np(strategy: str, X: np.ndarray, params: dict) -> np.ndarray:
+    from ..impute_numpy import iterative_impute, iterative_svd_impute, knn_impute
+
+    if strategy == "knn":
+        return knn_impute(X, n_neighbors=int(params.get("n_neighbors", 5)))
+    if strategy == "mice":
+        return iterative_impute(X, max_iter=int(params.get("max_iter", 10)))
+    if strategy == "svd":
+        return iterative_svd_impute(X, rank=params.get("rank"))
+    if strategy == "mean":
+        out = X.copy()
+        mu = np.nanmean(out, axis=0)
+        idx = np.where(np.isnan(out))
+        out[idx] = np.take(mu, idx[1])
+        return out
+    raise ValueError(strategy)
+
+
+def tune_imputation(
+    sample: pd.DataFrame,
+    strategy: str,
+    grid: Optional[dict] = None,
+    mask_fraction: float = 0.1,
+    scoring: str = "MAE",
+    max_cells: int = 50000,
+    random_state: int = 42,
+) -> dict:
+    """Mask observed cells, impute, score (MAE/RMSE), return best params
+    (reference: missing_data.py:298-405; same defaults incl. seed 42)."""
+    rng = np.random.RandomState(random_state)
+    grid = grid or DEFAULT_GRIDS.get(strategy) or {}
+    if not grid:
+        return {"params": None, "score": float("inf"), "metric": scoring.upper()}
+    X = sample.to_numpy(dtype=float)
+    observed = ~np.isnan(X)
+    coords = np.argwhere(observed)
+    if coords.size == 0:
+        return {"params": None, "score": float("inf"), "metric": scoring.upper()}
+    size = min(max_cells, coords.shape[0], int(max(1, mask_fraction * coords.shape[0])))
+    picked = coords[rng.choice(coords.shape[0], size=size, replace=False)]
+    mask = np.zeros_like(X, dtype=bool)
+    mask[picked[:, 0], picked[:, 1]] = True
+    best = {"params": None, "score": float("inf"), "metric": scoring.upper()}
+    keys = list(grid.keys())
+    for vals in itertools.product(*[grid[k] for k in keys]):
+        params = dict(zip(keys, vals))
+        masked = X.copy()
+        masked[mask] = np.nan
+        try:
+            imputed = _apply_np(strategy, masked, params)
+        except Exception:
+            continue
+        diff = (X - imputed)[mask]
+        diff = diff[~np.isnan(diff)]
+        if diff.size == 0:
+            continue
+        score = (
+            float(np.sqrt(np.mean(diff**2)))
+            if scoring.upper() == "RMSE"
+            else float(np.mean(np.abs(diff)))
+        )
+        if score < best["score"]:
+            best = {"params": params, "score": score, "metric": scoring.upper()}
+    return best
+
+
+# ---------------------------------------------------------------------------
+# stability CV (I9) and MI uncertainty (I10)
+# ---------------------------------------------------------------------------
+
+def imputation_stability(
+    sample: pd.DataFrame,
+    strategy: str,
+    params: Optional[dict] = None,
+    repeats: int = 5,
+    mask_fraction: float = 0.1,
+    random_state: int = 42,
+) -> pd.DataFrame:
+    """Repeated mask-impute error per column: mean/sd/cv (reference:
+    quality_metrics.py:447-550)."""
+    rng = np.random.RandomState(random_state)
+    X = sample.to_numpy(dtype=float)
+    observed = ~np.isnan(X)
+    coords = np.argwhere(observed)
+    errors: Dict[int, List[float]] = {j: [] for j in range(X.shape[1])}
+    for _ in range(repeats):
+        size = int(max(1, mask_fraction * coords.shape[0]))
+        picked = coords[rng.choice(coords.shape[0], size=size, replace=False)]
+        mask = np.zeros_like(X, dtype=bool)
+        mask[picked[:, 0], picked[:, 1]] = True
+        masked = X.copy()
+        masked[mask] = np.nan
+        try:
+            imputed = _apply_np(strategy, masked, params or {})
+        except Exception:
+            continue
+        for j in range(X.shape[1]):
+            m = mask[:, j]
+            if m.any():
+                d = np.abs(X[m, j] - imputed[m, j])
+                d = d[~np.isnan(d)]
+                if d.size:
+                    errors[j].append(float(d.mean()))
+    rows = []
+    for j, errs in errors.items():
+        if not errs:
+            continue
+        mean_e = float(np.mean(errs))
+        sd_e = float(np.std(errs, ddof=1)) if len(errs) > 1 else 0.0
+        rows.append(
+            {
+                "column": sample.columns[j],
+                "mean_error": mean_e,
+                "sd_error": sd_e,
+                "cv_error": (sd_e / mean_e) if mean_e else 0.0,
+                "n_repeats": len(errs),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def mi_uncertainty(
+    sample: pd.DataFrame,
+    repeats: int = 5,
+    random_state: int = 0,
+) -> pd.DataFrame:
+    """Multiple-imputation variance at originally-missing cells using
+    repeated stochastic chained-equation runs (reference:
+    quality_metrics.py:553-616).  Randomness enters through bootstrap
+    resampling of the regression rows per repeat."""
+    from ..impute_numpy import iterative_impute
+
+    rng = np.random.RandomState(random_state)
+    X = sample.to_numpy(dtype=float)
+    missing = np.isnan(X)
+    if not missing.any():
+        return pd.DataFrame(columns=["column", "n_missing", "mean_variance"])
+    draws = []
+    n = X.shape[0]
+    for _ in range(repeats):
+        idx = rng.randint(0, n, size=n)
+        Xb = X[idx]
+        imputed_b = iterative_impute(Xb)
+        # refit on bootstrap, apply to original missing pattern via a
+        # fresh chained pass seeded by the bootstrap's column means
+        out = X.copy()
+        col_means = np.nanmean(Xb, axis=0)
+        for j in range(X.shape[1]):
+            out[missing[:, j], j] = col_means[j] if np.isfinite(col_means[j]) else 0.0
+        draws.append(iterative_impute(np.where(missing, np.nan, out))[missing])
+    stack = np.vstack(draws)
+    var_per_cell = stack.var(axis=0, ddof=1)
+    cells = np.argwhere(missing)
+    rows = []
+    for j in range(X.shape[1]):
+        sel = cells[:, 1] == j
+        if sel.any():
+            rows.append(
+                {
+                    "column": sample.columns[j],
+                    "n_missing": int(sel.sum()),
+                    "mean_variance": float(var_per_cell[sel].mean()),
+                }
+            )
+    return pd.DataFrame(rows)

@@ -1,0 +1,107 @@
+"""Diagnostics (tuning/bias/stability/MI) and checkpoint-resume tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from phenoqc_spark.operators import diagnostics as G
+
+
+def _sample(n=200, missing=0.2, seed=42):
+    rng = np.random.RandomState(seed)
+    a = rng.normal(10, 2, n)
+    b = a * 0.5 + rng.normal(0, 0.5, n)
+    c = rng.normal(-3, 1, n)
+    df = pd.DataFrame({"a": a, "b": b, "c": c})
+    mask = rng.rand(n, 3) < missing
+    return df.mask(mask)
+
+
+def test_ks_wasserstein_psi_basics():
+    rng = np.random.RandomState(0)
+    same = rng.normal(0, 1, 2000)
+    shifted = rng.normal(2, 1, 2000)
+    assert G.ks_statistic(same, same) == 0.0
+    assert G.ks_statistic(same, shifted) > 0.5
+    assert G.wasserstein1(same, shifted) == pytest.approx(2.0, abs=0.2)
+    assert G.psi(same, same) < 0.01
+    assert G.psi(same, shifted) > 0.5
+
+
+def test_smd_var_ratio_cramers():
+    a = np.array([1.0, 2, 3, 4, 5])
+    assert G.smd(a, a) == 0.0
+    assert G.variance_ratio(a, a) == 1.0
+    s1 = pd.Series(["x", "x", "y", "y"] * 10)
+    assert G.cramers_v(s1, s1) == pytest.approx(1.0)
+    rng = np.random.RandomState(1)
+    s2 = pd.Series(rng.choice(["x", "y"], 40))
+    assert G.cramers_v(s1, s2) < 0.5
+
+
+def test_bias_report():
+    before = _sample()
+    # mean-impute
+    after = before.fillna(before.mean())
+    rep = G.imputation_bias_report(before, after)
+    assert set(rep["column"]) == {"a", "b", "c"}
+    # mean imputation collapses variance → var_ratio triggers warn
+    assert rep["warn"].any()
+
+
+def test_tuning_prefers_reasonable_k():
+    sample = _sample(300)
+    best = G.tune_imputation(sample, "knn", grid={"n_neighbors": [2, 5]}, random_state=42)
+    assert best["params"] is not None and best["score"] < np.inf
+    assert best["metric"] == "MAE"
+
+
+def test_stability_and_mi():
+    sample = _sample(150)
+    st = G.imputation_stability(sample, "mean", repeats=3)
+    assert not st.empty and (st["mean_error"] > 0).all()
+    mi = G.mi_uncertainty(sample, repeats=3)
+    assert not mi.empty and (mi["n_missing"] > 0).all()
+
+
+# --- resume ------------------------------------------------------------------
+
+def test_kill_and_resume(spark, resolver, tmp_path):
+    from phenoqc_spark import pages as PG
+    from phenoqc_spark.operators import resume as R
+    from phenoqc_spark.operators import triples as T
+    from phenoqc_spark.pipeline import extract_records
+
+    pages = PG.generate_pages(spark, 300, partitions=4)
+    keyed = R.with_part_key(pages, n_buckets=8)
+    bc = spark.sparkContext.broadcast(resolver)
+
+    def run(filtered, run_id):
+        records = extract_records(filtered).join(filtered.select("url", "part_key"), "url")
+        terms = T.terms_long(records)
+        links = T.resolve_vocab(terms, bc)
+        trip = T.triples(T.link_terms(terms, links))
+        trip_keyed = trip.withColumn(
+            "part_key", F.pmod(F.xxhash64("provenance"), F.lit(8)).cast("int")
+        )
+        R.write_triples_idempotent(trip_keyed, str(tmp_path / "triples"))
+        metrics = R.partition_metrics(records, trip_keyed)
+        R.append_audit(spark, str(tmp_path / "audit"), run_id, metrics)
+
+    # first attempt: only half the buckets "survive" (simulated crash)
+    run(keyed.filter(F.col("part_key") < 4), "attempt1")
+    done = R.completed_part_keys(spark, str(tmp_path / "audit"))
+    assert done.count() == 4
+    remaining = R.filter_resumable(keyed, done)
+    assert remaining.select("part_key").distinct().count() == 4
+    run(remaining, "attempt2")
+
+    # full rerun from scratch must equal resumed result (idempotence)
+    expected_records = extract_records(keyed).join(keyed.select("url", "part_key"), "url")
+    terms = T.terms_long(expected_records)
+    links = T.resolve_vocab(terms, bc)
+    expected = T.triples(T.link_terms(terms, links)).select("subj", "pred", "obj")
+    got = spark.read.parquet(str(tmp_path / "triples")).select("subj", "pred", "obj")
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0 and expected.exceptAll(got).count() == 0
