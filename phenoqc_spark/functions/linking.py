@@ -66,3 +66,49 @@ def link_distinct_terms(
             )
 
     return distinct_terms.select("term_norm").mapInPandas(gen, LINK_SCHEMA)
+
+
+def link_terms_inline(terms: DataFrame, resolver_bc, ontologies=None) -> DataFrame:
+    """Single-pass linking: resolve per batch with a per-executor memo cache.
+
+    The vocab-distinct + broadcast-join plan reads the expensive upstream
+    (extract + parse + normalize) twice — once for the vocabulary branch,
+    once for the fact branch.  This operator fuses linking into the fact
+    pass: each Arrow batch resolves its terms through
+    ``TermResolver.map_term_cached`` (per-executor memo), which is exactly
+    the reference's per-chunk ``unique()`` contract
+    (batch_processing.py:594) — hub terms hit the cache, the fact side is
+    read once and never shuffled.  Prefer this when the vocabulary is
+    dictionary-bounded; use the vocab path when terms are unbounded and the
+    upstream is cheap to re-scan (e.g. a materialized staging table).
+
+    Input: (…, term_norm); output: input columns + (ontology, term_id,
+    tier, score), matched rows only.
+    """
+    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in terms.schema.fields)
+    schema = f"{out_fields}, ontology string, term_id string, tier string, score double"
+    in_cols = [f.name for f in terms.schema.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resolver = resolver_bc.value
+        targets = ontologies or resolver.default_ontologies
+        for pdf in batches:
+            # resolve once per batch-unique term (memoized across batches),
+            # then fan out with a C-level pandas merge — no per-row Python
+            uniq = pdf["term_norm"].dropna().unique()
+            link_rows = []
+            for t in uniq:
+                if not t:
+                    continue
+                detailed = resolver.map_term_cached(t)
+                for onto in targets:
+                    res = detailed.get(onto)
+                    if res is not None:
+                        link_rows.append((t, onto, res[0], res[1], res[2]))
+            links_pdf = pd.DataFrame(
+                link_rows, columns=["term_norm", "ontology", "term_id", "tier", "score"]
+            )
+            out = pdf.merge(links_pdf, on="term_norm", how="inner")
+            yield out[in_cols + ["ontology", "term_id", "tier", "score"]]
+
+    return terms.mapInPandas(gen, schema)

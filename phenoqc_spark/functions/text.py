@@ -43,9 +43,9 @@ def extract_text(html: pd.Series) -> pd.Series:
 @pandas_udf(StringType())
 def normalize_terms(terms: pd.Series) -> pd.Series:
     """Vectorized NFKC normalization (reference: src/phenoqc/mapping.py:99-109)."""
-    from phenoqc_spark.ontology.normalize import normalize_text
+    from phenoqc_spark.ontology.normalize import normalize_series
 
-    return terms.map(lambda v: normalize_text(v) if v is not None else None)
+    return normalize_series(terms)
 
 
 def parse_records(df, text_col: str = "text"):

@@ -36,11 +36,13 @@ def normalize_text(text) -> str:
 
 
 def normalize_series(series):
-    """Vectorized normalization over a pandas Series (Arrow UDF hot path).
-
-    pandas ``.str`` ops are used where they match; NFKC needs a Python map
-    but is cheap relative to the fuzzy tier.
-    """
-    import pandas as pd
-
-    return series.map(lambda v: normalize_text(v) if v is not None else "")
+    """Vectorized normalization over a pandas string Series (Arrow UDF hot
+    path) — C-level ``.str`` chains, byte-equivalent to ``normalize_text``
+    (asserted in tests/test_mapper.py::test_normalize_series_parity)."""
+    r = series.str.normalize("NFKC").str.lower().str.strip()
+    r = r.str.replace(_ZERO_WIDTH, " ", regex=False)
+    r = r.str.replace(r"[\n\t]", " ", regex=True)
+    r = r.str.replace(r"\s+", " ", regex=True)
+    r = r.str.replace(r"[()\[\]{}]", " ", regex=True)
+    r = r.str.replace(r"\s+", " ", regex=True).str.strip()
+    return r

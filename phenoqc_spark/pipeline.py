@@ -70,29 +70,41 @@ def extract_records(pages: DataFrame, lang: str = "en") -> DataFrame:
 
 
 def build_triples(
-    records: DataFrame, resolver_bc, broadcast_vocab: bool = True
+    records: DataFrame, resolver_bc, link_mode: str = "inline"
 ):
-    """records → (triples_df, links_df, terms_df)."""
+    """records → (triples_df, terms_df).
+
+    link_mode='inline' (default): single fact-side pass, per-executor memo
+    cache — the upstream extract/parse runs exactly once.
+    link_mode='vocab': global distinct vocabulary + broadcast join-back —
+    reads the upstream twice; right when the input is a cheap re-scannable
+    table and the vocabulary must be resolved exactly once globally.
+    """
+    from .functions.linking import link_terms_inline
+
     terms = T.terms_long(records)
-    links = T.resolve_vocab(terms, resolver_bc)
-    linked = T.link_terms(terms, links, broadcast_vocab=broadcast_vocab)
-    return T.triples(linked), links, terms
+    if link_mode == "inline":
+        linked = link_terms_inline(terms, resolver_bc)
+    else:
+        links = T.resolve_vocab(terms, resolver_bc)
+        linked = T.link_terms(terms, links)
+    return T.triples(linked), terms
 
 
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
     resolver,
-    broadcast_vocab: bool = True,
+    link_mode: str = "inline",
 ) -> dict:
-    """Full DAG; returns {'triples', 'records', 'links', 'terms', 'mapping_stats'}."""
+    """Full DAG; returns {'triples', 'records', 'terms', 'mapping_stats'}."""
     resolver_bc = spark.sparkContext.broadcast(resolver)
     records = extract_records(pages)
-    trip, links, terms = build_triples(records, resolver_bc, broadcast_vocab)
+    trip, terms = build_triples(records, resolver_bc, link_mode)
     return {
         "records": records,
         "triples": trip,
-        "links": links,
         "terms": terms,
-        "mapping_stats": T.mapping_stats(terms, links),
+        # lazy plan — only pays the vocab pass if actually collected
+        "mapping_stats": T.mapping_stats(terms, T.resolve_vocab(terms, resolver_bc)),
     }

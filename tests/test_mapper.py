@@ -20,6 +20,24 @@ def test_normalize_parity():
     assert normalize_text("A​B") == "a b"
 
 
+def test_normalize_series_parity():
+    import pandas as pd
+
+    from phenoqc_spark.ontology.normalize import normalize_series
+
+    samples = [
+        "  High\n blood\tpressure (HP:0000822)  ",
+        "( HP:0000822 )",
+        "A​B",
+        "weird   [brackets] {x}",
+        "UPPER case",
+        "",
+        "ﬁligrane",  # NFKC ligature
+    ]
+    vec = normalize_series(pd.Series(samples)).tolist()
+    assert vec == [normalize_text(s) for s in samples]
+
+
 def test_lcs_against_dp():
     import random
 
