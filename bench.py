@@ -42,11 +42,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     n_triples = 0
 
-    # warm JVM codegen + Python workers (excluded from timing; measures the
-    # steady state a long-running cluster job actually sees)
-    run_pipeline(spark, PG.generate_pages(spark, 2000, partitions=int(CPUS)), E._resolver())[
-        "triples"
-    ].count()
+    # warm JVM codegen + the Python worker pool (excluded from timing;
+    # measures the steady state a long-running cluster job actually sees).
+    # The warmup must match the big run's partition count — the worker pool
+    # grows with concurrent Python evals — and runs twice so codegen,
+    # worker forks, and resolver caches are all hot.
+    for _ in range(2):
+        run_pipeline(
+            spark, PG.generate_pages(spark, 5000, partitions=int(CPUS) * 2), E._resolver()
+        )["triples"].count()
 
     # headline: full KG pipeline at bench page count
     t0 = time.time()

@@ -30,8 +30,10 @@ spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as E
 from phenoqc_spark import pages as PG
 from phenoqc_spark.pipeline import run_pipeline
-# warm the JVM/Python workers with a tiny run (excluded from timing)
-run_pipeline(spark, PG.generate_pages(spark, 2000, partitions=int(cpus)), E._resolver())["triples"].count()
+# warm the JVM codegen + Python worker pool at the big run's partition
+# count, twice, so the timed run measures steady state (excluded timing)
+for _ in range(2):
+    run_pipeline(spark, PG.generate_pages(spark, 5000, partitions=int(cpus) * 4), E._resolver())["triples"].count()
 t0 = time.time()
 pages = PG.generate_pages(spark, rows, partitions=int(cpus) * 4)
 out = run_pipeline(spark, pages, E._resolver())
