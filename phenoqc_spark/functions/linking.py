@@ -68,7 +68,9 @@ def link_distinct_terms(
     return distinct_terms.select("term_norm").mapInPandas(gen, LINK_SCHEMA)
 
 
-def link_terms_inline(terms: DataFrame, resolver_bc, ontologies=None) -> DataFrame:
+def link_terms_inline(
+    terms: DataFrame, resolver_bc, ontologies=None, normalize: bool = False
+) -> DataFrame:
     """Single-pass linking: resolve per batch with a per-executor memo cache.
 
     The vocab-distinct + broadcast-join plan reads the expensive upstream
@@ -86,13 +88,22 @@ def link_terms_inline(terms: DataFrame, resolver_bc, ontologies=None) -> DataFra
     tier, score), matched rows only.
     """
     out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in terms.schema.fields)
-    schema = f"{out_fields}, ontology string, term_id string, tier string, score double"
     in_cols = [f.name for f in terms.schema.fields]
+    if normalize:
+        # normalization fused here (one fewer chained Python stage on the
+        # fact path: JVM parse → this single Arrow hop)
+        out_fields += ", term_norm string"
+        in_cols = in_cols + ["term_norm"]
+    schema = f"{out_fields}, ontology string, term_id string, tier string, score double"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from phenoqc_spark.ontology.normalize import normalize_series
+
         resolver = resolver_bc.value
         targets = ontologies or resolver.default_ontologies
         for pdf in batches:
+            if normalize:
+                pdf = pdf.assign(term_norm=normalize_series(pdf["term"]))
             # resolve once per batch-unique term (memoized across batches),
             # then fan out with a C-level pandas merge — no per-row Python
             uniq = pdf["term_norm"].dropna().unique()

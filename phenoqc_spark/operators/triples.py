@@ -42,6 +42,7 @@ def terms_long(
     array_columns: List[str] | None = None,
     id_col: str = "SampleID",
     url_col: str = "url",
+    normalize: bool = True,
 ) -> DataFrame:
     """(url, sample_id, column, term, term_norm) from wide phenotype columns.
 
@@ -78,7 +79,9 @@ def terms_long(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.withColumn("term_norm", normalize_terms(F.col("term")))
+    if normalize:
+        out = out.withColumn("term_norm", normalize_terms(F.col("term")))
+    return out
 
 
 def resolve_vocab(terms: DataFrame, resolver_bc) -> DataFrame:

@@ -82,10 +82,13 @@ def build_triples(
     """
     from .functions.linking import link_terms_inline
 
-    terms = T.terms_long(records)
     if link_mode == "inline":
-        linked = link_terms_inline(terms, resolver_bc)
+        # normalization fused into the link UDF: exactly two Python stages
+        # on the fact path (extract_text, link) with JVM parse between
+        terms = T.terms_long(records, normalize=False)
+        linked = link_terms_inline(terms, resolver_bc, normalize=True)
     else:
+        terms = T.terms_long(records)
         links = T.resolve_vocab(terms, resolver_bc)
         linked = T.link_terms(terms, links)
     return T.triples(linked), terms
@@ -98,13 +101,21 @@ def run_pipeline(
     link_mode: str = "inline",
 ) -> dict:
     """Full DAG; returns {'triples', 'records', 'terms', 'mapping_stats'}."""
+    from .functions.text import normalize_terms as _norm_udf
+    from pyspark.sql import functions as _F
+
     resolver_bc = spark.sparkContext.broadcast(resolver)
     records = extract_records(pages)
     trip, terms = build_triples(records, resolver_bc, link_mode)
+    terms_n = (
+        terms
+        if "term_norm" in terms.columns
+        else terms.withColumn("term_norm", _norm_udf(_F.col("term")))
+    )
     return {
         "records": records,
         "triples": trip,
-        "terms": terms,
+        "terms": terms_n,
         # lazy plan — only pays the vocab pass if actually collected
-        "mapping_stats": T.mapping_stats(terms, T.resolve_vocab(terms, resolver_bc)),
+        "mapping_stats": T.mapping_stats(terms_n, T.resolve_vocab(terms_n, resolver_bc)),
     }
