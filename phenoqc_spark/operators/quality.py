@@ -170,6 +170,21 @@ def class_distribution(
     )
 
 
+def reservoir_sample(df: DataFrame, n: int = 10000, seed: int = 42) -> DataFrame:
+    """Bounded deterministic sample for report/visualization inputs
+    (reference: batch_processing.py:313-317,629-639 — ≤10k rows, seed 42).
+
+    ``rand(seed)``-ranked top-n: one shuffle of (rand, row) pairs capped by
+    TakeOrderedAndProject — never a full sort at scale.
+    """
+    return (
+        df.withColumn("_r", F.rand(seed))
+        .orderBy("_r")
+        .limit(n)
+        .drop("_r")
+    )
+
+
 def quality_scores(
     total_rows: int,
     schema_violations: int,

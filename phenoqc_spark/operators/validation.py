@@ -235,6 +235,78 @@ def flag_missing(df: DataFrame, columns: Optional[List[str]] = None) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# V2/V3/V4 — cell-level validation audit (long format)
+# ---------------------------------------------------------------------------
+
+def cell_violations(
+    df: DataFrame, schema: dict, row_id_cols: Optional[List[str]] = None
+) -> DataFrame:
+    """Long-format (row ids…, column, reason) audit of cell-level schema
+    checks — the scale-friendly replacement for the reference's
+    shape-preserving ``invalid_mask`` (validation.py:56,128-164): only
+    violated cells are materialized (SURVEY.md §1.2).
+
+    Covers per-column: min/max bounds (try_cast semantics), ``format``
+    predicates, and string-typed date/date-time types.  All checks are
+    native Catalyst predicates unioned into one plan.
+    """
+    id_cols = row_id_cols or []
+    props = schema.get("properties", {})
+    parts = []
+
+    def audit(cond, col, reason):
+        parts.append(
+            df.filter(cond).select(
+                *[F.col(c) for c in id_cols],
+                F.lit(col).alias("column"),
+                F.lit(reason).alias("reason"),
+            )
+        )
+
+    for col, rules in props.items():
+        if col not in df.columns:
+            continue
+        c = F.col(col)
+        lo, hi = rules.get("minimum"), rules.get("maximum")
+        num = c.cast("string").try_cast("double")
+        if lo is not None:
+            audit(num < float(lo), col, "below_minimum")
+        if hi is not None:
+            audit(num > float(hi), col, "above_maximum")
+        fmt = rules.get("format")
+        if fmt:
+            audit(~format_valid(c, fmt), col, f"bad_format_{fmt}")
+        t = rules.get("type")
+        types = t if isinstance(t, list) else [t] if t else []
+        if "date" in types:
+            audit(
+                c.isNotNull() & F.expr(f"try_to_date(`{col}`)").isNull(),
+                col,
+                "bad_type_date",
+            )
+        elif "date-time" in types:
+            audit(
+                c.isNotNull() & F.try_to_timestamp(c.cast("string")).isNull(),
+                col,
+                "bad_type_datetime",
+            )
+        elif types and "string" not in types and "null" in types:
+            # numeric-typed nullable column parsed from text: unparseable
+            if "number" in types or "integer" in types:
+                audit(c.isNotNull() & num.isNull(), col, "bad_type_numeric")
+    if not parts:
+        return df.limit(0).select(
+            *[F.col(c) for c in id_cols],
+            F.lit("").alias("column"),
+            F.lit("").alias("reason"),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # V1 — row-level JSON-schema validation (Arrow UDF, compiled once/executor)
 # ---------------------------------------------------------------------------
 

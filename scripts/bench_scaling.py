@@ -43,7 +43,7 @@ pages = spark.read.parquet(data_dir)
 run_pipeline(spark, pages.limit(50000), r)["triples"].count()  # warmup
 times = []
 n = 0
-for _ in range(4):
+for _ in range(int(os.environ.get("SCALING_REPS", "4"))):
     t0 = time.time()
     out = run_pipeline(spark, spark.read.parquet(data_dir), r)
     n = out["triples"].count()

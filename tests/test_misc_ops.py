@@ -1,0 +1,74 @@
+"""Tests for config load/save, reservoir sampling, cell-level audit, report."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from phenoqc_spark.config import load_config, save_config
+from phenoqc_spark.operators.quality import reservoir_sample
+from phenoqc_spark.operators.validation import cell_violations
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = {"fuzzy_threshold": 80, "default_ontologies": ["HPO"], "nested": {"a": 1}}
+    for ext in ("yaml", "json"):
+        p = str(tmp_path / f"c.{ext}")
+        save_config(cfg, p)
+        assert load_config(p) == cfg
+    with pytest.raises(ValueError):
+        load_config(str(tmp_path / "c.toml"))
+
+
+def test_reservoir_sample_deterministic(spark):
+    df = spark.range(1000)
+    a = sorted(r.id for r in reservoir_sample(df, n=50, seed=42).collect())
+    b = sorted(r.id for r in reservoir_sample(df, n=50, seed=42).collect())
+    assert a == b and len(a) == 50
+
+
+def test_cell_violations(spark):
+    rows = [
+        ("S1", "170.0", "2023-01-01"),
+        ("S2", "-5.0", "2023-02-30"),   # below min; format ok (regex-only)
+        ("S3", "abc", "NOT_A_DATE"),    # unparseable numeric; bad format
+        ("S4", None, None),             # nulls pass everything
+    ]
+    df = spark.createDataFrame(rows, "SampleID string, Height string, VisitDate string")
+    schema = {
+        "properties": {
+            "Height": {"type": ["number", "null"], "minimum": 0},
+            "VisitDate": {"type": ["string", "null"], "format": "date"},
+        }
+    }
+    out = cell_violations(df, schema, ["SampleID"]).collect()
+    got = {(r.SampleID, r.column, r.reason) for r in out}
+    assert ("S2", "Height", "below_minimum") in got
+    assert ("S3", "Height", "bad_type_numeric") in got
+    assert ("S3", "VisitDate", "bad_format_date") in got
+    assert not any(r.SampleID == "S4" for r in out)
+    assert not any(r.SampleID == "S1" for r in out)
+
+
+def test_report(spark, tmp_path, resolver):
+    from phenoqc_spark import pages as PG
+    from phenoqc_spark.operators import resume as R
+    from phenoqc_spark.operators import triples as T
+    from phenoqc_spark.pipeline import extract_records, run_pipeline
+    from phenoqc_spark.report import generate_report
+
+    pages = PG.generate_pages(spark, 120, partitions=2)
+    out = run_pipeline(spark, pages, resolver)
+    trip = out["triples"].withColumn("part_key", F.lit(0))
+    trip.write.mode("overwrite").parquet(str(tmp_path / "triples"))
+    metrics = spark.createDataFrame(
+        [(0, 120, trip.count(), 5, 2)],
+        "part_key int, n_pages long, n_triples long, missing_cells long, schema_violations long",
+    )
+    R.append_audit(spark, str(tmp_path / "audit"), "r1", metrics)
+    md = generate_report(
+        spark, str(tmp_path / "triples"), str(tmp_path / "audit"), str(tmp_path / "report.md")
+    )
+    assert "# QC Report" in md and "pages processed" in md
+    assert os.path.exists(str(tmp_path / "report.md"))
