@@ -500,9 +500,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dd_exact_groups"] = dd_exact_groups
 
     def dd_ngram_jaccard(spark, sf_dir):
-        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+        # synthesize near-duplicates among doc_id<60 (natural trigram
+        # jaccard in this corpus maxes at 0.02 — a 0-row check is weak)
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+        docs = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(F.lit("alpha beta gamma delta epsilon zeta eta theta bucket "), (F.col("doc_id") % 3).cast("string")),
+            )
+            .when(
+                F.col("doc_id") % 10 == 1,
+                F.concat(F.lit("alpha beta gamma delta epsilon zeta eta theta variant "), (F.col("doc_id") % 3).cast("string")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
         return (
-            D.ngram_jaccard_pairs(docs, n=3, threshold=0.30)
+            D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
             .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
             .orderBy("doc_a", "doc_b")
         )
@@ -828,9 +843,15 @@ FROM d GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY content_hash
 """
 
     o["dd_ngram_jaccard"] = """
-WITH w AS (
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN 'alpha beta gamma delta epsilon zeta eta theta bucket ' || CAST(doc_id % 3 AS VARCHAR)
+              WHEN doc_id % 10 = 1 THEN 'alpha beta gamma delta epsilon zeta eta theta variant ' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents WHERE doc_id < 60
+), w AS (
   SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws
-  FROM documents WHERE doc_id < 50
+  FROM d
 ), s AS (
   SELECT doc_id,
          list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) AS g
@@ -841,7 +862,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.30
+      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
 ORDER BY doc_a, doc_b
 """
 

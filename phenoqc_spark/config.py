@@ -13,14 +13,14 @@ import os
 
 def load_config(path: str) -> dict:
     ext = os.path.splitext(path)[1].lower()
+    if ext not in (".yaml", ".yml", ".json"):
+        raise ValueError(f"Unsupported config format: {ext} (use .yaml/.yml/.json)")
     with open(path, "r", encoding="utf-8") as fh:
         if ext in (".yaml", ".yml"):
             import yaml
 
             return yaml.safe_load(fh) or {}
-        if ext == ".json":
-            return json.load(fh)
-        raise ValueError(f"Unsupported config format: {ext} (use .yaml/.yml/.json)")
+        return json.load(fh)
 
 
 def save_config(config: dict, path: str) -> None:
