@@ -84,6 +84,23 @@ def terms_long(
     return out
 
 
+def salted_distinct(df: DataFrame, column: str, buckets: int = 64) -> DataFrame:
+    """Two-phase distinct for skew-heavy keys (SURVEY.md §4.2.1).
+
+    Spark's HashAggregate already collapses duplicates map-side, which
+    handles hub-key skew for `distinct()` in most plans; this explicit
+    two-phase variant additionally guarantees that no single *reducer*
+    partition owns a hub key's residue: phase 1 dedups on
+    (salt = xxhash64(key) % buckets, key), phase 2 dedups the salted
+    survivors.  Use when a downstream stage must repartition by the key
+    and the key distribution is pathological.
+    """
+    salted = df.select(
+        F.pmod(F.xxhash64(F.col(column)), F.lit(buckets)).alias("_salt"), F.col(column)
+    ).dropDuplicates(["_salt", column])
+    return salted.select(column).dropDuplicates([column])
+
+
 def resolve_vocab(terms: DataFrame, resolver_bc) -> DataFrame:
     """Distinct normalized terms → (term_norm, ontology, term_id, tier, score).
 

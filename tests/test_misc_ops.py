@@ -72,3 +72,12 @@ def test_report(spark, tmp_path, resolver):
     )
     assert "# QC Report" in md and "pages processed" in md
     assert os.path.exists(str(tmp_path / "report.md"))
+
+
+def test_salted_distinct(spark):
+    from phenoqc_spark.operators.triples import salted_distinct
+
+    rows = [("hub",)] * 500 + [(f"t{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "term_norm string").repartition(8)
+    out = sorted(r.term_norm for r in salted_distinct(df, "term_norm").collect())
+    assert len(out) == 21 and "hub" in out
