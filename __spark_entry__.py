@@ -443,6 +443,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_window_running"] = agg_window_running
 
+    def agg_time_window(spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        return (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+            .orderBy("window_start", "event_type")
+        )
+
+    q["agg_time_window"] = agg_time_window
+
+    def v_cell_violations(spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders").withColumn(
+            "d",
+            F.when(F.col("o_orderkey") % 20 == 0, F.lit("NOT_A_DATE")).otherwise(
+                F.col("o_orderdate").cast("string")
+            ),
+        )
+        schema = {
+            "properties": {
+                "o_totalprice": {"type": ["number", "null"], "minimum": 1000, "maximum": 400000},
+                "d": {"type": ["string", "null"], "format": "date"},
+            }
+        }
+        return V.cell_violations(orders, schema, ["o_orderkey"]).orderBy(
+            "o_orderkey", "column", "reason"
+        )
+
+    q["v_cell_violations"] = v_cell_violations
+
     def q1_pricing(spark, sf_dir):
         li = load_table(spark, sf_dir, "lineitem")
         dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -805,6 +835,26 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
 SELECT event_id, user_id,
        ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS running_value
 FROM events WHERE user_id < 10 ORDER BY event_id
+"""
+
+    o["agg_time_window"] = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+    o["v_cell_violations"] = """
+WITH d AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey % 20 = 0 THEN 'NOT_A_DATE' ELSE CAST(o_orderdate AS VARCHAR) END AS dd
+  FROM orders
+)
+SELECT o_orderkey, 'o_totalprice' AS "column", 'below_minimum' AS reason FROM d WHERE o_totalprice < 1000
+UNION ALL
+SELECT o_orderkey, 'o_totalprice', 'above_maximum' FROM d WHERE o_totalprice > 400000
+UNION ALL
+SELECT o_orderkey, 'd', 'bad_format_date' FROM d WHERE NOT regexp_matches(dd, '^\\d{4}-\\d{2}-\\d{2}$')
+ORDER BY o_orderkey, "column", reason
 """
 
     o["q1_pricing"] = """
