@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--buckets", type=int, default=64)
     args = ap.parse_args()
+    if not args.pages and not args.generate_rows:
+        ap.error("one of --pages or --generate-rows is required")
 
     from phenoqc_spark.fixtures import fixture_config
     from phenoqc_spark.ontology import TermResolver
