@@ -1,0 +1,99 @@
+"""Per-stage task-time skew evidence (BASELINE.md protocol: report
+max/median task time to show hub-term handling works).
+
+Runs the KG pipeline with the Spark event log enabled, then parses
+SparkListenerTaskEnd events into per-stage (tasks, median, max, max/median)
+rows → BENCH/SKEW.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROWS = int(os.environ.get("SKEW_PAGES_ROWS", "1000000"))
+
+
+def main() -> None:
+    log_dir = tempfile.mkdtemp(prefix="spark-events-")
+    from phenoqc_spark.session import get_spark
+
+    spark = get_spark(
+        "skew",
+        master="local[16]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "32",
+            "spark.ui.enabled": "false",
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": log_dir,
+            "spark.eventLog.compress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as E
+    from phenoqc_spark import pages as PG
+    from phenoqc_spark.pipeline import run_pipeline
+
+    r = E._resolver()
+    run_pipeline(spark, PG.generate_pages(spark, 20000, partitions=32), r)["triples"].count()
+    app_id = spark.sparkContext.applicationId
+    n = run_pipeline(spark, PG.generate_pages(spark, ROWS, partitions=64), r)["triples"].count()
+    spark.stop()
+
+    # parse the event log (v1 single file, or v2 rolling dir with events_*)
+    import glob
+
+    stage_tasks: dict = {}
+    stage_names: dict = {}
+    candidates = [os.path.join(log_dir, app_id)]
+    candidates += glob.glob(os.path.join(log_dir, f"eventlog_v2_{app_id}", "events_*"))
+    paths = [p for p in candidates if os.path.isfile(p)]
+    lines = []
+    for p in paths:
+        with open(p, "r", errors="replace") as fh:
+            lines.extend(fh.readlines())
+    if True:
+        for line in lines:
+            try:
+                ev = json.loads(line)
+            except Exception:
+                continue
+            if ev.get("Event") == "SparkListenerTaskEnd":
+                sid = ev["Stage ID"]
+                ti = ev.get("Task Info", {})
+                dur = ti.get("Finish Time", 0) - ti.get("Launch Time", 0)
+                if dur > 0:
+                    stage_tasks.setdefault(sid, []).append(dur)
+            elif ev.get("Event") == "SparkListenerStageCompleted":
+                si = ev.get("Stage Info", {})
+                stage_names[si.get("Stage ID")] = si.get("Stage Name", "")[:70]
+
+    rows = []
+    for sid, durs in sorted(stage_tasks.items()):
+        med = statistics.median(durs)
+        mx = max(durs)
+        rows.append((sid, len(durs), round(med), mx, round(mx / med, 2) if med else 0,
+                     stage_names.get(sid, "")))
+    rows.sort(key=lambda x: -(x[2] * x[1]))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/SKEW.md", "w") as fh:
+        fh.write(
+            f"# Per-stage task-time skew (KG pipeline, {ROWS:,} pages, local[16])\n\n"
+            f"{n:,} triples. Skew = max/median task time per stage; values near 1\n"
+            "mean hub-term handling keeps partitions balanced (the linking pass has\n"
+            "no key-partitioned shuffle at all — only the final triple set-dedup\n"
+            "shuffles, on the high-cardinality (subj,pred,obj) key).\n\n"
+            "| stage | tasks | median ms | max ms | max/median | name |\n|---|---|---|---|---|---|\n"
+        )
+        for sid, cnt, med, mx, skew, name in rows[:12]:
+            fh.write(f"| {sid} | {cnt} | {med} | {mx} | {skew} | {name} |\n")
+    print(json.dumps({"stages": len(rows), "top": rows[:5]}))
+
+
+if __name__ == "__main__":
+    main()
