@@ -210,6 +210,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_triples_full"] = kg_triples_full
 
+    def kg_triples_array(spark, sf_dir):
+        # array-column (ObservedFeatures) explode path, exact-tier pools
+        docs = load_table(spark, sf_dir, "documents")
+        obs_pool = [
+            [],
+            ["Hypertension"],
+            ["Asthma", "Sugar diabetes"],
+            ["HP:0000822", "Anemia"],
+        ]
+        arr = F.array(*[
+            F.array(*[F.lit(t) for t in items]) for items in obs_pool
+        ])
+        recs = docs.select(
+            F.format_string("https://example.org/doc/%08d", "doc_id").alias("url"),
+            F.col("doc_id").cast("string").alias("SampleID"),
+            F.element_at(arr, (F.col("doc_id") % 4 + 1).cast("int")).alias("ObservedFeatures"),
+        )
+        bc = spark.sparkContext.broadcast(_resolver())
+        terms = T.terms_long(recs, [], ["ObservedFeatures"])
+        links = T.resolve_vocab(terms, bc)
+        return (
+            T.triples(T.link_terms(terms, links))
+            .select("subj", "pred", "obj")
+            .orderBy("subj", "pred", "obj")
+        )
+
+    q["kg_triples_array"] = kg_triples_array
+
     def kg_mapping_stats(spark, sf_dir):
         bc = spark.sparkContext.broadcast(_resolver())
         terms = T.terms_long(_kg_records(spark, sf_dir), ["PrimaryPhenotype", "DiseaseCode"], [])
@@ -666,6 +694,20 @@ SELECT DISTINCT
 FROM d JOIN m
   ON (m.col = 'PrimaryPhenotype' AND m.idx = d.pidx)
   OR (m.col = 'DiseaseCode' AND m.idx = d.didx)
+ORDER BY subj, pred, obj
+"""
+
+    o["kg_triples_array"] = """
+WITH m(idx, onto, tid) AS (VALUES
+  (1, 'HPO', 'HP:0000822'), (1, 'DO', 'DOID:0050167'),
+  (2, 'HPO', 'HP:0002090'), (2, 'DO', 'DOID:9352'),
+  (2, 'HPO', 'HP:0001627'), (2, 'DO', 'DOID:1612'),
+  (3, 'HPO', 'HP:0000822'), (3, 'DO', 'DOID:1388')),
+d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS idx FROM documents)
+SELECT DISTINCT
+  printf('https://example.org/doc/%08d', doc_id) || '#' || CAST(doc_id AS VARCHAR) AS subj,
+  'ObservedFeatures->' || onto AS pred, tid AS obj
+FROM d JOIN m ON m.idx = d.idx
 ORDER BY subj, pred, obj
 """
 
