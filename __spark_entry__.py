@@ -641,6 +641,144 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ann_lsh"] = sim_ann_lsh
 
+    # ---- quality scores / set ops / formats / hashing / accuracy -------------
+    def agg_quality_scores(spark, sf_dir):
+        # A8: one distributed aggregate → the reference's three scores + overall
+        ev = _events_nulls(spark, sf_dir).select("event_id", "user_id", "value")
+        return Q.quality_scores_df(
+            ev, violation_expr=(F.col("value") < 10.0), mapping_rates=[100.0, 50.0]
+        )
+
+    q["agg_quality_scores"] = agg_quality_scores
+
+    def agg_sample_reservoir(spark, sf_dir):
+        # A11: bounded deterministic sample (seed 42) — cardinality contract
+        ev = load_table(spark, sf_dir, "events")
+        return Q.reservoir_sample(ev, n=1000, seed=42).agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled")
+        )
+
+    q["agg_sample_reservoir"] = agg_sample_reservoir
+
+    def u_issue_union(spark, sf_dir):
+        # U1/U3: concat issue frames + drop_duplicates (unionByName + dedup)
+        missing = (
+            V.required_missing(_events_nulls(spark, sf_dir).select("event_id", "value"), ["value"])
+            .select("event_id")
+            .withColumn("issue", F.lit("required_missing"))
+        )
+        anom = (
+            V.anomalies_zscore(_events_outliers(spark, sf_dir), ["value"])
+            .select("event_id")
+            .withColumn("issue", F.lit("anomaly_zscore"))
+        )
+        return missing.unionByName(anom).dropDuplicates().orderBy("event_id", "issue")
+
+    q["u_issue_union"] = u_issue_union
+
+    def v_format_multi(spark, sf_dir):
+        # V3: email / identifier / percentage format audits in one pass
+        k = F.col("o_orderkey")
+        df = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.when(k % 3 == 0, F.lit("user@example.com"))
+            .when(k % 3 == 1, F.concat(F.lit("bad-email-"), k.cast("string")))
+            .otherwise(F.lit("a@b.co"))
+            .alias("email"),
+            F.when(k % 4 == 0, F.lit("HP:0000118"))
+            .when(k % 4 == 1, F.lit("hp_0000118"))
+            .otherwise(F.lit("DOID:1612"))
+            .alias("ident"),
+            F.when(k % 5 == 0, F.lit("150%")).otherwise(F.lit("85%")).alias("pct"),
+        )
+        out = None
+        for col_name, fmt in [("email", "email"), ("ident", "identifier"), ("pct", "percentage")]:
+            part = df.filter(~V.format_valid(F.col(col_name), fmt)).select(
+                "o_orderkey", F.lit(col_name).alias("column"), F.lit(fmt).alias("fmt")
+            )
+            out = part if out is None else out.unionByName(part)
+        return out.orderBy("o_orderkey", "column")
+
+    q["v_format_multi"] = v_format_multi
+
+    def f_hash_lineage(spark, sf_dir):
+        # F7/F8: deterministic lineage hashes (md5 short-name + sha256), JVM-side
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            F.md5(F.col("text")).alias("md5_hash"),
+            F.sha2(F.col("text"), 256).alias("sha256_hash"),
+        ).orderBy("doc_id")
+
+    q["f_hash_lineage"] = f_hash_lineage
+
+    def kg_accuracy_gt(spark, sf_dir):
+        # J3: ground-truth accuracy merge (check_ontology_accuracy.py:45-60,106)
+        # — left-join emitted triples to a GT table (one entry deliberately
+        # wrong so accuracy < 100 is actually exercised)
+        trips = _kg_triples(spark, sf_dir)
+        gt_rows = [
+            (c, i, o_, "HP:9999999" if (c, i, o_) == ("PrimaryPhenotype", 2, "HPO") else t)
+            for (c, i, o_, t) in _KG_EXPECTED
+        ]
+        gt = spark.createDataFrame(gt_rows, "gcol string, idx int, onto string, gt_id string")
+        docs = load_table(spark, sf_dir, "documents")
+        d = docs.select(
+            F.concat(
+                F.format_string("https://example.org/doc/%08d", "doc_id"),
+                F.lit("#"),
+                F.col("doc_id").cast("string"),
+            ).alias("subj"),
+            (F.col("doc_id") % 7).cast("int").alias("pidx"),
+            ((F.col("doc_id") + 3) % 7).cast("int").alias("didx"),
+        )
+        per = d.join(
+            F.broadcast(gt),
+            ((gt.gcol == "PrimaryPhenotype") & (gt.idx == d.pidx))
+            | ((gt.gcol == "DiseaseCode") & (gt.idx == d.didx)),
+        ).select("subj", F.concat("gcol", F.lit("->"), "onto").alias("pred"), "gt_id")
+        joined = per.join(trips, ["subj", "pred"], "left")
+        return (
+            joined.groupBy("pred")
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(F.when(F.col("obj") == F.col("gt_id"), 1).otherwise(0)).alias("matches"),
+            )
+            .select(
+                "pred",
+                "total",
+                "matches",
+                F.round(F.lit(100.0) * F.col("matches") / F.col("total"), 2).alias("accuracy_pct"),
+            )
+            .orderBy("pred")
+        )
+
+    q["kg_accuracy_gt"] = kg_accuracy_gt
+
+    def kg_canonical_triples(spark, sf_dir):
+        # G1-G3: cross-ontology same-as edges → CC canonical mapping →
+        # broadcast rewrite of triple objects (canonical = primary member)
+        trips = _kg_triples(spark, sf_dir)
+        edges = spark.createDataFrame(
+            [
+                ("DOID:0050167", "HP:0000822"),
+                ("DOID:1612", "HP:0001627"),
+                ("DOID:9352", "HP:0002090"),
+            ],
+            "src string, dst string",
+        )
+        primaries = spark.createDataFrame(
+            [("HP:0000822",), ("HP:0001627",), ("HP:0002090",)], "id string"
+        )
+        mapping = C.canonical_mapping(edges, primaries)
+        return (
+            C.canonicalize_objects(trips, mapping)
+            .select("subj", "pred", "obj")
+            .orderBy("subj", "pred", "obj")
+        )
+
+    q["kg_canonical_triples"] = kg_canonical_triples
+
     # ---- text analytics -------------------------------------------------------
     def txt_tokens(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
@@ -1014,6 +1152,120 @@ FROM h ORDER BY doc_id
     o["txt_fingerprint"] = """
 SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents ORDER BY doc_id
+"""
+
+    o["agg_quality_scores"] = """
+WITH v AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS value
+  FROM events
+), a AS (
+  SELECT COUNT(*) AS total,
+         SUM(CASE WHEN value < 10.0 THEN 1 ELSE 0 END) AS viol,
+         SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS miss
+  FROM v
+)
+SELECT ROUND(100.0 * (total - viol) / total, 2) AS schema_score,
+       ROUND(100.0 * (1.0 - CAST(miss AS DOUBLE) / (total * 3)), 2) AS missing_score,
+       ROUND(75.0, 2) AS mapping_score,
+       ROUND((100.0 * (total - viol) / total
+            + 100.0 * (1.0 - CAST(miss AS DOUBLE) / (total * 3))
+            + 75.0) / 3.0, 2) AS overall_score
+FROM a
+"""
+
+    o["agg_sample_reservoir"] = """
+SELECT CAST(LEAST(1000, COUNT(*)) AS BIGINT) AS n_sampled FROM events
+"""
+
+    o["u_issue_union"] = """
+WITH v AS (
+  SELECT event_id,
+         CASE WHEN event_id % 1000 = 0 THEN value * 50 ELSE value END AS value
+  FROM events
+), s AS (SELECT AVG(value) AS mu, STDDEV_SAMP(value) AS sd FROM v)
+SELECT DISTINCT * FROM (
+  SELECT event_id, 'required_missing' AS issue FROM events WHERE event_id % 10 = 0
+  UNION ALL
+  SELECT event_id, 'anomaly_zscore' FROM v, s
+  WHERE sd IS NOT NULL AND sd <> 0 AND ABS((value - mu) / sd) > 3
+) ORDER BY event_id, issue
+"""
+
+    o["v_format_multi"] = """
+WITH d AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'user@example.com'
+              WHEN o_orderkey % 3 = 1 THEN 'bad-email-' || CAST(o_orderkey AS VARCHAR)
+              ELSE 'a@b.co' END AS email,
+         CASE WHEN o_orderkey % 4 = 0 THEN 'HP:0000118'
+              WHEN o_orderkey % 4 = 1 THEN 'hp_0000118'
+              ELSE 'DOID:1612' END AS ident,
+         CASE WHEN o_orderkey % 5 = 0 THEN '150%' ELSE '85%' END AS pct
+  FROM orders
+)
+SELECT o_orderkey, 'email' AS "column", 'email' AS fmt FROM d
+WHERE NOT regexp_matches(email, '^[^@]+@[^@]+\\.[^@]+$')
+UNION ALL
+SELECT o_orderkey, 'ident', 'identifier' FROM d
+WHERE NOT regexp_matches(ident, '^[A-Z]+:\\d+$')
+UNION ALL
+SELECT o_orderkey, 'pct', 'percentage' FROM d
+WHERE TRY_CAST(regexp_replace(pct, '%$', '') AS DOUBLE) NOT BETWEEN 0 AND 100
+ORDER BY o_orderkey, "column"
+"""
+
+    o["f_hash_lineage"] = """
+SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash
+FROM documents ORDER BY doc_id
+"""
+
+    o["kg_accuracy_gt"] = f"""
+WITH m(gcol, idx, onto, tid) AS (VALUES
+        {_KG_ORACLE_VALUES}),
+g AS (
+  SELECT gcol, idx, onto, tid,
+         CASE WHEN gcol = 'PrimaryPhenotype' AND idx = 2 AND onto = 'HPO'
+              THEN 'HP:9999999' ELSE tid END AS gt_id
+  FROM m
+),
+d AS (
+  SELECT doc_id, CAST(doc_id % 7 AS INT) AS pidx,
+         CAST((doc_id + 3) % 7 AS INT) AS didx
+  FROM documents
+),
+per AS (
+  SELECT d.doc_id, g.gcol || '->' || g.onto AS pred, g.gt_id, g.tid
+  FROM d JOIN g
+    ON (g.gcol = 'PrimaryPhenotype' AND g.idx = d.pidx)
+    OR (g.gcol = 'DiseaseCode' AND g.idx = d.didx)
+)
+SELECT pred, CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(SUM(CASE WHEN tid = gt_id THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+       ROUND(100.0 * SUM(CASE WHEN tid = gt_id THEN 1 ELSE 0 END) / COUNT(*), 2) AS accuracy_pct
+FROM per GROUP BY pred ORDER BY pred
+"""
+
+    o["kg_canonical_triples"] = f"""
+WITH m(gcol, idx, onto, tid) AS (VALUES
+        {_KG_ORACLE_VALUES}),
+d AS (
+  SELECT doc_id,
+         CAST(doc_id % 7 AS INT) AS pidx,
+         CAST((doc_id + 3) % 7 AS INT) AS didx
+  FROM documents
+)
+SELECT DISTINCT
+  printf('https://example.org/doc/%08d', doc_id) || '#' || CAST(doc_id AS VARCHAR) AS subj,
+  gcol || '->' || onto AS pred,
+  CASE tid WHEN 'DOID:0050167' THEN 'HP:0000822'
+           WHEN 'DOID:1612' THEN 'HP:0001627'
+           WHEN 'DOID:9352' THEN 'HP:0002090'
+           ELSE tid END AS obj
+FROM d JOIN m
+  ON (m.gcol = 'PrimaryPhenotype' AND m.idx = d.pidx)
+  OR (m.gcol = 'DiseaseCode' AND m.idx = d.didx)
+ORDER BY subj, pred, obj
 """
 
     o["txt_quality"] = """

@@ -185,6 +185,49 @@ def reservoir_sample(df: DataFrame, n: int = 10000, seed: int = 42) -> DataFrame
     )
 
 
+def quality_scores_df(
+    df: DataFrame,
+    violation_expr,
+    mapping_rates: List[float],
+    columns: Optional[List[str]] = None,
+) -> DataFrame:
+    """Distributed A8 quality scores (reference: batch_processing.py:792-825)
+    as ONE partial+final aggregate over the data — no collect.
+
+    ``violation_expr`` is the row-level schema-violation predicate (NULL →
+    not a violation, matching V1's flag semantics); missing cells are
+    counted over ``columns`` (default: all).  Mapping rates are the
+    per-ontology success percentages (already aggregated — dictionary-sized,
+    so a literal).  Returns one row: (schema_score, missing_score,
+    mapping_score, overall_score), each rounded to 2 as in the reference.
+    """
+    cols = columns or df.columns
+    miss_row = None
+    for c in cols:
+        t = F.col(c).isNull().cast("long")
+        miss_row = t if miss_row is None else miss_row + t
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_total"),
+        F.sum(F.when(violation_expr, 1).otherwise(0)).alias("_viol"),
+        F.sum(miss_row).alias("_miss"),
+    )
+    mapping = (
+        sum(mapping_rates) / len(mapping_rates) if mapping_rates else 100.0
+    )
+    schema_s = F.lit(100.0) * (F.col("_total") - F.col("_viol")) / F.col("_total")
+    missing_s = F.lit(100.0) * (
+        F.lit(1.0) - F.col("_miss") / (F.col("_total") * F.lit(len(cols)))
+    )
+    return agg.select(
+        F.round(schema_s, 2).alias("schema_score"),
+        F.round(missing_s, 2).alias("missing_score"),
+        F.round(F.lit(float(mapping)), 2).alias("mapping_score"),
+        F.round((schema_s + missing_s + F.lit(float(mapping))) / 3.0, 2).alias(
+            "overall_score"
+        ),
+    )
+
+
 def quality_scores(
     total_rows: int,
     schema_violations: int,
