@@ -76,6 +76,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-Jaccard ≥ threshold.
 
@@ -83,8 +84,16 @@ def ngram_jaccard_pairs(
     shingle key), so complexity is Σ bucket², never |docs|².  Hub shingles
     (stop-word bigrams) are the skew risk — callers can pre-filter by
     document frequency; AQE skew-join splitting handles the rest.
+
+    ``persist`` caches the shingle projection, which three downstream
+    branches (sizes, left join side, right join side) would otherwise each
+    recompute from the raw text.  At the 100 TB tier, replace the in-memory
+    persist by materializing shingles to a staging table once and joining
+    against that (same plan shape, executor-disk instead of cache).
     """
     sh = word_shingles(df, n, text_col, id_col)
+    if persist:
+        sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("l")
@@ -125,7 +134,10 @@ def minhash_signatures(
     Permutation i is simulated with ``xxhash64(shingle, i)``; the signature
     is a per-doc min-aggregate. All JVM-side (no UDF).
     """
-    sh = word_shingles(df, n, text_col, id_col)
+    return _signatures_from_shingles(word_shingles(df, n, text_col, id_col), num_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -144,16 +156,26 @@ def minhash_lsh_pairs(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist: bool = True,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified by exact shingle Jaccard.
 
     rows/band = num_hashes/bands; a pair collides in ≥1 band with
     probability 1-(1-j^r)^b.  Candidates (bucket-join, skew-safe via AQE)
     are then verified exactly — output is (doc_a, doc_b, jaccard ≥ t).
+
+    ``persist`` caches the shingle projection shared by the signature pass
+    and the exact-verify pass (it would otherwise be recomputed from raw
+    text four times: signatures, sizes, and both sides of the shared-shingle
+    join).  At the 100 TB tier, materialize shingles to a staging table
+    instead — same plan, executor-disk instead of cache memory.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    sh0 = word_shingles(df, n, text_col, id_col)
+    if persist:
+        sh0 = sh0.persist()
+    sig = _signatures_from_shingles(sh0, num_hashes)
     band_rows = sig.select(
         "doc_id",
         F.explode(
@@ -183,7 +205,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verify on candidates only: count shared shingles per pair
-    sh = word_shingles(df, n, text_col, id_col)
+    sh = sh0
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     shared = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
