@@ -432,6 +432,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_impute_knn"] = agg_impute_knn
 
+    def agg_impute_mice(spark, sf_dir):
+        # I3: chained-equation imputation, mapInPandas partition-local
+        # (chunk-local statistics = reference parity) — non-SQL, rows-only
+        ev = _events_nulls(spark, sf_dir).select("event_id", "user_id", "value").coalesce(1)
+        return (
+            I.impute(ev, "mice", params={"max_iter": 5})
+            .select("event_id", F.round("value", 4).alias("value_filled"))
+            .orderBy("event_id")
+        )
+
+    q["agg_impute_mice"] = agg_impute_mice
+
+    def agg_impute_svd(spark, sf_dir):
+        # I4: iterative-SVD imputation (rank=min(n,m)-1, mean fallback) —
+        # non-SQL, rows-only
+        ev = _events_nulls(spark, sf_dir).select("event_id", "user_id", "value").coalesce(1)
+        return (
+            I.impute(ev, "svd", params={"rank": 1})
+            .select("event_id", F.round("value", 4).alias("value_filled"))
+            .orderBy("event_id")
+        )
+
+    q["agg_impute_svd"] = agg_impute_svd
+
     def agg_redundancy(spark, sf_dir):
         li = load_table(spark, sf_dir, "lineitem").select(
             F.col("l_quantity").alias("a"),
