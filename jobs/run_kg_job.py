@@ -73,9 +73,9 @@ def main() -> None:
         done = R.completed_part_keys(spark, audit_path)
         keyed = R.filter_resumable(keyed, done)
 
-    records = extract_records(keyed).join(
-        keyed.select("url", "part_key"), "url"
-    )
+    # part_key rides the projection — never a fact-side re-join (the join
+    # on url would shuffle the whole fact table just to recover one column)
+    records = extract_records(keyed, keep=["part_key"])
     terms = T.terms_long(records)
     links = T.resolve_vocab(terms, resolver_bc)
     trip = T.triples(T.link_terms(terms, links))

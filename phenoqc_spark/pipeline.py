@@ -47,16 +47,21 @@ STRING_FIELDS = [
 ]
 
 
-def extract_records(pages: DataFrame, lang: str = "en") -> DataFrame:
+def extract_records(
+    pages: DataFrame, lang: str = "en", keep: list[str] | None = None
+) -> DataFrame:
     """pages → typed record DataFrame (url, warc_ts, SampleID, …).
 
     ``extract_text`` is the only Python step; parsing and casting stay in
-    whole-stage codegen.
+    whole-stage codegen.  ``keep`` carries extra input columns (e.g. a
+    resume ``part_key``) through the projection so callers never need a
+    fact-side re-join to recover them.
     """
     df = pages.filter(F.col("lang") == lang)
     df = df.withColumn("extracted_text", extract_text(F.col("html")))
     df = parse_records(df, "extracted_text")
     cols = [F.col("url"), F.col("warc_ts"), F.col("extracted_text")]
+    cols += [F.col(c) for c in (keep or [])]
     for name in STRING_FIELDS:
         cols.append(record_field(name).alias(name))
     for name in NUMERIC_FIELDS:

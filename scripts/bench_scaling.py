@@ -25,6 +25,11 @@ from phenoqc_spark.session import get_spark
 spark = get_spark("scaling", master=f"local[{cpus}]", extra_conf={
     "spark.sql.shuffle.partitions": str(int(cpus) * 2),
     "spark.ui.enabled": "false",
+    # Memory scales with the level, as it does on a real cluster: N -> 4N
+    # executors brings 4x memory, so per-core execution memory is constant
+    # (2 GiB/core here).  A fixed heap would starve only the wide level
+    # (same pool split across 4x concurrent tasks -> spill skews the ratio).
+    "spark.driver.memory": f"{2 * int(cpus)}g",
 })
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as E

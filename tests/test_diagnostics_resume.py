@@ -78,7 +78,7 @@ def test_kill_and_resume(spark, resolver, tmp_path):
     bc = spark.sparkContext.broadcast(resolver)
 
     def run(filtered, run_id):
-        records = extract_records(filtered).join(filtered.select("url", "part_key"), "url")
+        records = extract_records(filtered, keep=["part_key"])
         terms = T.terms_long(records)
         links = T.resolve_vocab(terms, bc)
         trip = T.triples(T.link_terms(terms, links))
@@ -98,7 +98,7 @@ def test_kill_and_resume(spark, resolver, tmp_path):
     run(remaining, "attempt2")
 
     # full rerun from scratch must equal resumed result (idempotence)
-    expected_records = extract_records(keyed).join(keyed.select("url", "part_key"), "url")
+    expected_records = extract_records(keyed, keep=["part_key"])
     terms = T.terms_long(expected_records)
     links = T.resolve_vocab(terms, bc)
     expected = T.triples(T.link_terms(terms, links)).select("subj", "pred", "obj")
