@@ -24,12 +24,18 @@ def detect_redundancy(
     df: DataFrame,
     threshold: float = 0.98,
     numeric_cols: Optional[List[str]] = None,
+    method: str = "pearson",
 ) -> DataFrame:
     """Highly-correlated or identical column pairs (reference:
     quality_metrics.py:72-144) → (column_1, column_2, metric, value).
 
-    - Pearson correlations: one pass of ``corr`` aggregates (ncols² scalar
+    - Correlations: one pass of ``corr`` aggregates (ncols² scalar
       results — tiny), computed distributed, compared on the driver.
+      ``method='spearman'`` rank-transforms each numeric column first
+      (average ranks for ties, as pandas does) and runs the same Pearson
+      aggregate on the ranks.  The rank transform is a global window —
+      exact parity with the reference; at the 100 TB tier substitute
+      approx-quantile bucket ranks (same downstream plan).
     - Identical columns: one SHA-256 per column over the ordered value
       stream via ``sha2(concat_ws(...))`` of per-row hashes aggregated in
       order; identical supersedes correlation (reference behavior).
@@ -43,6 +49,20 @@ def detect_redundancy(
         ]
     records = []
     seen = set()
+    corr_src = df
+    if method == "spearman" and numeric_cols:
+        # average rank among non-nulls: rank() gives the tie group's min
+        # rank; avg = min + (group size - 1)/2.  Nulls keep rank null so
+        # corr stays pairwise-complete like pandas.
+        for c in numeric_cols:
+            w = Window.orderBy(F.col(c).asc_nulls_last())
+            g = Window.partitionBy(F.col(c))
+            rank_avg = (
+                F.rank().over(w) + (F.count(F.lit(1)).over(g) - F.lit(1)) / 2.0
+            )
+            corr_src = corr_src.withColumn(
+                c, F.when(F.col(c).isNull(), None).otherwise(rank_avg)
+            )
     if len(numeric_cols) >= 2:
         aggs = []
         pairs = []
@@ -50,7 +70,7 @@ def detect_redundancy(
             for c2 in numeric_cols[i + 1 :]:
                 aggs.append(F.corr(c1, c2).alias(f"_corr_{len(pairs)}"))
                 pairs.append((c1, c2))
-        row = df.agg(*aggs).collect()[0]
+        row = corr_src.agg(*aggs).collect()[0]
         for idx, (c1, c2) in enumerate(pairs):
             val = row[f"_corr_{idx}"]
             if val is not None and abs(val) >= threshold:

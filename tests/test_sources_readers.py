@@ -1,0 +1,93 @@
+"""S1-S4 reader semantics (reference: src/phenoqc/input.py:4-103) and the
+Spearman tier of A10 redundancy (reference: quality_metrics.py:72-144)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def test_read_csv_na_tokens(spark, tmp_path):
+    from phenoqc_spark.sources import read_csv
+
+    p = tmp_path / "d.csv"
+    p.write_text("SampleID,Phenotype,Age\n1,Asthma,30\n2,NA,41\n3,N/A,\n4, ,22\n")
+    df = read_csv(spark, str(p))
+    rows = {r["SampleID"]: r for r in df.collect()}
+    # reference na_values: "", " ", "NA", "N/A" all become null
+    assert rows[2]["Phenotype"] is None
+    assert rows[3]["Phenotype"] is None
+    assert rows[4]["Phenotype"] is None
+    assert rows[1]["Phenotype"] == "Asthma"
+    assert rows[3]["Age"] is None
+
+
+def test_read_tsv(spark, tmp_path):
+    from phenoqc_spark.sources import read_tsv
+
+    p = tmp_path / "d.tsv"
+    p.write_text("a\tb\nx\tNA\ny\t2\n")
+    rows = {r["a"]: r["b"] for r in read_tsv(spark, str(p)).collect()}
+    assert rows["x"] is None and rows["y"] == "2"
+
+
+def test_read_json_flattens_nested(spark, tmp_path):
+    from phenoqc_spark.sources import read_json
+
+    p = tmp_path / "d.json"
+    p.write_text(json.dumps([
+        {"id": 1, "meta": {"lang": "en", "geo": {"cc": "US"}}, "tags": ["a", "b"]},
+        {"id": 2, "meta": {"lang": "de", "geo": {"cc": "DE"}}, "tags": []},
+    ]))
+    df = read_json(spark, str(p))
+    # pd.json_normalize twin: dotted columns, arrays intact
+    assert set(df.columns) == {"id", "meta.lang", "meta.geo.cc", "tags"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["meta.geo.cc"] == "US"
+    assert rows[2]["meta.lang"] == "de"
+    assert rows[1]["tags"] == ["a", "b"]
+
+
+def test_load_data_dispatch(spark, tmp_path):
+    from phenoqc_spark.sources import load_data
+
+    p = tmp_path / "d.csv"
+    p.write_text("a,b\n1,2\n")
+    assert load_data(spark, str(p)).count() == 1
+    try:
+        load_data(spark, str(tmp_path / "d.xlsx"))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_redundancy_spearman_monotonic_pair(spark):
+    """x and exp(x) are perfectly rank-correlated but not linearly:
+    spearman flags the pair at 0.98, pearson does not."""
+    from phenoqc_spark.operators.quality import detect_redundancy
+
+    rows = [(float(i), float(2.718281828 ** (i / 10.0)), float((i * 37) % 11)) for i in range(60)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    sp = detect_redundancy(df, threshold=0.98, method="spearman")
+    got = {(r["column_1"], r["column_2"]): r["metric"] for r in sp.collect()}
+    assert got.get(("x", "y")) == "correlation"
+    assert ("x", "z") not in got
+    pe = detect_redundancy(df, threshold=0.98, method="pearson")
+    pe_pairs = {(r["column_1"], r["column_2"]) for r in pe.collect() if r["metric"] == "correlation"}
+    assert ("x", "y") not in pe_pairs
+
+
+def test_redundancy_spearman_ties_match_pandas(spark):
+    """Average-rank tie handling must match pandas' spearman exactly."""
+    import pandas as pd
+
+    from phenoqc_spark.operators.quality import detect_redundancy
+
+    pdf = pd.DataFrame(
+        {"a": [1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 5.0], "b": [2.0, 3.0, 3.5, 4.0, 6.0, 6.0, 9.0]}
+    )
+    expected = pdf.corr(method="spearman").loc["a", "b"]
+    got = detect_redundancy(
+        spark.createDataFrame(pdf), threshold=0.5, method="spearman"
+    ).collect()
+    val = [r["value"] for r in got if r["metric"] == "correlation"]
+    assert val and abs(val[0] - abs(expected)) < 1e-9
