@@ -803,6 +803,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_canonical_triples"] = kg_canonical_triples
 
+    # ---- multimodal (binary columns + Arrow plumbing) -------------------------
+    def _media_from_docs(spark, sf_dir):
+        # documents → media table with SQL-replicable metadata (payload is
+        # the utf-8 text; kind/duration derived by modulo, not hash)
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            ((F.col("doc_id") * 37) % 5000 + 1000).cast("int").alias("duration_ms"),
+        )
+
+    def mm_frame_plan(spark, sf_dir):
+        # video frame-sampling plan: JVM sequence explode (decode stubbed)
+        from phenoqc_spark.operators import multimodal as M
+
+        return (
+            M.frame_sample_plan(_media_from_docs(spark, sf_dir), every_ms=1000)
+            .orderBy("media_id", "frame_ts_ms")
+        )
+
+    q["mm_frame_plan"] = mm_frame_plan
+
+    def mm_features(spark, sf_dir):
+        # Arrow-batched feature extraction over binary payloads —
+        # deterministic fake kernel (no codecs in container); rows-only
+        from phenoqc_spark.operators import multimodal as M
+
+        out = M.extract_features(_media_from_docs(spark, sf_dir), dim=16)
+        return out.select(
+            "media_id", "kind", F.round(F.element_at("feature", 1), 6).alias("f0")
+        ).orderBy("media_id")
+
+    q["mm_features"] = mm_features
+
     # ---- text analytics -------------------------------------------------------
     def txt_tokens(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
@@ -1290,6 +1331,18 @@ FROM d JOIN m
   ON (m.gcol = 'PrimaryPhenotype' AND m.idx = d.pidx)
   OR (m.gcol = 'DiseaseCode' AND m.idx = d.didx)
 ORDER BY subj, pred, obj
+"""
+
+    o["mm_frame_plan"] = """
+SELECT media_id, frame_ts_ms FROM (
+  SELECT doc_id AS media_id,
+         CAST((doc_id * 37) % 5000 + 1000 AS INT) AS duration_ms
+  FROM documents
+  WHERE doc_id % 3 = 2
+), LATERAL (
+  SELECT CAST(UNNEST(generate_series(0, duration_ms, 1000)) AS INT) AS frame_ts_ms
+)
+ORDER BY media_id, frame_ts_ms
 """
 
     o["txt_quality"] = """

@@ -20,6 +20,9 @@ DEFAULT_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
     "spark.sql.session.timeZone": "UTC",
+    # keep stdout machine-parseable (bench.py prints ONE JSON line; the
+    # console progress bar writes \r-mangled frames around it otherwise)
+    "spark.ui.showConsoleProgress": "false",
     # At 100 TB these become cluster-level settings; local defaults keep
     # partitions executor-memory-sized on local[32].
     "spark.sql.shuffle.partitions": "32",
