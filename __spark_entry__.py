@@ -665,6 +665,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ann_lsh"] = sim_ann_lsh
 
+    def sim_ann_ivf(spark, sf_dir):
+        # IVF ANN: sampled spherical-kmeans codebook (broadcast) → cell
+        # assignment (JVM argmax) → probe n cells → exact re-rank; rows-only
+        # (kmeans codebook not SQL-expressible)
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return S.cosine_topk_ivf(
+            emb, queries_df, k=10, n_centroids=8, n_probe=4
+        ).orderBy("query_id", "rank")
+
+    q["sim_ann_ivf"] = sim_ann_ivf
+
     # ---- quality scores / set ops / formats / hashing / accuracy -------------
     def agg_quality_scores(spark, sf_dir):
         # A8: one distributed aggregate → the reference's three scores + overall

@@ -178,6 +178,112 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    sample_n: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> List[List[float]]:
+    """Spherical k-means centroids from a deterministic driver-side sample.
+
+    IVF coarse quantizer: the codebook is tiny (n_centroids × dim floats)
+    and training needs only a bounded sample — the classic pattern at the
+    100 TB tier (train on ≤ millions, broadcast the codebook, assign the
+    corpus distributed).  Normalized vectors ⇒ cosine ≙ dot.
+    """
+    import numpy as np
+
+    pdf = (
+        df.select(F.col(vec_col).alias("v"))
+        .withColumn("_r", F.rand(seed))
+        .orderBy("_r")
+        .limit(sample_n)
+        .toPandas()
+    )
+    X = np.array(pdf["v"].tolist(), dtype=np.float64)
+    X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+    rng = np.random.RandomState(seed)
+    kk = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=kk, replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(kk):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C.tolist()
+
+
+def _centroid_dots(vec_col: str, centroids: List[List[float]]):
+    """array<double> of dot(vec, centroid_j) — JVM literals, codegen."""
+    dots = []
+    for c in centroids:
+        plane = F.array(*[F.lit(float(x)) for x in c])
+        dots.append(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / _norm_expr(vec_col)
+        )
+    return F.array(*dots)
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: Optional[List[List[float]]] = None,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus to its nearest centroid
+    (broadcast codebook, argmax of JVM dot products), probe the query's
+    ``n_probe`` nearest cells, exact-cosine re-rank within them.
+
+    Scale shape: the corpus is scanned once for assignment (map-only; at
+    scale the cell id is a partition column of the vector table so probes
+    become partition pruning), candidates per query are |probed cells|,
+    never the corpus.
+    """
+    C = centroids or ivf_centroids(corpus, n_centroids, seed=seed, vec_col=vec_col)
+    base = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    dots = _centroid_dots("v", C)
+    cass = base.withColumn(
+        "cid", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("q")
+    )
+    qd = q.select("query_id", "q", F.posexplode(_centroid_dots("q", C)).alias("cid", "cdot"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cdot"), F.asc("cid"))
+    probes = (
+        qd.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "q", "cid")
+    )
+    cand = cass.join(F.broadcast(probes), "cid").select("query_id", "vec_id", "v", "q")
+    cos = (_dot_expr("v", "q") / (_norm_expr("v") * _norm_expr("q"))).alias("cosine")
+    scored = cand.select("query_id", "vec_id", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,

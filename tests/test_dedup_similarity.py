@@ -75,6 +75,32 @@ def test_ann_lsh_self_retrieval(spark):
         assert top1[qid].vec_id == qid and abs(top1[qid].cosine - 1.0) < 1e-6
 
 
+def test_ann_ivf_self_retrieval_and_recall(spark):
+    import numpy as np
+
+    # 4 well-separated clusters so the coarse quantizer has real structure
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(4, 8)) * 5.0
+    vecs = [
+        (i, (centers[i % 4] + rng.normal(size=8) * 0.2).astype(float).tolist())
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    qdf = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.cosine_topk_ivf(emb, qdf, k=5, n_centroids=4, n_probe=1).collect()
+    top1 = {r.query_id: r for r in out if r.rank == 1}
+    for qid in range(4):
+        # own cluster probed -> self at rank 1
+        assert top1[qid].vec_id == qid and abs(top1[qid].cosine - 1.0) < 1e-6
+    # recall@5 vs brute force with 1 probe on clustered data
+    exact = S.cosine_topk_bruteforce(emb, qdf, k=5).collect()
+    ex = {(r.query_id, r.vec_id) for r in exact}
+    ap = {(r.query_id, r.vec_id) for r in out}
+    assert len(ex & ap) / len(ex) >= 0.8
+
+
 def test_embedding_near_dups(spark):
     base = [(0, [1.0, 2.0, 3.0, 4.0]), (1, [-4.0, 3.0, -2.0, 1.0])]
     dups = [(10, [2.0, 4.0, 6.0, 8.0])]  # same direction as 0
