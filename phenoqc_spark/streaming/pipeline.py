@@ -49,3 +49,33 @@ def stream_triples(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionized_page_counts(
+    pages_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "warc_ts",
+    key_col: str = "lang",
+) -> DataFrame:
+    """Stateful streaming aggregation: per-key session windows over event
+    time with a watermark for late data (``session_window`` — state is
+    bounded by the watermark; late pages beyond it are dropped).
+
+    The batch engine needs no state (SURVEY §2.11); this is the stateful
+    pattern a streaming deployment would use for crawl-session QC metrics
+    (pages/session, session span) feeding the audit table.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        pages_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            F.col(key_col),
+            "n_pages",
+        )
+    )

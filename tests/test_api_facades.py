@@ -85,6 +85,43 @@ def test_imputation_engine_tuning(spark):
     assert eng.tuning_summary and eng.tuning_summary["best"] is not None
 
 
+def test_streaming_session_window(spark, tmp_path):
+    """Stateful session-window aggregation with watermark over a file
+    stream (state bounded by the watermark)."""
+    import pyspark.sql.functions as F
+
+    from phenoqc_spark.streaming.pipeline import sessionized_page_counts
+
+    src = str(tmp_path / "pages_in")
+    # two sessions per lang: a burst at 00:00-00:20 (gap 10m) and one at 02:00
+    rows = []
+    for i in range(20):
+        rows.append((f"u{i}", f"2024-01-01 00:{i:02d}:00", "en"))
+    rows.append(("ux", "2024-01-01 02:00:00", "en"))
+    spark.createDataFrame(rows, "url string, ts_s string, lang string").withColumn(
+        "warc_ts", F.col("ts_s").cast("timestamp")
+    ).drop("ts_s").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sessionized_page_counts(stream, gap="10 minutes", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.session_start.isoformat(), r.n_pages)
+        for r in spark.sql("select * from sessions").collect()
+    }
+    # the 00:00-00:19 burst fuses into one 20-page session (gap 10m);
+    # the 02:00 singleton is its own session (emitted once watermark passes)
+    assert ("2024-01-01T00:00:00", 20) in got
+
+
 def test_streaming_watermark_window(spark, tmp_path):
     """Watermarked tumbling-window aggregation over a file stream —
     Structured Streaming coverage beyond foreachBatch."""
