@@ -817,6 +817,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_canonical_triples"] = kg_canonical_triples
 
+    # ---- training-data prep composition ---------------------------------------
+    def td_prep(spark, sf_dir):
+        # the end-to-end training-data shape: exact-dedup (keep min id) →
+        # quality gate → language filter → token counts; one lazy plan
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 < 2,
+                F.concat(F.lit("dup bucket "), (F.col("doc_id") % 5).cast("string")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        kept = D.dedup_exact(docs)
+        enriched = X.token_count(X.language_id(X.quality_score(kept)))
+        return (
+            enriched.filter(
+                (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.6)
+            )
+            .select("doc_id", "n_tokens", "quality_score")
+            .orderBy("doc_id")
+        )
+
+    q["td_prep"] = td_prep
+
     # ---- multimodal (binary columns + Arrow plumbing) -------------------------
     def _media_from_docs(spark, sf_dir):
         # documents → media table with SQL-replicable metadata (payload is
@@ -1345,6 +1370,55 @@ FROM d JOIN m
   ON (m.gcol = 'PrimaryPhenotype' AND m.idx = d.pidx)
   OR (m.gcol = 'DiseaseCode' AND m.idx = d.didx)
 ORDER BY subj, pred, obj
+"""
+
+    o["td_prep"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 2 THEN 'dup bucket ' || CAST(doc_id % 5 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+), kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM d
+  ) WHERE rn = 1
+), base AS (
+  SELECT doc_id, len(text) AS length,
+         len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         CASE WHEN len(trim(lower(text))) = 0 THEN []
+              ELSE string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') END AS ws
+  FROM kept
+), f AS (
+  SELECT doc_id, length, n_punct, len(ws) AS n_words,
+    len(list_filter(ws, x -> list_contains(['the','and','of','to','in','is','that','it','for','with'], x))) AS h_en,
+    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für','von'], x))) AS h_de,
+    len(list_filter(ws, x -> list_contains(['le','la','les','et','est','pas','une','pour','avec','dans'], x))) AS h_fr,
+    len(list_filter(ws, x -> list_contains(['el','la','los','y','es','no','una','para','con','por'], x))) AS h_es
+  FROM base
+), r AS (
+  SELECT doc_id, n_words, h_en, h_de, h_fr, h_es,
+         CASE WHEN length > 0 THEN CAST(n_punct AS DOUBLE) / length ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_words > 0 THEN CAST(h_en AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_words > 0 THEN CAST(length - (n_words - 1) AS DOUBLE) / n_words ELSE 0.0 END AS mean_wlen
+  FROM f
+), s AS (
+  SELECT doc_id, n_words,
+         ROUND((CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN mean_wlen BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN stop_ratio >= 0.01 THEN 0.2 ELSE 0.0 END), 2) AS quality_score,
+         CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+              WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es) THEN 'fr'
+              WHEN h_es = GREATEST(h_en, h_de, h_fr, h_es) THEN 'es'
+              WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es) THEN 'en'
+              ELSE 'de' END AS lang_pred
+  FROM r
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens, quality_score
+FROM s WHERE lang_pred = 'en' AND quality_score >= 0.6
+ORDER BY doc_id
 """
 
     o["mm_frame_plan"] = """
