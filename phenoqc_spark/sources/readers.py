@@ -89,6 +89,33 @@ def read_json(
     return flatten_structs(df) if flatten else df
 
 
+def extract_zip(zip_path: str, extract_to: Optional[str] = None):
+    """S5: ZIP extraction with the reference's member filtering
+    (reference: src/phenoqc/utils/zip_utils.py:4-27 — skips __MACOSX/,
+    ._* and .DS_Store entries).  Driver-side; returns
+    (extraction_dir, error_or_None) exactly like the reference."""
+    import tempfile
+    import zipfile
+
+    if extract_to is None:
+        extract_to = tempfile.mkdtemp(prefix="phenoqc_spark_zip_")
+    try:
+        with zipfile.ZipFile(zip_path, "r") as zf:
+            members = [
+                f
+                for f in zf.namelist()
+                if not f.startswith("__MACOSX/")
+                and not f.startswith("._")
+                and not f.endswith(".DS_Store")
+            ]
+            zf.extractall(path=extract_to, members=members)
+        return extract_to, None
+    except zipfile.BadZipFile:
+        return None, f"The file '{zip_path}' is not a valid ZIP archive."
+    except Exception as e:  # noqa: BLE001 — reference returns the message
+        return None, f"An error occurred during ZIP extraction of '{zip_path}': {e}"
+
+
 def load_data(spark: SparkSession, path: str, **kw) -> DataFrame:
     """S4 dispatch-by-extension (reference: input.py:81-103)."""
     ext = os.path.splitext(path)[1].lower()

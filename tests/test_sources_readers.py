@@ -60,6 +60,76 @@ def test_load_data_dispatch(spark, tmp_path):
         pass
 
 
+def test_extract_zip_filters_and_reads(spark, tmp_path):
+    import zipfile
+
+    from phenoqc_spark.sources import load_data
+    from phenoqc_spark.sources.readers import extract_zip
+
+    zp = tmp_path / "in.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("data/d.csv", "a,b\n1,NA\n2,x\n")
+        zf.writestr("__MACOSX/junk", "ignore")
+        zf.writestr("data/.DS_Store", "ignore")
+    out_dir, err = extract_zip(str(zp), str(tmp_path / "out"))
+    assert err is None
+    import os
+
+    assert not os.path.exists(os.path.join(out_dir, "__MACOSX"))
+    df = load_data(spark, os.path.join(out_dir, "data", "d.csv"))
+    rows = {r["a"]: r["b"] for r in df.collect()}
+    assert rows[1] is None and rows[2] == "x"
+    bad, err2 = extract_zip(str(tmp_path / "nope.zip"))
+    assert bad is None and err2
+
+
+def test_ontology_fetch_cache_retry_offline(tmp_path):
+    from phenoqc_spark.ontology.fetch import fetch_ontology_with_cache
+
+    calls = []
+
+    def flaky(url):
+        calls.append(url)
+        if len(calls) < 3:
+            raise OSError("transient")
+        return b"[Term]\nid: HP:1"
+
+    sleeps = []
+    # retry/backoff: succeeds on attempt 3 with 2^0, 2^1 sleeps
+    p = fetch_ontology_with_cache(
+        "HPO", "http://x/hp.obo", str(tmp_path), fetcher=flaky, sleep=sleeps.append
+    )
+    assert open(p, "rb").read() == b"[Term]\nid: HP:1"
+    assert len(calls) == 3 and sleeps == [1.0, 2.0]
+
+    # cache hit within TTL: no fetch
+    p2 = fetch_ontology_with_cache(
+        "HPO", "http://x/hp.obo", str(tmp_path), fetcher=flaky, sleep=sleeps.append
+    )
+    assert p2 == p and len(calls) == 3
+
+    # offline + missing cache: fail fast
+    try:
+        fetch_ontology_with_cache(
+            "DO", "http://x/do.obo", str(tmp_path), offline=True, fetcher=flaky
+        )
+        assert False, "expected FileNotFoundError"
+    except FileNotFoundError:
+        pass
+
+    # expired cache + offline: fail fast too
+    import os
+
+    os.utime(p, (1, 1))
+    try:
+        fetch_ontology_with_cache(
+            "HPO", "http://x/hp.obo", str(tmp_path), offline=True, fetcher=flaky
+        )
+        assert False, "expected FileNotFoundError"
+    except FileNotFoundError:
+        pass
+
+
 def test_redundancy_spearman_monotonic_pair(spark):
     """x and exp(x) are perfectly rank-correlated but not linearly:
     spearman flags the pair at 0.98, pearson does not."""
