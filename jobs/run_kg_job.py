@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--custom-mappings", help="JSON file of term -> id overrides")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--report", action="store_true",
+                    help="write a Markdown QC report derived from the audit table")
     args = ap.parse_args()
     if not args.pages and not args.generate_rows:
         ap.error("one of --pages or --generate-rows is required")
@@ -88,11 +90,18 @@ def main() -> None:
     metrics = R.partition_metrics(records, trip_keyed)
     R.append_audit(spark, audit_path, run_id, metrics)
     n = spark.read.parquet(triples_path).count()
+    report_path = None
+    if args.report:
+        from phenoqc_spark.report import generate_report
+
+        report_path = os.path.join(args.out, "qc_report.md")
+        generate_report(spark, triples_path, audit_path, report_path)
     print(json.dumps({
         "run_id": run_id,
         "sec": round(time.time() - t0, 2),
         "triples_total": n,
         "resumed": bool(args.resume),
+        "report": report_path,
     }))
     spark.stop()
 
