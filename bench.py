@@ -19,7 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "200000"))
+# 1M pages ≈ 6-8 s/rep at local[32]: large enough that the fixed job tail
+# (setup + final AQE-coalesced stages) stops dominating the triples/hour
+PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "1000000"))
 
 
 def main() -> None:
@@ -53,7 +55,7 @@ def main() -> None:
             "overwrite"
         ).parquet(pages_dir)
     run_pipeline(
-        spark, spark.read.parquet(pages_dir).limit(20000), E._resolver()
+        spark, spark.read.parquet(pages_dir).limit(150000), E._resolver()
     )["triples"].count()
 
     best = None
