@@ -87,6 +87,15 @@ def impute(
         strat = (field_strategies or {}).get(c, strategy)
         if strat in SIMPLE or strat in ADVANCED:
             by_strategy.setdefault(strat, []).append(c)
+        elif strat != "none":
+            # reference parity (missing_data.py:470-476): unknown strategy
+            # warns and leaves the column unchanged
+            import warnings
+
+            warnings.warn(
+                f"unknown imputation strategy {strat!r} for column {c!r}; skipping",
+                stacklevel=2,
+            )
     if not by_strategy:
         return df
 
