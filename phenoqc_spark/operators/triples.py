@@ -54,31 +54,37 @@ def terms_long(
     array_columns = ARRAY_COLUMNS if array_columns is None else array_columns
     base_cols = [F.col(url_col).alias("url"), F.col(id_col).alias("sample_id")]
 
-    parts = []
+    # ONE combined array<struct<column,term>> per row, ONE Generate:
+    # a unionByName of scalar-explode and array-explode branches would scan
+    # (and re-run extract_text on) the upstream once per branch — measured
+    # as a 2× cost of the dominant Python stage on the fact path.
+    pieces = []
     if pheno_columns:
-        stacked = records.select(
-            *base_cols,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(c).alias("column"), F.col(c).alias("term"))
-                        for c in pheno_columns
-                    ]
-                )
-            ).alias("kv"),
-        ).select("url", "sample_id", "kv.column", "kv.term")
-        parts.append(stacked.filter(F.col("term").isNotNull()))
-    for c in array_columns:
-        parts.append(
-            records.select(
-                *base_cols,
-                F.lit(c).alias("column"),
-                F.explode(F.col(c)).alias("term"),
-            ).filter(F.col("term").isNotNull())
+        pieces.append(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("column"), F.col(c).alias("term"))
+                    for c in pheno_columns
+                ]
+            )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    def _kv(col_name):
+        # factory, not a default arg: pyspark treats 2-param lambdas as
+        # (element, index) functions
+        return lambda x: F.struct(F.lit(col_name).alias("column"), x.alias("term"))
+
+    for c in array_columns:
+        pieces.append(
+            F.transform(F.coalesce(F.col(c), F.array().cast("array<string>")), _kv(c))
+        )
+    if not pieces:
+        raise ValueError("terms_long needs at least one phenotype or array column")
+    kvs = pieces[0] if len(pieces) == 1 else F.concat(*pieces)
+    out = (
+        records.select(*base_cols, F.explode(kvs).alias("kv"))
+        .select("url", "sample_id", "kv.column", "kv.term")
+        .filter(F.col("term").isNotNull())
+    )
     if normalize:
         out = out.withColumn("term_norm", normalize_terms(F.col("term")))
     return out

@@ -28,6 +28,11 @@ def onto_dir(tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def sf_dir():
+    return os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
 def resolver(onto_dir):
     from phenoqc_spark.fixtures import fixture_config
     from phenoqc_spark.ontology import TermResolver

@@ -1,0 +1,69 @@
+"""Physical-plan shape guards: the scale properties ARCHITECTURE.md claims
+(zero fact-side shuffles for linking, pushdown/pruning at the scan,
+broadcast dimension joins) asserted on `.explain` output so a regression
+cannot slip in silently."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_kg_path_single_exchange(spark, resolver):
+    from phenoqc_spark import pages as PG
+    from phenoqc_spark.pipeline import run_pipeline
+
+    pages = PG.generate_pages(spark, 1000, partitions=4)
+    out = run_pipeline(spark, pages, resolver)
+    txt = plan_text(out["triples"])
+    import re
+
+    # exactly one shuffle: the (subj, pred, obj) set-dedup
+    assert len(set(re.findall(r"Exchange \((\d+)\)", txt))) == 1, txt
+    # no fact-side join anywhere on the inline linking path
+    assert "Join" not in txt, txt
+    # one upstream branch (no Union re-scanning the extract), two Python
+    # hops: extract (ArrowEvalPython) and link (MapInPandas), each once
+    assert "Union" not in txt, txt
+    assert len(set(re.findall(r"ArrowEvalPython \((\d+)\)", txt))) == 1, txt
+    assert len(set(re.findall(r"MapInPandas \((\d+)\)", txt))) == 1, txt
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    from phenoqc_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_returnflag", "l_quantity")
+    txt = plan_text(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in txt, txt
+    # column pruning: the scan reads only the 3 needed columns
+    assert "ReadSchema: struct<l_quantity:double,l_returnflag:string,l_shipdate" in txt, txt
+
+
+def test_pages_scan_prunes_unused_columns(spark, resolver, tmp_path):
+    from phenoqc_spark import pages as PG
+    from phenoqc_spark.pipeline import run_pipeline
+
+    p = str(tmp_path / "pages")
+    PG.generate_pages(spark, 500, partitions=2).write.parquet(p)
+    out = run_pipeline(spark, spark.read.parquet(p), resolver)
+    txt = plan_text(out["triples"].select("subj", "pred", "obj"))
+    # triples need url/html/lang; text and warc_ts must be pruned away
+    assert "text:string" not in txt.split("ReadSchema:")[1].splitlines()[0]
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in txt, txt
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    import __spark_entry__ as E
+
+    q3 = E.queries()["q3_shipping"](spark, sf_dir)
+    txt = plan_text(q3)
+    assert "BroadcastHashJoin" in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
