@@ -100,7 +100,9 @@ def main() -> None:
             "partition; here the hub surface resolves once per executor (memo\n"
             "cache) and the dedup's map-side partial aggregate collapses the\n"
             "repeated triples before the exchange, so the skewed corpus runs at\n"
-            "the same speed (and emits fewer distinct triples).\n"
+            "least as fast (here faster: the hub surface is cheaper to resolve\n"
+            "than the junk/fuzzy surfaces it displaces, and resolves to more\n"
+            "ontologies, hence the higher triple count).\n"
         )
     spark.stop()
 
