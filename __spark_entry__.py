@@ -526,17 +526,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["v_cell_violations"] = v_cell_violations
 
     def q1_pricing(spark, sf_dir):
+        # Sums are exact decimals (scale 2/4) on both engines; the final cast
+        # to DOUBLE makes the driver-visible value representation identical
+        # regardless of each engine's internal SUM(decimal) result precision
+        # (Spark decimal(28,2) vs DuckDB DECIMAL(38,2) hash differently even
+        # when values agree).
         li = load_table(spark, sf_dir, "lineitem")
         dec = lambda c: F.col(c).cast("decimal(18,2)")
         return (
             li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.sum(dec("l_quantity")).alias("sum_qty"),
-                F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+                F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
                 F.sum(
                     (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
-                ).cast("decimal(28,4)").alias("sum_disc_price"),
+                ).cast("double").alias("sum_disc_price"),
                 F.count(F.lit(1)).alias("count_order"),
             )
             .orderBy("l_returnflag", "l_linestatus")
@@ -1143,9 +1148,9 @@ ORDER BY o_orderkey, "column", reason
 
     o["q1_pricing"] = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'

@@ -19,6 +19,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 # ---------------------------------------------------------------------------
+# Cached-intermediate lifecycle
+# ---------------------------------------------------------------------------
+
+def _register_persisted(result: DataFrame, handles: list[DataFrame]) -> DataFrame:
+    """Attach the persisted intermediates to the result so callers can free
+    them once the result is materialized (``release_intermediates``).
+    A long-lived session calling ``*_pairs`` repeatedly would otherwise
+    accumulate cached shingle blocks until executor storage evicts."""
+    result._phenoqc_persisted = handles  # type: ignore[attr-defined]
+    return result
+
+
+def release_intermediates(result: DataFrame) -> None:
+    """Unpersist the cached intermediates attached by a dedup operator.
+
+    Call after the result DataFrame has been collected/written. Safe to call
+    on any DataFrame (no-op when nothing was persisted)."""
+    for h in getattr(result, "_phenoqc_persisted", []) or []:
+        h.unpersist()
+    if hasattr(result, "_phenoqc_persisted"):
+        result._phenoqc_persisted = []  # type: ignore[attr-defined]
+
+# ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
 
@@ -92,8 +115,10 @@ def ngram_jaccard_pairs(
     against that (same plan shape, executor-disk instead of cache).
     """
     sh = word_shingles(df, n, text_col, id_col)
+    persisted = []
     if persist:
         sh = sh.persist()
+        persisted.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("l")
@@ -106,7 +131,7 @@ def ngram_jaccard_pairs(
     )
     a = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
     b = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
-    return (
+    out = (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn(
@@ -116,6 +141,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return _register_persisted(out, persisted)
 
 
 # ---------------------------------------------------------------------------
@@ -138,13 +164,26 @@ def minhash_signatures(
 
 
 def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    """Per-doc elementwise-min of ``xxhash64(shingle, i)`` for i in [0, k).
+
+    Shaped as posexplode → groupBy(doc_id, i).min → re-assemble, instead of
+    k separate ``min(...)`` scalar aggregates in one HashAggregate: the k-agg
+    form builds a single enormous codegen unit (k copies of the hash + agg
+    update inlined) whose first-run JIT dominated the cold wall-clock
+    (~18 s at sf0.1 for k=64). The exploded form has a constant-size
+    expression tree; map-side partial min keeps the shuffle at ~k rows per
+    (doc, input partition) — the same volume the wide row carried. Values
+    are identical: xxhash64(shingle, i) hashes the (shingle, i) pair either
+    way."""
+    hashed = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {num_hashes - 1}), i -> xxhash64(shingle, i))")
+        ).alias("i", "h"),
+    )
+    mins = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("m"))
+    return mins.groupBy("doc_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").alias("sig")
     )
 
 
@@ -173,8 +212,10 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sh0 = word_shingles(df, n, text_col, id_col)
+    persisted = []
     if persist:
         sh0 = sh0.persist()
+        persisted.append(sh0)
     sig = _signatures_from_shingles(sh0, num_hashes)
     band_rows = sig.select(
         "doc_id",
@@ -218,7 +259,7 @@ def minhash_lsh_pairs(
     )
     a = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
     b = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
-    return (
+    out = (
         shared.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn(
@@ -227,6 +268,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return _register_persisted(out, persisted)
 
 
 # ---------------------------------------------------------------------------
@@ -264,9 +306,20 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 def simhash_near_dups(
     df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming ≤ max) via 4×16-bit block LSH (a pair within
-    hamming ≤ 3 must agree on ≥1 of 4 blocks — pigeonhole), so the join is
-    bucket-local, never all-pairs."""
+    """(doc_a, doc_b, hamming ≤ max) via block LSH with ``max_hamming + 1``
+    blocks: a pair with ≤ max_hamming differing bits cannot touch every one
+    of max_hamming+1 disjoint blocks (pigeonhole), so it must agree on at
+    least one block — the join is bucket-local, never all-pairs, with
+    guaranteed recall 1.0 at the requested threshold for any
+    max_hamming ≤ 63."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_blocks = max_hamming + 1
+    # Distribute the 64 simhash bits over n_blocks contiguous blocks
+    # (widths differ by at most 1 when 64 % n_blocks != 0).
+    base, extra = divmod(64, n_blocks)
+    widths = [base + (1 if b < extra else 0) for b in range(n_blocks)]
+    offsets = [sum(widths[:b]) for b in range(n_blocks)]
     sh = simhash(df, text_col, id_col)
     blocks = sh.select(
         "doc_id",
@@ -276,11 +329,15 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(b).alias("block"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
+                        (
+                            F.col("simhash")
+                            if widths[b] >= 64
+                            else F.shiftrightunsigned(F.col("simhash"), offsets[b]).bitwiseAND(
+                                F.lit((1 << widths[b]) - 1)
+                            )
+                        ).alias("key"),
                     )
-                    for b in range(4)
+                    for b in range(n_blocks)
                 ]
             )
         ).alias("bk"),

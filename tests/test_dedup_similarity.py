@@ -50,6 +50,45 @@ def test_simhash_near_dups(docs):
     assert (0, 2) in pairs
 
 
+def test_simhash_lsh_recall_is_exact(spark):
+    """Block LSH must find EVERY pair within max_hamming (recall 1.0):
+    compare against brute-force hamming over all simhash pairs on a
+    200-doc corpus of mutated template sentences."""
+    words = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+        "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    ]
+    rows = []
+    for i in range(200):
+        toks = [words[(i * 7 + j * 3) % len(words)] for j in range(12)]
+        # mutate a couple of positions so near-pairs at varied hamming exist
+        toks[i % 12] = words[(i * 5 + 1) % len(words)]
+        if i % 3 == 0:
+            toks[(i + 5) % 12] = words[(i * 11 + 2) % len(words)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for max_h in (3, 8):
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in D.simhash_near_dups(docs, max_hamming=max_h).collect()
+        }
+        sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+        want = {}
+        ids = sorted(sh)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                h = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+                if h <= max_h:
+                    want[(a, b)] = h
+        assert got == want, (
+            f"max_hamming={max_h}: LSH {len(got)} pairs vs brute-force "
+            f"{len(want)} — missing {set(want) - set(got)}"
+        )
+        assert len(want) > 0  # the corpus must actually exercise the path
+
+
 def test_cosine_topk(spark):
     rows = [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]) for i in range(10)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
