@@ -79,18 +79,22 @@ def exact_duplicate_groups(
 
 def word_shingles(df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"):
     """(doc_id, shingle) distinct word n-grams — JVM-side only:
-    split → sliding window via transform over an index sequence."""
-    words = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
-    # sequence(0, size-n) -> transform -> concat_ws of slice
-    sh = F.expr(
-        f"transform(sequence(0, greatest(size(split(regexp_replace(trim({text_col}),"
-        f" '\\\\s+', ' '), ' ')) - {n}, -1)), "
-        f"i -> concat_ws(' ', slice(split(regexp_replace(trim({text_col}), '\\\\s+', ' '), ' '), i + 1, {n})))"
+    split once into an array column, then a sliding window via transform
+    over an index sequence.  The split MUST happen in its own projection:
+    inlining it inside the transform lambda re-evaluates the regexp split
+    for every shingle position (Catalyst does not CSE across lambda
+    scopes), which measured ~7 s cold on 5k docs vs <1 s split-once."""
+    words = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("_w")
     )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    # NB: sequence(0, -1) is [0, -1] in Spark (inferred negative step), not
+    # empty — a doc with fewer than n words must be guarded explicitly or
+    # slice(_w, 0, n) throws under ANSI.
+    sh = F.when(
+        F.size("_w") >= n,
+        F.expr(f"transform(sequence(0, size(_w) - {n}), i -> concat_ws(' ', slice(_w, i + 1, {n})))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return words.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -187,6 +191,26 @@ def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def shingle_sets(df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, sh_set array<string>, n_sh) — the distinct word-n-gram set
+    per doc as a pure per-row projection: split once, slide a window with
+    transform, array_distinct.  NO explode and NO shuffle — the whole
+    shingle-set computation stays inside one codegen stage, which is the
+    100 TB-friendly shape (the alternative explode→distinct→collect_set
+    round-trips the corpus through two shuffles)."""
+    words = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("_w")
+    )
+    sh = F.when(
+        F.size("_w") >= n,
+        F.expr(
+            f"array_distinct(transform(sequence(0, size(_w) - {n}),"
+            f" i -> concat_ws(' ', slice(_w, i + 1, {n}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return words.select("doc_id", sh.alias("sh_set"), F.size(sh).alias("n_sh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -203,22 +227,73 @@ def minhash_lsh_pairs(
     probability 1-(1-j^r)^b.  Candidates (bucket-join, skew-safe via AQE)
     are then verified exactly — output is (doc_a, doc_b, jaccard ≥ t).
 
-    ``persist`` caches the shingle projection shared by the signature pass
-    and the exact-verify pass (it would otherwise be recomputed from raw
-    text four times: signatures, sizes, and both sides of the shared-shingle
-    join).  At the 100 TB tier, materialize shingles to a staging table
-    instead — same plan, executor-disk instead of cache memory.
+    Plan shape (tuned for both the 100 TB tier and cold single-shot cost):
+
+    1. ``shingle_sets`` computes each doc's distinct shingle set as an
+       array column in ONE map-only codegen stage — no explode, no shuffle.
+       set_hash, set size, and the full minhash signature (elementwise
+       ``array_min(transform(sh_set, x -> xxhash64(x, i)))``) are further
+       projections of that same stage.
+    2. Identical shingle-sets collapse to one representative BEFORE the LSH
+       join (standard web-dedup staging: exact-collapse, then near-dup over
+       unique content).  Web corpora are duplicate-heavy; without this, a
+       group of g identical docs costs O(g²) inside every band bucket and
+       again in candidate-distinct and exact-verify.  Output is provably
+       identical: buckets and exact Jaccard are functions of the shingle
+       set alone, so member candidacy ⟺ representative candidacy and
+       member jaccard = representative jaccard; within-group pairs are
+       jaccard 1.0 and always candidates (equal signatures).
+    3. Exact verify uses ``array_intersect`` on the two reps' set arrays in
+       the candidate projection — no shingle re-join, no pair groupBy.
+
+    ``persist`` caches the small per-doc (set_hash, n_sh, sig) table reused
+    by the group, within-expansion, and cross-expansion branches.  At the
+    100 TB tier, materialize it to a staging table instead — same plan,
+    executor-disk instead of cache memory.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sh0 = word_shingles(df, n, text_col, id_col)
     persisted = []
-    if persist:
-        sh0 = sh0.persist()
-        persisted.append(sh0)
-    sig = _signatures_from_shingles(sh0, num_hashes)
-    band_rows = sig.select(
+    sets = shingle_sets(df, n, text_col, id_col).filter(F.col("n_sh") > 0)
+    # set_hash: md5 over the sorted per-shingle hashes (hashing each
+    # shingle first sidesteps separator-collision issues in the concat —
+    # shingles themselves contain spaces).
+    doc_sets = sets.select(
         "doc_id",
+        "sh_set",
+        "n_sh",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(F.expr("transform(sh_set, x -> cast(xxhash64(x) as string))")),
+            )
+        ).alias("set_hash"),
+        # one nested-lambda expression, NOT num_hashes separate projections:
+        # k separate array_min(transform(...)) columns inline k copies of the
+        # loop into the generated class (measured ~18 s one-time compile+JIT
+        # at k=32); the nested form is a constant-size code unit.
+        F.expr(
+            f"transform(sequence(0, {num_hashes - 1}),"
+            f" i -> array_min(transform(sh_set, x -> xxhash64(x, i))))"
+        ).alias("sig"),
+    )
+    if persist:
+        doc_sets = doc_sets.persist()
+        persisted.append(doc_sets)
+    # sig/n_sh/sh_set are functions of the shingle set: any member
+    # represents the group; min_by keeps it deterministic.  Partial
+    # aggregation collapses duplicate groups map-side, so at most one
+    # (array, sig) per set_hash per input partition reaches the shuffle.
+    groups = doc_sets.groupBy("set_hash").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.min_by("sig", "doc_id").alias("sig"),
+        F.min_by("n_sh", "doc_id").alias("n_sh"),
+        F.min_by("sh_set", "doc_id").alias("sh_set"),
+    )
+    # --- banded LSH over unique shingle-sets ---------------------------
+    band_rows = groups.select(
+        "set_hash",
+        "rep_id",
         F.explode(
             F.array(
                 *[
@@ -235,39 +310,53 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("set_hash", "rep_id", "bb.band", "bb.bucket")
     cand = (
         band_rows.alias("l")
         .join(band_rows.alias("r"), ["band", "bucket"])
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .filter(F.col("l.rep_id") < F.col("r.rep_id"))
         .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+            F.col("l.set_hash").alias("sh_a"),
+            F.col("r.set_hash").alias("sh_b"),
         )
         .distinct()
     )
-    # exact verify on candidates only: count shared shingles per pair
-    sh = sh0
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shared = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            sh.withColumnRenamed("doc_id", "doc_b"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    a = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
-    b = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
-    out = (
-        shared.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn(
-            "jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-        )
+    # --- exact verify: array_intersect on the reps' shingle sets -------
+    ga = groups.select(F.col("set_hash").alias("sh_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_a"))
+    gb = groups.select(F.col("set_hash").alias("sh_b"), F.col("sh_set").alias("set_b"), F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    rep_pairs = (
+        cand.join(ga, "sh_a")
+        .join(gb, "sh_b")
+        .withColumn("jaccard", inter / (F.col("n_a") + F.col("n_b") - inter))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("sh_a", "sh_b", "jaccard")
     )
+    # --- expand group members back into doc pairs ----------------------
+    members = doc_sets.select("set_hash", "doc_id")
+    # within-group: identical sets → jaccard exactly 1.0, always candidates
+    within = (
+        members.alias("m1")
+        .join(members.alias("m2"), "set_hash")
+        .filter(F.col("m1.doc_id") < F.col("m2.doc_id"))
+        .select(
+            F.col("m1.doc_id").alias("doc_a"),
+            F.col("m2.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("set_hash").alias("sh_a"), F.col("doc_id").alias("ma")), "sh_a"
+        )
+        .join(members.select(F.col("set_hash").alias("sh_b"), F.col("doc_id").alias("mb")), "sh_b")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    out = within.unionByName(cross)
     return _register_persisted(out, persisted)
 
 

@@ -20,6 +20,61 @@ def check_accuracy(df: DataFrame, schema_cfg: dict, row_id_cols: Optional[List[s
     return range_violations(df, schema_cfg.get("properties", {}), row_id_cols)
 
 
+def _distributed_avg_ranks(df: DataFrame, cols: List[str], num_buckets: int = 32) -> DataFrame:
+    """Replace each column in ``cols`` with its average rank (ties → mean
+    rank, nulls stay null) — EXACT ranks with no single-partition window.
+
+    Per column: distinct-value counts (one groupBy), approx-quantile bucket
+    boundaries (a bounded driver-side list — the IVF-codebook pattern), a
+    window partitioned BY BUCKET over distinct values only for the
+    in-bucket cumulative count, and per-bucket offsets (≤ num_buckets
+    scalars collected).  Boundary placement only balances the buckets; the
+    ranks are exact regardless, because offsets are exact sums.  The ranked
+    values rejoin on the value key (distinct-value table, typically orders
+    of magnitude smaller than the data)."""
+    out = df
+    for c in cols:
+        nn = out.select(F.col(c).alias("_v")).where(F.col("_v").isNotNull())
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        bounds = sorted(set(nn.stat.approxQuantile("_v", probs, 0.01)))
+        cnts = nn.groupBy("_v").agg(F.count(F.lit(1)).alias("_cnt"))
+        if bounds:
+            arr = F.array(*[F.lit(float(b)) for b in bounds])
+            bkt = F.size(F.filter(arr, lambda b: b < F.col("_v")))
+        else:
+            bkt = F.lit(0)
+        bcnts = cnts.withColumn("_bkt", bkt)
+        totals = {
+            r["_bkt"]: r["_t"]
+            for r in bcnts.groupBy("_bkt").agg(F.sum("_cnt").alias("_t")).collect()
+        }
+        offsets = {}
+        acc = 0
+        for b in sorted(totals):
+            offsets[b] = acc
+            acc += totals[b]
+        off = F.lit(0)
+        for b, o in offsets.items():
+            off = F.when(F.col("_bkt") == b, F.lit(o)).otherwise(off)
+        w = Window.partitionBy("_bkt").orderBy("_v")
+        ranks = (
+            bcnts.withColumn("_cum", F.sum("_cnt").over(w))
+            .select(
+                "_v",
+                (
+                    off + F.col("_cum") - F.col("_cnt") + 1 + (F.col("_cnt") - 1) / 2.0
+                ).alias("_avg_rank"),
+            )
+        )
+        out = (
+            out.withColumn("_jv", F.col(c))
+            .join(ranks.withColumnRenamed("_v", "_jv"), "_jv", "left")
+            .withColumn(c, F.when(F.col("_jv").isNull(), None).otherwise(F.col("_avg_rank")))
+            .drop("_jv", "_avg_rank")
+        )
+    return out
+
+
 def detect_redundancy(
     df: DataFrame,
     threshold: float = 0.98,
@@ -33,9 +88,18 @@ def detect_redundancy(
       results — tiny), computed distributed, compared on the driver.
       ``method='spearman'`` rank-transforms each numeric column first
       (average ranks for ties, as pandas does) and runs the same Pearson
-      aggregate on the ranks.  The rank transform is a global window —
-      exact parity with the reference; at the 100 TB tier substitute
-      approx-quantile bucket ranks (same downstream plan).
+      aggregate on the ranks.  Ranks are EXACT and fully distributed
+      (``_distributed_avg_ranks``: bucketed cumulative counts, no
+      single-partition window).
+
+      Parity caveat vs the reference (pandas ``df.corr('spearman')``,
+      quality_metrics.py:100): each column is ranked ONCE over its own
+      non-null rows; pandas re-ranks every column pair over the
+      pairwise-complete subset.  Results are identical when the columns'
+      null masks align (including the all-non-null case — the common one);
+      they diverge when two columns are null on different rows.  The
+      pairwise re-rank is O(ncols²) full-data passes and is intentionally
+      not implemented.
     - Identical columns: one SHA-256 per column over the ordered value
       stream via ``sha2(concat_ws(...))`` of per-row hashes aggregated in
       order; identical supersedes correlation (reference behavior).
@@ -51,18 +115,7 @@ def detect_redundancy(
     seen = set()
     corr_src = df
     if method == "spearman" and numeric_cols:
-        # average rank among non-nulls: rank() gives the tie group's min
-        # rank; avg = min + (group size - 1)/2.  Nulls keep rank null so
-        # corr stays pairwise-complete like pandas.
-        for c in numeric_cols:
-            w = Window.orderBy(F.col(c).asc_nulls_last())
-            g = Window.partitionBy(F.col(c))
-            rank_avg = (
-                F.rank().over(w) + (F.count(F.lit(1)).over(g) - F.lit(1)) / 2.0
-            )
-            corr_src = corr_src.withColumn(
-                c, F.when(F.col(c).isNull(), None).otherwise(rank_avg)
-            )
+        corr_src = _distributed_avg_ranks(df, numeric_cols)
     if len(numeric_cols) >= 2:
         aggs = []
         pairs = []

@@ -67,3 +67,21 @@ def test_dimension_join_broadcasts(spark, sf_dir):
     txt = plan_text(q3)
     assert "BroadcastHashJoin" in txt, txt
     assert "BroadcastNestedLoopJoin" not in txt, txt
+
+
+def test_spearman_ranks_have_no_global_window(spark):
+    """The spearman rank transform must never funnel the table through a
+    single-partition window: every Window in the plan must be partitioned
+    (by the quantile bucket)."""
+    import re
+
+    from phenoqc_spark.operators.quality import _distributed_avg_ranks
+
+    rows = [(float(i % 17), float((i * 13) % 23)) for i in range(200)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    ranked = _distributed_avg_ranks(df, ["a", "b"])
+    txt = plan_text(ranked)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", txt)
+    assert specs, txt  # the rank windows must exist
+    for spec in specs:
+        assert spec.startswith("_bkt"), f"unpartitioned window: {spec}\n{txt}"
