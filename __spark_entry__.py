@@ -115,6 +115,56 @@ _KG_ORACLE_VALUES = ",\n        ".join(
     f"('{c}', {i}, '{o}', '{t}')" for (c, i, o, t) in _KG_EXPECTED
 )
 
+# (column, pool_idx, ontology, term_id) for the FULL pools (fuzzy/prefix/
+# junk cascade surfaces, pages.py PHENO_POOLS) — pinned from the
+# deterministic resolver so the fuzzy path is hash-checked, not rows-only.
+# Regenerate with scripts/gen_full_expected.py if the fixture ontologies or
+# the cascade change.
+_KG_FULL_EXPECTED = [
+    ("PrimaryPhenotype", 0, "DO", "DOID:0050167"),
+    ("PrimaryPhenotype", 0, "HPO", "HP:0000822"),
+    ("PrimaryPhenotype", 1, "DO", "DOID:0050167"),
+    ("PrimaryPhenotype", 1, "HPO", "HP:0000822"),
+    ("PrimaryPhenotype", 2, "DO", "DOID:0050167"),
+    ("PrimaryPhenotype", 2, "HPO", "HP:0000822"),
+    ("PrimaryPhenotype", 3, "HPO", "HP:0000822"),
+    ("PrimaryPhenotype", 4, "HPO", "HP:0000822"),
+    ("PrimaryPhenotype", 5, "HPO", "HP:0000822"),
+    ("PrimaryPhenotype", 6, "HPO", "HP:0000822"),
+    ("PrimaryPhenotype", 7, "DO", "DOID:9352"),
+    ("PrimaryPhenotype", 7, "HPO", "HP:0002090"),
+    ("PrimaryPhenotype", 8, "DO", "DOID:9352"),
+    ("PrimaryPhenotype", 8, "HPO", "HP:0002090"),
+    ("PrimaryPhenotype", 9, "DO", "DOID:1612"),
+    ("PrimaryPhenotype", 9, "HPO", "HP:0001627"),
+    ("SecondaryPhenotype", 0, "DO", "DOID:1612"),
+    ("SecondaryPhenotype", 0, "HPO", "HP:0001627"),
+    ("SecondaryPhenotype", 1, "DO", "DOID:1612"),
+    ("SecondaryPhenotype", 1, "HPO", "HP:0001627"),
+    ("SecondaryPhenotype", 2, "DO", "DOID:9352"),
+    ("SecondaryPhenotype", 2, "HPO", "HP:0002090"),
+    ("SecondaryPhenotype", 3, "DO", "DOID:0050167"),
+    ("SecondaryPhenotype", 3, "HPO", "HP:0000822"),
+    ("SecondaryPhenotype", 4, "HPO", "HP:0002090"),
+    ("TertiaryPhenotype", 0, "DO", "DOID:9351"),
+    ("TertiaryPhenotype", 0, "MPO", "MP:0001943"),
+    ("TertiaryPhenotype", 1, "MPO", "MP:0001902"),
+    ("TertiaryPhenotype", 2, "MPO", "MP:0001943"),
+    ("TertiaryPhenotype", 3, "MPO", "MP:1902"),
+    ("DiseaseCode", 0, "DO", "DOID:1612"),
+    ("DiseaseCode", 1, "DO", "DOID:1612"),
+    ("DiseaseCode", 2, "DO", "DOID:1612"),
+    ("DiseaseCode", 3, "DO", "DOID:1612"),
+    ("DiseaseCode", 3, "HPO", "HP:0001627"),
+    ("DiseaseCode", 4, "DO", "DOID:1612"),
+    ("DiseaseCode", 5, "DO", "DOID:1388"),
+    ("DiseaseCode", 6, "DO", "DOID:9351"),
+]
+
+_KG_FULL_ORACLE_VALUES = ",\n        ".join(
+    f"('{c}', {i}, '{o}', '{t}')" for (c, i, o, t) in _KG_FULL_EXPECTED
+)
+
 
 # ---------------------------------------------------------------------------
 # helper frames with synthesized quirks (oracle replicates the same CASEs)
@@ -184,7 +234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_triples_exact"] = _kg_triples
 
     def kg_triples_full(spark, sf_dir):
-        # full pools incl. fuzzy/prefix/junk surfaces (non-SQL: rows-only)
+        # full pools incl. fuzzy/prefix/junk surfaces; oracle = pinned
+        # resolver outputs (_KG_FULL_EXPECTED), so the whole cascade is
+        # hash-checked
         from phenoqc_spark.pages import PHENO_POOLS
 
         docs = load_table(spark, sf_dir, "documents")
@@ -915,6 +967,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["txt_fingerprint"] = txt_fingerprint
 
+    # Oracle-checked queries first: the grading driver records a bounded
+    # number of entries in insertion order, and an oracle-checked query
+    # must never be dropped in favour of a rows-only one.
+    oracles = set(oracle_sql().keys())
+    q = {
+        **{k: v for k, v in q.items() if k in oracles},
+        **{k: v for k, v in q.items() if k not in oracles},
+    }
     return q
 
 
@@ -941,6 +1001,32 @@ SELECT DISTINCT
 FROM d JOIN m
   ON (m.col = 'PrimaryPhenotype' AND m.idx = d.pidx)
   OR (m.col = 'DiseaseCode' AND m.idx = d.didx)
+ORDER BY subj, pred, obj
+"""
+
+    from phenoqc_spark.pages import PHENO_POOLS as _PP
+
+    _lens = {c: len(p) for c, p in _PP.items()}
+    o["kg_triples_full"] = f"""
+WITH m(col, idx, onto, tid) AS (VALUES
+        {_KG_FULL_ORACLE_VALUES}),
+d AS (
+  SELECT doc_id,
+         CAST(doc_id % {_lens['PrimaryPhenotype']} AS INT) AS i0,
+         CAST((doc_id + 1) % {_lens['SecondaryPhenotype']} AS INT) AS i1,
+         CAST((doc_id + 2) % {_lens['TertiaryPhenotype']} AS INT) AS i2,
+         CAST((doc_id + 3) % {_lens['DiseaseCode']} AS INT) AS i3
+  FROM documents
+)
+SELECT DISTINCT
+  printf('https://example.org/doc/%08d', doc_id) || '#' || CAST(doc_id AS VARCHAR) AS subj,
+  col || '->' || onto AS pred,
+  tid AS obj
+FROM d JOIN m
+  ON (m.col = 'PrimaryPhenotype' AND m.idx = d.i0)
+  OR (m.col = 'SecondaryPhenotype' AND m.idx = d.i1)
+  OR (m.col = 'TertiaryPhenotype' AND m.idx = d.i2)
+  OR (m.col = 'DiseaseCode' AND m.idx = d.i3)
 ORDER BY subj, pred, obj
 """
 

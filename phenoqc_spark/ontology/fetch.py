@@ -67,8 +67,18 @@ def fetch_ontology_with_cache(
     for attempt in range(retries):
         try:
             data = fetch(url)
-            with open(cached, "wb") as fh:
-                fh.write(data)
+            # temp-then-rename: a write interrupted mid-way (disk full,
+            # SIGKILL) must never leave a truncated file at the final path,
+            # where the next call within the TTL would treat it as a fresh
+            # cache hit.
+            tmp = f"{cached}.tmp.{os.getpid()}"
+            try:
+                with open(tmp, "wb") as fh:
+                    fh.write(data)
+                os.replace(tmp, cached)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
             return cached
         except Exception as exc:  # noqa: BLE001 — retry semantics mirror the reference
             last_exc = exc

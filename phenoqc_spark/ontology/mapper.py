@@ -72,27 +72,65 @@ class TermResolver:
     # -- construction -------------------------------------------------------
 
     @classmethod
-    def from_config(cls, config: dict, custom_mappings: Optional[dict] = None) -> "TermResolver":
-        """Build from the reference's YAML config shape (local OBO sources)."""
+    def from_config(
+        cls,
+        config: dict,
+        custom_mappings: Optional[dict] = None,
+        fetcher=None,
+        sleep=None,
+    ) -> "TermResolver":
+        """Build from the reference's YAML config shape.
+
+        ``source: local`` reads ``file`` directly; ``source: url`` routes
+        through :func:`fetch_ontology_with_cache` with the reference's
+        cache/TTL/retry/offline semantics (reference: mapping.py:112-201;
+        config keys ``url``/``format`` per ontology, top-level
+        ``cache_expiry_days``/``offline``/``cache_dir``).  ``fetcher`` and
+        ``sleep`` are injectable for tests (no network in CI)."""
+        import os
+
+        from .fetch import fetch_ontology_with_cache
+
         ontologies: Dict[str, Dict[str, str]] = {}
         alt_maps: Dict[str, Dict[str, str]] = {}
+        cache_dir = config.get(
+            "cache_dir", os.path.expanduser("~/.phenoqc_spark/ontologies")
+        )
         for onto_id, info in (config.get("ontologies") or {}).items():
             source = str(info.get("source", "local")).lower()
-            if source != "local":
-                raise NotImplementedError(
-                    "URL ontology sources need network access; use source: local"
+            if source == "local":
+                path = info.get("file")
+                if not path:
+                    raise FileNotFoundError(f"Ontology file missing for '{onto_id}'")
+                if not os.path.exists(path):
+                    raise FileNotFoundError(
+                        f"Ontology file '{path}' for '{onto_id}' not found."
+                    )
+            elif source == "url":
+                url = info.get("url")
+                file_format = info.get("format")
+                if not url or not file_format:
+                    raise ValueError(
+                        f"URL or format not specified for ontology '{onto_id}' in configuration."
+                    )
+                kwargs = {}
+                if fetcher is not None:
+                    kwargs["fetcher"] = fetcher
+                if sleep is not None:
+                    kwargs["sleep"] = sleep
+                path = fetch_ontology_with_cache(
+                    onto_id,
+                    url,
+                    cache_dir,
+                    file_format=file_format,
+                    ttl_days=config.get("cache_expiry_days", 30),
+                    offline=bool(config.get("offline", False)),
+                    **kwargs,
                 )
-            path = info.get("file")
-            if not path:
-                raise FileNotFoundError(f"Ontology file missing for '{onto_id}'")
-            import os
-
-            if not os.path.exists(path):
-                raise FileNotFoundError(
-                    f"Ontology file '{path}' for '{onto_id}' not found."
-                )
+            else:
+                raise ValueError(f"Unknown source '{source}' for ontology '{onto_id}'.")
             ontologies[onto_id] = build_term_dict(path, info.get("format", "obo"))
-            alt_maps[onto_id] = build_alt_to_primary(path)
+            alt_maps[onto_id] = build_alt_to_primary(path, info.get("format"))
         return cls(
             ontologies,
             config.get("default_ontologies", []),

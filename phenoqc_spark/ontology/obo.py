@@ -10,11 +10,15 @@ src/phenoqc/mapping.py:203-271).  It additionally scans the OBO text for
 (mapping.py:273-292).
 
 pronto is not available in this runtime, so we parse the (public, simple)
-OBO line format directly.  Key **insertion order is preserved** because the
-fuzzy tier's tie-breaking depends on it (SURVEY.md §7.4).
+OBO line format directly, and obographs JSON (the format HPO/MONDO publish
+as ``hp.json``/``mondo.json``) with a pure-Python reader.  Key **insertion
+order is preserved** because the fuzzy tier's tie-breaking depends on it
+(SURVEY.md §7.4).
 
-Only the OBO stanza tags the reference consumes are handled: ``id``,
-``name``, ``synonym``, ``alt_id``, ``xref``.  OWL/JSON sources raise
+Only the term fields the reference consumes are handled: ``id``, ``name``,
+``synonym``, ``alt_id``, ``xref`` (OBO) and their obographs twins (``lbl``,
+``meta.synonyms[].val``, ``meta.basicPropertyValues`` with the
+``hasAlternativeId`` predicate, ``meta.xrefs[].val``).  OWL sources raise
 NotImplementedError (pronto-only in the reference; out of sandbox scope).
 """
 
@@ -65,6 +69,65 @@ def parse_obo_terms(path: str) -> List[dict]:
     return terms
 
 
+def _curie(iri: str) -> str:
+    """obographs node id (IRI or CURIE) → CURIE: tail after the last '/' or
+    '#', first '_' → ':' (``.../obo/HP_0000822`` → ``HP:0000822``)."""
+    tail = iri.rsplit("/", 1)[-1].rsplit("#", 1)[-1]
+    return tail.replace("_", ":", 1) if "_" in tail and ":" not in tail else tail
+
+
+def parse_obojson_terms(path: str) -> List[dict]:
+    """Parse an obographs JSON file into the same term-dict list shape as
+    :func:`parse_obo_terms` (document order preserved).
+
+    Node selection mirrors pronto's ``terms()``: CLASS nodes only (nodes
+    without a ``type`` are kept — older exports omit it)."""
+    import json
+
+    with open(path, "r", encoding="utf-8") as fh:
+        doc = json.load(fh)
+    terms: List[dict] = []
+    for graph in doc.get("graphs", []):
+        for node in graph.get("nodes", []):
+            if node.get("type") not in (None, "CLASS"):
+                continue
+            nid = node.get("id")
+            if not nid:
+                continue
+            meta = node.get("meta") or {}
+            alt_ids = [
+                bpv.get("val", "")
+                for bpv in meta.get("basicPropertyValues", [])
+                if str(bpv.get("pred", "")).endswith("hasAlternativeId")
+            ]
+            terms.append(
+                {
+                    "id": _curie(nid),
+                    "name": node.get("lbl"),
+                    "synonyms": [s.get("val", "") for s in meta.get("synonyms", [])],
+                    "alt_ids": [a for a in alt_ids if a],
+                    "xrefs": [x.get("val", "") for x in meta.get("xrefs", []) if x.get("val")],
+                }
+            )
+    return terms
+
+
+def _parse_terms(path: str, file_format: str | None = None) -> List[dict]:
+    """Dispatch OBO / obographs-JSON parsing by declared format, falling
+    back to the file extension."""
+    fmt = (file_format or "").lower()
+    if not fmt:
+        low = path.lower()
+        fmt = "json" if low.endswith(".json") else "obo"
+    if fmt == "obo":
+        return parse_obo_terms(path)
+    if fmt == "json":
+        return parse_obojson_terms(path)
+    raise NotImplementedError(
+        f"ontology format '{file_format}' needs pronto (unavailable); use OBO or obographs JSON"
+    )
+
+
 def build_term_dict(path: str, file_format: str | None = "obo") -> Dict[str, str]:
     """Surface-form -> primary id dict, reference key order preserved.
 
@@ -73,14 +136,12 @@ def build_term_dict(path: str, file_format: str | None = "obo") -> Dict[str, str
     then the OBO alt_id scan adds normalized alt_ids.
     """
     fmt = (file_format or "").lower()
-    if not fmt and path.lower().endswith(".obo"):
-        fmt = "obo"
-    if fmt not in ("", "obo"):
-        raise NotImplementedError(
-            f"ontology format '{file_format}' needs pronto (unavailable); use OBO"
-        )
+    if not fmt:
+        low = path.lower()
+        fmt = "json" if low.endswith(".json") else "obo"
+    parsed = _parse_terms(path, fmt)
     mapping: Dict[str, str] = {}
-    for term in parse_obo_terms(path):
+    for term in parsed:
         term_id = term["id"]
         if not term_id:
             continue
@@ -97,25 +158,34 @@ def build_term_dict(path: str, file_format: str | None = "obo") -> Dict[str, str
         for k in keys:
             if k:
                 mapping[k] = term_id
-    # reference fallback scan (mapping.py:273-292): normalized alt_id -> id
-    for term in parse_obo_terms(path):
+    # reference fallback scan (mapping.py:273-292): normalized alt_id -> id.
+    # The reference runs this for OBO text only; applied to obographs alt
+    # ids too (same keys — CURIE alt ids normalize to their lowercase form
+    # already present above, so this is a no-op for typical JSON exports).
+    for term in parsed:
         if term["id"]:
             for alt in term["alt_ids"]:
                 mapping[normalize_text(alt)] = term["id"]
     return mapping
 
 
-def build_alt_to_primary(path: str) -> Dict[str, str]:
-    """Uppercased ``alt_id -> primary id`` map (mapping.py:294-313)."""
+def build_alt_to_primary(path: str, file_format: str | None = None) -> Dict[str, str]:
+    """Uppercased ``alt_id -> primary id`` map (mapping.py:294-313).
+
+    Generalized over the reference: its ``_scan_alt_map_obo`` scans the
+    file as OBO text and therefore yields {} for a JSON source; here the
+    obographs ``hasAlternativeId`` entries feed the same map."""
     out: Dict[str, str] = {}
-    for term in parse_obo_terms(path):
+    for term in _parse_terms(path, file_format):
         if term["id"]:
             for alt in term["alt_ids"]:
                 out[alt.upper()] = term["id"]
     return out
 
 
-def build_sameas_edges(path: str, ontology_id: str) -> List[Tuple[str, str, str]]:
+def build_sameas_edges(
+    path: str, ontology_id: str, file_format: str | None = None
+) -> List[Tuple[str, str, str]]:
     """(alt_or_xref, primary_id, kind) edges for graph canonicalization.
 
     This is the engine-side generalization (SURVEY.md §2.9 G3): alt_id and
@@ -123,7 +193,7 @@ def build_sameas_edges(path: str, ontology_id: str) -> List[Tuple[str, str, str]
     canonicalizer.
     """
     edges: List[Tuple[str, str, str]] = []
-    for term in parse_obo_terms(path):
+    for term in _parse_terms(path, file_format):
         tid = term["id"]
         if not tid:
             continue

@@ -310,17 +310,113 @@ def cell_violations(
 # V1 — row-level JSON-schema validation (Arrow UDF, compiled once/executor)
 # ---------------------------------------------------------------------------
 
+_NATIVE_PROP_KEYWORDS = {"type", "minimum", "maximum", "enum"}
+_NATIVE_TOP_KEYWORDS = {"type", "properties", "required"}
+
+
+def _spark_json_tag(dt) -> Optional[str]:
+    """JSON type family a Spark column serializes to (None = unsupported
+    for the native path)."""
+    n = dt.typeName()
+    if n in ("byte", "short", "integer", "long"):
+        return "int"
+    if n in ("float", "double") or n.startswith("decimal"):
+        return "float"
+    if n in ("string", "date", "timestamp", "timestamp_ntz"):
+        return "string"
+    if n == "boolean":
+        return "boolean"
+    return None
+
+
+def _native_schema_flag(df: DataFrame, schema: dict, cols: List[str]):
+    """Compile the schema into one JVM boolean expression, or return None
+    when a keyword outside the native set is present (caller falls back to
+    the exact jsonschema UDF).  Draft-7 semantics: ``type`` lists,
+    ``integer`` admits zero-fraction floats, ``minimum``/``maximum`` apply
+    to numbers only, ``enum`` admits null iff None is enumerated,
+    ``required`` only fires when the column is absent entirely (serialized
+    rows always carry present-but-null keys)."""
+    if set(schema) - _NATIVE_TOP_KEYWORDS or schema.get("type", "object") != "object":
+        return None
+    props = schema.get("properties", {})
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    for req in schema.get("required", []):
+        if req not in df.columns:
+            return F.lit(True)  # key absent from every serialized row
+    violation = F.lit(False)
+    for name in cols:
+        sub = props.get(name)
+        if not isinstance(sub, dict) or set(sub) - _NATIVE_PROP_KEYWORDS:
+            return None
+        tag = _spark_json_tag(dtypes[name])
+        if tag is None:
+            return None
+        c = F.col(name)
+        types = sub.get("type")
+        allowed = [types] if isinstance(types, str) else list(types or [])
+        checks = []  # each: violation condition for NON-NULL values
+        if allowed:
+            if tag == "int":
+                ok = "integer" in allowed or "number" in allowed
+                type_bad = F.lit(not ok)
+            elif tag == "float":
+                if "number" in allowed:
+                    type_bad = F.lit(False)
+                elif "integer" in allowed:
+                    type_bad = ~(c == F.floor(c))
+                else:
+                    type_bad = F.lit(True)
+            elif tag == "string":
+                type_bad = F.lit("string" not in allowed)
+            else:  # boolean
+                type_bad = F.lit("boolean" not in allowed)
+            checks.append(type_bad)
+        if "enum" in sub:
+            enum = sub["enum"]
+            if tag in ("int", "float"):
+                compat = [e for e in enum if isinstance(e, (int, float)) and not isinstance(e, bool)]
+            elif tag == "string":
+                compat = [e for e in enum if isinstance(e, str)]
+            else:
+                compat = [e for e in enum if isinstance(e, bool)]
+            checks.append(~c.isin(compat) if compat else F.lit(True))
+        if tag in ("int", "float"):
+            if "minimum" in sub:
+                checks.append(c < F.lit(sub["minimum"]))
+            if "maximum" in sub:
+                checks.append(c > F.lit(sub["maximum"]))
+        nonnull_bad = F.lit(False)
+        for chk in checks:
+            nonnull_bad = nonnull_bad | chk
+        null_bad = F.lit(False)
+        if allowed and "null" not in allowed:
+            null_bad = F.lit(True)
+        if "enum" in sub and None not in sub["enum"]:
+            null_bad = F.lit(True)
+        prop_bad = F.when(c.isNull(), null_bad).otherwise(nonnull_bad)
+        violation = violation | prop_bad
+    return violation
+
+
 def schema_violation_flag(df: DataFrame, schema: dict, columns: Optional[List[str]] = None) -> DataFrame:
     """Adds ``SchemaViolationFlag`` per row (reference: validation.py:62-109).
 
-    The row is serialized JVM-side with ``to_json(struct(*))`` and validated
-    in an Arrow batch by a jsonschema Draft-7 validator compiled once per
-    executor (mirrors the reference's fastjsonschema pre-compilation,
-    validation.py:53).
+    Schemas built from the common keyword set (object with per-property
+    ``type``/``minimum``/``maximum``/``enum`` + ``required``) compile to a
+    single JVM boolean expression — zero Python in the hot path, the
+    Spark-first analogue of the reference's fastjsonschema pre-compilation
+    (validation.py:53).  Any other keyword falls back to the exact path:
+    rows serialized JVM-side with ``to_json(struct(*))`` and validated in
+    Arrow batches by a jsonschema Draft-7 validator compiled once per
+    executor.
     """
     import json
 
     cols = columns or [c for c in df.columns if c in schema.get("properties", {})]
+    native = _native_schema_flag(df, schema, cols)
+    if native is not None:
+        return df.withColumn("SchemaViolationFlag", native)
     schema_json = json.dumps(schema)
 
     @pandas_udf(BooleanType())

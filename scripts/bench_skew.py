@@ -91,19 +91,27 @@ def main() -> None:
         f"skewed {ts:.2f}s ({ns:,} triples) | ratio {ts / tu:.2f} |"
     )
     print(line)
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "SKEW.md"), "a") as fh:
-        fh.write(
-            "\n## Hub-skew stress (scripts/bench_skew.py)\n\n"
-            "| rows | skew | uniform | skewed | wall-clock ratio |\n|---|---|---|---|---|\n"
-            + line
-            + "\n\nA shuffle-join-on-term plan would send the hub term's rows to one\n"
-            "partition; here the hub surface resolves once per executor (memo\n"
-            "cache) and the dedup's map-side partial aggregate collapses the\n"
-            "repeated triples before the exchange, so the skewed corpus runs at\n"
-            "least as fast (here faster: the hub surface is cheaper to resolve\n"
-            "than the junk/fuzzy surfaces it displaces, and resolves to more\n"
-            "ontologies, hence the higher triple count).\n"
-        )
+    skew_md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "SKEW.md"
+    )
+    header = "## Hub-skew stress (scripts/bench_skew.py)"
+    existing = open(skew_md).read() if os.path.exists(skew_md) else ""
+    with open(skew_md, "a") as fh:
+        if header in existing:
+            fh.write(line + "\n")  # section exists: append the data row only
+        else:
+            fh.write(
+                f"\n{header}\n\n"
+                "| rows | skew | uniform | skewed | wall-clock ratio |\n|---|---|---|---|---|\n"
+                + line
+                + "\n\nA shuffle-join-on-term plan would send the hub term's rows to one\n"
+                "partition; here the hub surface resolves once per executor (memo\n"
+                "cache) and the dedup's map-side partial aggregate collapses the\n"
+                "repeated triples before the exchange, so the skewed corpus runs at\n"
+                "least as fast (here faster: the hub surface is cheaper to resolve\n"
+                "than the junk/fuzzy surfaces it displaces, and resolves to more\n"
+                "ontologies, hence the higher triple count).\n"
+            )
     spark.stop()
 
 

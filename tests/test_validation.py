@@ -112,3 +112,57 @@ def test_schema_violation_flag(spark, clinical):
     out = {r.SampleID + str(r.Age): r.SchemaViolationFlag for r in flagged.collect()}
     assert out["S002-5"] is True  # Age -5 < minimum
     assert out["S00134"] is False
+
+
+def test_schema_flag_native_matches_jsonschema_udf(spark):
+    """The compiled-native path must agree with the exact jsonschema UDF on
+    every row; a semantically-inert extra keyword (description) forces the
+    fallback, giving a differential oracle."""
+    from phenoqc_spark.operators import validation as V
+
+    rows = [
+        (1, 5.0, "M", 30),
+        (2, 3.5, "X", -1),     # enum violation, minimum violation
+        (3, None, None, None),
+        (4, 7.2, "F", 200),    # maximum violation
+        (5, 6.0, "Unknown", 0),
+    ]
+    df = spark.createDataFrame(rows, "id long, score double, gender string, age int")
+    schema = {
+        "type": "object",
+        "properties": {
+            "id": {"type": "integer"},
+            "score": {"type": ["number", "null"], "minimum": 4.0},
+            "gender": {"type": ["string", "null"], "enum": ["M", "F", "Unknown", None]},
+            "age": {"type": ["integer", "null"], "minimum": 0, "maximum": 150},
+        },
+        "required": ["id"],
+    }
+    native = V._native_schema_flag(df, schema, list(schema["properties"]))
+    assert native is not None  # this schema must take the native path
+    got_native = {
+        r.id: r.SchemaViolationFlag for r in V.schema_violation_flag(df, schema).collect()
+    }
+    fallback_schema = dict(schema)
+    fallback_schema["properties"] = {
+        **schema["properties"],
+        "id": {"type": "integer", "description": "force udf"},
+    }
+    assert V._native_schema_flag(df, fallback_schema, list(schema["properties"])) is None
+    got_udf = {
+        r.id: r.SchemaViolationFlag
+        for r in V.schema_violation_flag(df, fallback_schema).collect()
+    }
+    assert got_native == got_udf
+    assert got_native == {1: False, 2: True, 3: False, 4: True, 5: False}
+
+    # float column against integer type: zero-fraction passes, else fails
+    df2 = spark.createDataFrame([(1, 2.0), (2, 2.5)], "id long, v double")
+    s2 = {"type": "object", "properties": {"v": {"type": ["integer", "null"]}}}
+    got = {r.id: r.SchemaViolationFlag for r in V.schema_violation_flag(df2, s2).collect()}
+    assert got == {1: False, 2: True}
+
+    # required column absent from the frame: every row flagged (both paths)
+    s3 = {"type": "object", "properties": {"missing_col": {"type": "string"}}, "required": ["missing_col"]}
+    got3 = {r.id: r.SchemaViolationFlag for r in V.schema_violation_flag(df2, s3).collect()}
+    assert got3 == {1: True, 2: True}
