@@ -92,10 +92,13 @@ def main() -> None:
     n = spark.read.parquet(triples_path).count()
     report_path = None
     if args.report:
-        from phenoqc_spark.report import generate_report
+        from phenoqc_spark.report import generate_html_report, generate_report
 
         report_path = os.path.join(args.out, "qc_report.md")
         generate_report(spark, triples_path, audit_path, report_path)
+        generate_html_report(
+            spark, triples_path, audit_path, os.path.join(args.out, "qc_report.html")
+        )
     print(json.dumps({
         "run_id": run_id,
         "sec": round(time.time() - t0, 2),

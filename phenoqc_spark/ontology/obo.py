@@ -18,8 +18,9 @@ order is preserved** because the fuzzy tier's tie-breaking depends on it
 Only the term fields the reference consumes are handled: ``id``, ``name``,
 ``synonym``, ``alt_id``, ``xref`` (OBO) and their obographs twins (``lbl``,
 ``meta.synonyms[].val``, ``meta.basicPropertyValues`` with the
-``hasAlternativeId`` predicate, ``meta.xrefs[].val``).  OWL sources raise
-NotImplementedError (pronto-only in the reference; out of sandbox scope).
+``hasAlternativeId`` predicate, ``meta.xrefs[].val``) and OWL RDF/XML
+(``rdfs:label``, ``oboInOwl:has*Synonym`` / ``hasAlternativeId`` /
+``hasDbXref``).
 """
 
 from __future__ import annotations
@@ -112,19 +113,76 @@ def parse_obojson_terms(path: str) -> List[dict]:
     return terms
 
 
+_OWL_NS = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "oboInOwl": "http://www.geneontology.org/formats/oboInOwl#",
+}
+
+
+def parse_owl_terms(path: str) -> List[dict]:
+    """Parse an OWL RDF/XML ontology (the format HPO/DO publish as
+    ``hp.owl``) into the same term-dict list shape as
+    :func:`parse_obo_terms`, document order preserved.
+
+    Consumes only the annotation properties the reference reads through
+    pronto: ``rdfs:label`` (name), ``oboInOwl:has*Synonym``,
+    ``oboInOwl:hasAlternativeId``, ``oboInOwl:hasDbXref``.  Streaming
+    ``iterparse`` with element eviction keeps memory flat on multi-hundred-
+    MB ontologies (a driver-side concern — executors receive the built
+    dicts via broadcast)."""
+    import xml.etree.ElementTree as ET
+
+    cls_tag = f"{{{_OWL_NS['owl']}}}Class"
+    about_attr = f"{{{_OWL_NS['rdf']}}}about"
+    label_tag = f"{{{_OWL_NS['rdfs']}}}label"
+    syn_tags = {
+        f"{{{_OWL_NS['oboInOwl']}}}has{k}Synonym"
+        for k in ("Exact", "Related", "Narrow", "Broad")
+    }
+    alt_tag = f"{{{_OWL_NS['oboInOwl']}}}hasAlternativeId"
+    xref_tag = f"{{{_OWL_NS['oboInOwl']}}}hasDbXref"
+
+    terms: List[dict] = []
+    for event, elem in ET.iterparse(path, events=("end",)):
+        if elem.tag != cls_tag:
+            continue
+        iri = elem.get(about_attr)
+        if iri:
+            term = {"id": _curie(iri), "name": None, "synonyms": [], "alt_ids": [], "xrefs": []}
+            for child in elem:
+                txt = (child.text or "").strip()
+                if not txt:
+                    continue
+                if child.tag == label_tag and term["name"] is None:
+                    term["name"] = txt
+                elif child.tag in syn_tags:
+                    term["synonyms"].append(txt)
+                elif child.tag == alt_tag:
+                    term["alt_ids"].append(txt)
+                elif child.tag == xref_tag:
+                    term["xrefs"].append(txt)
+            terms.append(term)
+        elem.clear()  # evict subtree: flat memory on huge ontologies
+    return terms
+
+
 def _parse_terms(path: str, file_format: str | None = None) -> List[dict]:
-    """Dispatch OBO / obographs-JSON parsing by declared format, falling
-    back to the file extension."""
+    """Dispatch OBO / obographs-JSON / OWL parsing by declared format,
+    falling back to the file extension."""
     fmt = (file_format or "").lower()
     if not fmt:
         low = path.lower()
-        fmt = "json" if low.endswith(".json") else "obo"
+        fmt = "json" if low.endswith(".json") else "owl" if low.endswith(".owl") else "obo"
     if fmt == "obo":
         return parse_obo_terms(path)
     if fmt == "json":
         return parse_obojson_terms(path)
+    if fmt == "owl":
+        return parse_owl_terms(path)
     raise NotImplementedError(
-        f"ontology format '{file_format}' needs pronto (unavailable); use OBO or obographs JSON"
+        f"unknown ontology format '{file_format}'; use OBO, obographs JSON, or OWL RDF/XML"
     )
 
 
@@ -135,11 +193,7 @@ def build_term_dict(path: str, file_format: str | None = "obo") -> Dict[str, str
     descriptions, the id, alt_ids, xrefs (raw + suffix after first colon);
     then the OBO alt_id scan adds normalized alt_ids.
     """
-    fmt = (file_format or "").lower()
-    if not fmt:
-        low = path.lower()
-        fmt = "json" if low.endswith(".json") else "obo"
-    parsed = _parse_terms(path, fmt)
+    parsed = _parse_terms(path, file_format)
     mapping: Dict[str, str] = {}
     for term in parsed:
         term_id = term["id"]

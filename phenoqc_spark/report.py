@@ -1,9 +1,20 @@
-"""Markdown QC report derived from audit-table queries (engine analogue of
-the reference's PDF/MD report, reference: src/phenoqc/reporting.py — the
-visual/PDF layer is out of engine scope per SURVEY.md S13; this derives the
-same summary numbers by querying the audit + triples tables)."""
+"""QC reports derived from audit-table queries (engine analogue of the
+reference's PDF/MD report, reference: src/phenoqc/reporting.py).
+
+Two renderers over the same audit/triples aggregates:
+
+- :func:`generate_report` — Markdown (SURVEY.md S13 scope).
+- :func:`generate_html_report` — self-contained HTML with inline-SVG bar
+  charts, the engine-side stand-in for the reference's plotly/kaleido PDF
+  figures (those libraries are not available here; the numbers and chart
+  content match reporting.py's visual summary: volume tiles, triples per
+  predicate, mapping success rates).  No external assets, deterministic
+  output (no timestamps), native ``<title>`` tooltips per bar.
+"""
 
 from __future__ import annotations
+
+import html as _html
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -51,6 +62,119 @@ def generate_report(
                 f"| {r.column} | {r.ontology} | {r.total_terms} | {r.mapped_terms} | {r.success_rate_pct} |"
             )
     content = "\n".join(lines) + "\n"
+    with open(out_path, "w") as fh:
+        fh.write(content)
+    return content
+
+
+# --- HTML report (inline SVG, no deps) -------------------------------------
+
+_BAR_FILL = "#3987e5"  # validated sequential blue (single series, light surface)
+_INK = "#1f2937"
+_MUTED = "#6b7280"
+_GRID = "#e5e7eb"
+
+
+def _svg_hbar(rows, title, value_fmt="{:,.0f}", max_value=None, unit=""):
+    """Horizontal bar chart as an inline SVG string.
+
+    Single series → sequential hue, no legend (the title names it); thin
+    bars with a rounded data end, direct value labels, native tooltips.
+    """
+    if not rows:
+        return ""
+    label_w, chart_w, bar_h, gap, pad = 220, 480, 16, 8, 8
+    vmax = max_value if max_value is not None else max(v for _, v in rows) or 1
+    h = pad * 2 + len(rows) * (bar_h + gap) + 24
+    parts = [
+        f'<svg role="img" aria-label="{_html.escape(title)}" width="{label_w + chart_w + 90}" '
+        f'height="{h}" font-family="system-ui, sans-serif" font-size="12">',
+        f'<text x="0" y="14" fill="{_INK}" font-weight="600">{_html.escape(title)}</text>',
+    ]
+    y = 24 + pad
+    for label, value in rows:
+        w = max(round(chart_w * value / vmax), 1 if value else 0)
+        lab = _html.escape(str(label))
+        val = value_fmt.format(value) + unit
+        parts += [
+            f'<text x="{label_w - 8}" y="{y + bar_h - 4}" text-anchor="end" fill="{_MUTED}">'
+            f"{lab}</text>",
+            f'<line x1="{label_w}" y1="{y - gap / 2}" x2="{label_w}" y2="{y + bar_h + gap / 2}" '
+            f'stroke="{_GRID}"/>',
+            f'<rect x="{label_w}" y="{y}" width="{w}" height="{bar_h}" rx="4" '
+            f'fill="{_BAR_FILL}"><title>{lab}: {val}</title></rect>',
+            f'<text x="{label_w + w + 6}" y="{y + bar_h - 4}" fill="{_INK}">{val}</text>',
+        ]
+        y += bar_h + gap
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
+def generate_html_report(
+    spark: SparkSession,
+    triples_path: str,
+    audit_path: str,
+    out_path: str,
+    mapping_stats: DataFrame | None = None,
+) -> str:
+    """Self-contained HTML QC report (visual analogue of generate_report)."""
+    triples = spark.read.parquet(triples_path)
+    audit = spark.read.parquet(audit_path)
+    agg = audit.agg(
+        F.sum("n_pages").alias("pages"),
+        F.sum("n_triples").alias("triples"),
+        F.sum("missing_cells").alias("missing_cells"),
+        F.sum("schema_violations").alias("violations"),
+        F.countDistinct("part_key").alias("buckets"),
+    ).collect()[0]
+    top_preds = (
+        triples.groupBy("pred").count().orderBy(F.desc("count"), F.asc("pred")).limit(20).collect()
+    )
+    tiles = [
+        ("pages processed", f"{agg.pages:,}"),
+        ("triples emitted", f"{agg.triples:,}"),
+        ("schema violations", f"{agg.violations:,}"),
+        ("missing cells", f"{agg.missing_cells:,}"),
+        ("partition buckets", f"{agg.buckets:,}"),
+    ]
+    tile_html = "".join(
+        f'<div style="border:1px solid {_GRID};border-radius:8px;padding:12px 16px;">'
+        f'<div style="color:{_MUTED};font-size:12px;">{_html.escape(k)}</div>'
+        f'<div style="color:{_INK};font-size:22px;font-weight:600;">{v}</div></div>'
+        for k, v in tiles
+    )
+    sections = [
+        f'<div style="display:flex;gap:12px;flex-wrap:wrap;margin-bottom:24px;">{tile_html}</div>',
+        _svg_hbar([(r.pred, r["count"]) for r in top_preds], "Triples per predicate (top 20)"),
+    ]
+    if mapping_stats is not None:
+        ms = mapping_stats.collect()
+        sections.append(
+            _svg_hbar(
+                [(f"{r.column} → {r.ontology}", float(r.success_rate_pct)) for r in ms],
+                "Mapping success rate",
+                value_fmt="{:.1f}",
+                max_value=100.0,
+                unit="%",
+            )
+        )
+        rows_html = "".join(
+            f"<tr><td>{_html.escape(r.column)}</td><td>{_html.escape(r.ontology)}</td>"
+            f"<td>{r.total_terms:,}</td><td>{r.mapped_terms:,}</td><td>{r.success_rate_pct}%</td></tr>"
+            for r in ms
+        )
+        sections.append(
+            f'<table style="border-collapse:collapse;margin-top:16px;color:{_INK};" border="1" '
+            f'cellpadding="6"><tr><th>column</th><th>ontology</th><th>total</th>'
+            f"<th>mapped</th><th>rate</th></tr>{rows_html}</table>"
+        )
+    content = (
+        "<!doctype html>\n<html><head><meta charset='utf-8'><title>QC Report</title></head>\n"
+        f'<body style="font-family:system-ui,sans-serif;max-width:900px;margin:32px auto;'
+        f'color:{_INK};background:#ffffff;">\n<h1>QC Report</h1>\n'
+        + "\n".join(s for s in sections if s)
+        + "\n</body></html>\n"
+    )
     with open(out_path, "w") as fh:
         fh.write(content)
     return content

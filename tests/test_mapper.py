@@ -255,3 +255,50 @@ def test_obojson_term_dict_matches_obo_twin(tmp_path):
     assert r.map_term("High blood pressure")["HPO"] == "HP:0000822"
     assert r.map_term("HP:0000974")["HPO"] == "HP:0000822"  # alt id
     assert r.map_term("Pneumonias")["HPO"] == "HP:0002090"  # fuzzy
+
+
+def test_owl_term_dict_matches_obo_twin(tmp_path):
+    """An OWL RDF/XML fixture with the same content as an OBO file must
+    produce an identical term dict / alt map / resolver behavior."""
+    from phenoqc_spark.ontology import TermResolver
+    from phenoqc_spark.ontology.obo import build_alt_to_primary, build_term_dict
+
+    obo = tmp_path / "hp.obo"
+    obo.write_text(
+        "format-version: 1.2\n\n"
+        "[Term]\nid: HP:0000822\nname: Hypertension\n"
+        'synonym: "High blood pressure" EXACT []\n'
+        "alt_id: HP:0000974\nxref: UMLS:C0020538\n\n"
+        "[Term]\nid: HP:0002090\nname: Pneumonia\n"
+    )
+    owl = tmp_path / "hp.owl"
+    owl.write_text(
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+        '         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"\n'
+        '         xmlns:owl="http://www.w3.org/2002/07/owl#"\n'
+        '         xmlns:oboInOwl="http://www.geneontology.org/formats/oboInOwl#">\n'
+        '  <owl:Class rdf:about="http://purl.obolibrary.org/obo/HP_0000822">\n'
+        "    <rdfs:label>Hypertension</rdfs:label>\n"
+        "    <oboInOwl:hasExactSynonym>High blood pressure</oboInOwl:hasExactSynonym>\n"
+        "    <oboInOwl:hasAlternativeId>HP:0000974</oboInOwl:hasAlternativeId>\n"
+        "    <oboInOwl:hasDbXref>UMLS:C0020538</oboInOwl:hasDbXref>\n"
+        "  </owl:Class>\n"
+        '  <owl:Class rdf:about="http://purl.obolibrary.org/obo/HP_0002090">\n'
+        "    <rdfs:label>Pneumonia</rdfs:label>\n"
+        "  </owl:Class>\n"
+        "  <owl:ObjectProperty rdf:about=\"http://x/part_of\"/>\n"
+        "</rdf:RDF>\n"
+    )
+    d_obo = build_term_dict(str(obo), "obo")
+    d_owl = build_term_dict(str(owl), "owl")
+    assert d_obo == d_owl and list(d_obo) == list(d_owl)
+    assert build_alt_to_primary(str(obo)) == build_alt_to_primary(str(owl), "owl")
+
+    cfg = {
+        "ontologies": {"HPO": {"source": "local", "file": str(owl), "format": "owl"}},
+        "default_ontologies": ["HPO"],
+    }
+    r = TermResolver.from_config(cfg)
+    assert r.map_term("High blood pressure")["HPO"] == "HP:0000822"
+    assert r.map_term("HP:0000974")["HPO"] == "HP:0000822"

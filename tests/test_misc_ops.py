@@ -73,6 +73,31 @@ def test_report(spark, tmp_path, resolver):
     assert "# QC Report" in md and "pages processed" in md
     assert os.path.exists(str(tmp_path / "report.md"))
 
+    from phenoqc_spark.report import generate_html_report
+
+    recs = extract_records(pages)
+    terms = T.terms_long(recs, ["PrimaryPhenotype", "DiseaseCode"], [])
+    links = T.resolve_vocab(terms, spark.sparkContext.broadcast(resolver))
+    stats = T.mapping_stats(terms, links).orderBy("column", "ontology")
+    html = generate_html_report(
+        spark,
+        str(tmp_path / "triples"),
+        str(tmp_path / "audit"),
+        str(tmp_path / "report.html"),
+        mapping_stats=stats,
+    )
+    assert "<svg" in html and "Triples per predicate" in html
+    assert "Mapping success rate" in html and "triples emitted" in html
+    # deterministic: a second render is byte-identical
+    html2 = generate_html_report(
+        spark,
+        str(tmp_path / "triples"),
+        str(tmp_path / "audit"),
+        str(tmp_path / "report2.html"),
+        mapping_stats=stats,
+    )
+    assert html == html2
+
 
 def test_salted_distinct(spark):
     from phenoqc_spark.operators.triples import salted_distinct
