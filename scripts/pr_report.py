@@ -61,11 +61,31 @@ def main() -> None:
         f"- target: ≥ 0.95 each (BASELINE.json)\n"
         f"- wall: {dt:.1f}s on local[32] (includes both pipeline and oracle passes)\n\n"
         "Ground truth = the same deterministic pick indices joined against a\n"
-        "pool dimension resolved by the TermResolver, whose cascade is pinned\n"
-        "to the reference's golden mapping tests (exact / synonym / fuzzy /\n"
-        "threshold / alt_id / xref / prefix — tests/test_mapper.py).  The\n"
-        "comparison is a distributed set join (no driver materialization),\n"
-        "so the same harness runs unchanged at any scale factor.\n"
+        "pool dimension resolved by the TermResolver.  The comparison is a\n"
+        "distributed set join (no driver materialization), so the same harness\n"
+        "runs unchanged at any scale factor.\n\n"
+        "**What this does and does not prove.**  The expected-triple oracle uses\n"
+        "the same TermResolver instance as the pipeline under test, so\n"
+        "P/R = 1.0 is partly circular: it validates the distributed plumbing\n"
+        "(extract → explode → normalize → link → dedup preserves every mapping,\n"
+        "drops none, invents none) but cannot catch a resolver-level divergence\n"
+        "from the reference's mapping behavior.  The resolver itself is anchored\n"
+        "separately:\n\n"
+        "- tests/test_mapper.py ports the reference's golden mapping unit tests\n"
+        "  (exact / synonym / fuzzy / threshold / alt_id / xref / prefix\n"
+        "  cascade), including the observed dead-code semantics of the direct-ID\n"
+        "  tier;\n"
+        "- the fuzzy tier uses rapidfuzz's WRatio when the library is installed\n"
+        "  (the reference's exact scorer); the pure-Python fallback reimplements\n"
+        "  the published algorithm and is property-tested against the same\n"
+        "  score cutoffs (tests — fuzzy parity cases);\n"
+        "- `kg_triples_full` in the driver gate pins the resolver's output over\n"
+        "  every fuzzy/prefix/junk pool surface as a hash-checked VALUES oracle\n"
+        "  (__spark_entry__._KG_FULL_EXPECTED).\n\n"
+        "A golden file produced by *running* the reference mapper would be a\n"
+        "stronger anchor; its dependencies (pronto, rapidfuzz, requests) are not\n"
+        "installable in this sandbox, so the hand-ported goldens above are the\n"
+        "closest available evidence.\n"
     )
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PR.md")
     with open(out, "w") as fh:
