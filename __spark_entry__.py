@@ -967,6 +967,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["txt_fingerprint"] = txt_fingerprint
 
+    def txt_source_stats(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return X.corpus_source_stats(docs).orderBy("source")
+
+    q["txt_source_stats"] = txt_source_stats
+
     # Oracle-checked queries first: the grading driver records a bounded
     # number of entries in insertion order, and an oracle-checked query
     # must never be dropped in favour of a rows-only one.
@@ -1347,6 +1353,19 @@ FROM h ORDER BY doc_id
     o["txt_fingerprint"] = """
 SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents ORDER BY doc_id
+"""
+
+    o["txt_source_stats"] = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END) AS BIGINT)
+         AS total_tokens,
+       ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 6) AS dup_rate,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       ROUND(SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS short_doc_share
+FROM documents GROUP BY source ORDER BY source
 """
 
     o["agg_quality_scores"] = """

@@ -112,39 +112,92 @@ def ngram_jaccard_pairs(
     (stop-word bigrams) are the skew risk — callers can pre-filter by
     document frequency; AQE skew-join splitting handles the rest.
 
-    ``persist`` caches the shingle projection, which three downstream
-    branches (sizes, left join side, right join side) would otherwise each
-    recompute from the raw text.  At the 100 TB tier, replace the in-memory
-    persist by materializing shingles to a staging table once and joining
-    against that (same plan shape, executor-disk instead of cache).
+    As in :func:`minhash_lsh_pairs`, identical shingle-sets collapse to a
+    representative before the pair join (web corpora are duplicate-heavy; a
+    group of g identical docs would otherwise contribute O(g²) rows inside
+    every shared-shingle bucket).  Output is provably identical: shared
+    shingles and Jaccard are functions of the shingle sets alone, so
+    cross-group pairs inherit the representative pair's jaccard and
+    within-group pairs are exactly 1.0 (and share every shingle, so the
+    original join always emitted them for non-empty sets).
+
+    ``persist`` caches the per-doc (set_hash, n_sh) table reused by the
+    group, expansion, and membership branches.  At the 100 TB tier,
+    materialize it to a staging table instead (same plan shape,
+    executor-disk instead of cache).
     """
-    sh = word_shingles(df, n, text_col, id_col)
     persisted = []
+    doc_sets = (
+        shingle_sets(df, n, text_col, id_col)
+        .filter(F.col("n_sh") > 0)
+        .select(
+            "doc_id",
+            "sh_set",
+            "n_sh",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.expr("transform(sh_set, x -> cast(xxhash64(x) as string))")
+                    ),
+                )
+            ).alias("set_hash"),
+        )
+    )
     if persist:
-        sh = sh.persist()
-        persisted.append(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        doc_sets = doc_sets.persist()
+        persisted.append(doc_sets)
+    groups = doc_sets.groupBy("set_hash").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.min_by("n_sh", "doc_id").alias("n_sh"),
+        F.min_by("sh_set", "doc_id").alias("sh_set"),
+    )
+    rep_sh = groups.select("set_hash", "rep_id", F.explode("sh_set").alias("shingle"))
     pairs = (
-        sh.alias("l")
-        .join(sh.alias("r"), "shingle")
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        rep_sh.alias("l")
+        .join(rep_sh.alias("r"), "shingle")
+        .filter(F.col("l.rep_id") < F.col("r.rep_id"))
         .groupBy(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+            F.col("l.set_hash").alias("sh_a"), F.col("r.set_hash").alias("sh_b")
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    a = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
-    b = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
-    out = (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
+    sizes = groups.select("set_hash", "n_sh")
+    rep_pairs = (
+        pairs.join(
+            sizes.select(F.col("set_hash").alias("sh_a"), F.col("n_sh").alias("n_a")), "sh_a"
+        )
+        .join(sizes.select(F.col("set_hash").alias("sh_b"), F.col("n_sh").alias("n_b")), "sh_b")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("sh_a", "sh_b", "jaccard")
     )
+    members = doc_sets.select("set_hash", "doc_id")
+    within = (
+        members.alias("m1")
+        .join(members.alias("m2"), "set_hash")
+        .filter(F.col("m1.doc_id") < F.col("m2.doc_id"))
+        .select(
+            F.col("m1.doc_id").alias("doc_a"),
+            F.col("m2.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("set_hash").alias("sh_a"), F.col("doc_id").alias("ma")), "sh_a"
+        )
+        .join(members.select(F.col("set_hash").alias("sh_b"), F.col("doc_id").alias("mb")), "sh_b")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    out = within.unionByName(cross)
     return _register_persisted(out, persisted)
 
 

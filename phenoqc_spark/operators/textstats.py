@@ -97,3 +97,36 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (md5 so any SQL engine can recompute it)."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fp", F.md5(norm))
+
+
+def corpus_source_stats(df: DataFrame, source_col: str = "source", text_col: str = "text") -> DataFrame:
+    """Per-source corpus curation stats: the per-crawl-source roll-up a
+    training-data pipeline uses to decide which sources to keep, weight, or
+    re-crawl (docs, token volume, exact-dup rate, language mix, share of
+    short docs).
+
+    One hash-groupBy over per-row projections (dup detection via
+    count_distinct(md5(text)) — the wide text column itself never
+    shuffles, only its hash).  All JVM, SQL-oracle-checkable.
+    """
+    toks = _tokens_expr(text_col)
+    n_words = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
+    return (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.md5(F.col(text_col)).alias("_h"),
+            n_words.cast("long").alias("_nw"),
+            F.col("lang"),
+            (F.length(F.col(text_col)) < 100).cast("int").alias("_short"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nw").alias("total_tokens"),
+            F.round(
+                1.0 - F.countDistinct("_h") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.sum("_short") / F.count(F.lit(1)), 6).alias("short_doc_share"),
+        )
+    )

@@ -1,3 +1,3 @@
-from .pipeline import stream_triples
+from .pipeline import sessionized_page_counts, stream_source_counters, stream_triples
 
-__all__ = ["stream_triples"]
+__all__ = ["sessionized_page_counts", "stream_source_counters", "stream_triples"]

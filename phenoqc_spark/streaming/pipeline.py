@@ -79,3 +79,65 @@ def sessionized_page_counts(
             "n_pages",
         )
     )
+
+
+def stream_source_counters(
+    docs_stream: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Custom stateful streaming operator: per-source cumulative corpus
+    counters (docs, whitespace tokens) via ``applyInPandasWithState``.
+
+    This is the pattern for state the built-in windowed aggregates can't
+    express (cross-batch running totals with arbitrary update logic).  The
+    state store persists counters across micro-batches AND across query
+    restarts from the same checkpoint — the streaming twin of the batch
+    audit table's resumability.  Each micro-batch emits one updated row per
+    source present in that batch.
+
+    State is O(1) per source (two counters), so it is bounded by the number
+    of crawl sources, not by data volume — no watermark needed.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("source", StringType()),
+            StructField("n_docs", LongType()),
+            StructField("n_tokens", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n_docs", LongType()), StructField("n_tokens", LongType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n_docs, n_tokens = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n_docs += len(pdf)
+            n_tokens += int(pdf["_nw"].sum())
+        state.update((n_docs, n_tokens))
+        yield pd.DataFrame(
+            {"source": [key[0]], "n_docs": [n_docs], "n_tokens": [n_tokens]}
+        )
+
+    from pyspark.sql import functions as F
+
+    prepped = docs_stream.select(
+        F.col(source_col).alias("source"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")))
+        .cast("long")
+        .alias("_nw"),
+    )
+    return prepped.groupBy("source").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

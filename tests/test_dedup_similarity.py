@@ -191,3 +191,71 @@ def test_streaming_triples(spark, resolver, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() > 0
     assert set(got.columns) >= {"subj", "pred", "obj"}
+
+
+def test_corpus_source_stats(spark):
+    rows = [
+        (0, "the quick brown fox", "en", "srcA"),
+        (1, "the quick brown fox", "en", "srcA"),   # exact dup within srcA
+        (2, "short", "en", "srcA"),
+        (3, "ein ganz anderer text hier", "de", "srcB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r.source: r for r in X.corpus_source_stats(df).collect()}
+    a = got["srcA"]
+    assert a.n_docs == 3 and a.total_tokens == 4 + 4 + 1
+    assert abs(a.dup_rate - (1 - 2 / 3)) < 1e-6
+    assert a.n_langs == 1 and abs(a.short_doc_share - 1.0) < 1e-6
+    b = got["srcB"]
+    assert b.n_docs == 1 and b.dup_rate == 0.0 and b.n_langs == 1
+
+
+def test_stream_source_counters_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState counters accumulate across micro-batches and
+    across query restarts from the same checkpoint (state-store resume)."""
+    from phenoqc_spark.streaming import stream_source_counters
+
+    src = str(tmp_path / "docs_in")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [(0, "one two three", "en", "srcA"), (1, "uno dos", "es", "srcB")]
+    spark.createDataFrame(b1, "doc_id long, text string, lang string, source string").write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    out_dir = str(tmp_path / "counters_out")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                out_dir
+            )
+
+        q = (
+            stream_source_counters(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out_dir).collect()
+        latest = {}
+        for r in rows:
+            if r.source not in latest or r.batch_id > latest[r.source][0]:
+                latest[r.source] = (r.batch_id, r.n_docs, r.n_tokens)
+        return {s: (v[1], v[2]) for s, v in latest.items()}
+
+    got1 = run_once()
+    assert got1["srcA"] == (1, 3) and got1["srcB"] == (1, 2)
+
+    b2 = [(2, "four five six seven", "en", "srcA")]
+    spark.createDataFrame(b2, "doc_id long, text string, lang string, source string").write.mode(
+        "append"
+    ).parquet(src)
+    got2 = run_once()
+    # srcA counter resumed from state: 1+1 docs, 3+4 tokens
+    assert got2["srcA"] == (2, 7)
