@@ -682,8 +682,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dd_minhash_lsh"] = dd_minhash_lsh
 
     def dd_simhash(spark, sf_dir):
+        # md5-derived token hash -> the fingerprint and therefore the exact
+        # hamming pairs are recomputable in SQL: oracle does brute-force
+        # bit_count(xor) over all pairs, so LSH recall is hash-checked too
         docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-        return D.simhash_near_dups(docs, max_hamming=8).orderBy("doc_a", "doc_b")
+        return D.simhash_near_dups(docs, max_hamming=8, hash_fn="md5").orderBy(
+            "doc_a", "doc_b"
+        )
 
     q["dd_simhash"] = dd_simhash
 
@@ -930,7 +935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def mm_features(spark, sf_dir):
         # Arrow-batched feature extraction over binary payloads —
-        # deterministic fake kernel (no codecs in container); rows-only
+        # deterministic fake kernel (no codecs in container).  The exposed
+        # f0 is SQL-recomputable (sha256 hex byte math), so this is
+        # oracle-checked despite the Python kernel.
         from phenoqc_spark.operators import multimodal as M
 
         out = M.extract_features(_media_from_docs(spark, sf_dir), dim=16)
@@ -1541,6 +1548,87 @@ SELECT media_id, frame_ts_ms FROM (
   SELECT CAST(UNNEST(generate_series(0, duration_ms, 1000)) AS INT) AS frame_ts_ms
 )
 ORDER BY media_id, frame_ts_ms
+"""
+
+    # Exact all-pairs jaccard >= t.  Valid as the LSH query's oracle because
+    # (a) candidates are exact-verified, so false positives are impossible,
+    # and (b) on this deterministic corpus banded LSH recall is exactly 1.0
+    # (verified at sf0.01 and sf0.1) -- so output == the exact pair set.
+    o["dd_minhash_lsh"] = """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 2
+              THEN 'near duplicate text bucket ' || CAST(doc_id % 5 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+), words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM docs
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS shingle
+  FROM words, range(1, 100000) t(i) WHERE i < len(w)
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+    o["dd_simhash"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE doc_id < 100
+), th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 2, 15)) AS BIGINT) AS h FROM toks
+), bits AS (
+  SELECT doc_id, t.i AS i,
+         SUM(CASE WHEN (h >> t.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, range(0, 60) t(i) GROUP BY doc_id, t.i
+), sh AS (
+  SELECT doc_id,
+         COALESCE(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END), 0) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+ORDER BY doc_a, doc_b
+"""
+
+    o["mm_features"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         sha256(text) AS h
+  FROM documents
+), v AS (
+  SELECT media_id, kind,
+         [(CAST(('0x' || substr(h, 1, 4)) AS INT) / 32767.5 - 1),
+         (CAST(('0x' || substr(h, 5, 4)) AS INT) / 32767.5 - 1),
+         (CAST(('0x' || substr(h, 9, 4)) AS INT) / 32767.5 - 1),
+         (CAST(('0x' || substr(h, 13, 4)) AS INT) / 32767.5 - 1),
+         (CAST(('0x' || substr(h, 17, 4)) AS INT) / 32767.5 - 1),
+         (CAST(('0x' || substr(h, 21, 4)) AS INT) / 32767.5 - 1),
+         (CAST(('0x' || substr(h, 25, 4)) AS INT) / 32767.5 - 1),
+         (CAST(('0x' || substr(h, 29, 4)) AS INT) / 32767.5 - 1),
+         (CAST(('0x' || substr(h, 33, 4)) AS INT) / 32767.5 - 1),
+         (CAST(('0x' || substr(h, 37, 4)) AS INT) / 32767.5 - 1),
+         (CAST(('0x' || substr(h, 41, 4)) AS INT) / 32767.5 - 1),
+         (CAST(('0x' || substr(h, 45, 4)) AS INT) / 32767.5 - 1),
+         (CAST(('0x' || substr(h, 49, 4)) AS INT) / 32767.5 - 1),
+         (CAST(('0x' || substr(h, 53, 4)) AS INT) / 32767.5 - 1),
+         (CAST(('0x' || substr(h, 57, 4)) AS INT) / 32767.5 - 1),
+         (CAST(('0x' || substr(h, 61, 4)) AS INT) / 32767.5 - 1)] AS vals
+  FROM m
+)
+SELECT media_id, kind,
+       ROUND(vals[1] / sqrt(list_aggregate(list_transform(vals, x -> x * x), 'sum')), 6) AS f0
+FROM v ORDER BY media_id
 """
 
     o["txt_quality"] = """

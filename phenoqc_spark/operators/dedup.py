@@ -417,19 +417,37 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash bigint) — 64-bit sign-sum of per-token xxhash bits.
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, simhash bigint) — 64-bit sign-sum of per-token hash bits.
 
     Computed entirely with JVM expressions: tokens explode, each bit's
     contribution is ±1 summed per doc, then bits reassemble via sum of
     shifted sign bits.
+
+    ``hash_fn='xxhash64'`` (default) is the fast path; ``'md5'`` derives a
+    60-bit token hash from the md5 hex digest so the whole fingerprint is
+    recomputable by any SQL engine (the same portability rationale as
+    ``textstats.fingerprint``) — used by the driver's oracle-checked query.
     """
+    if hash_fn == "xxhash64":
+        th = F.xxhash64("tok")
+    elif hash_fn == "md5":
+        # 15 hex chars = 60 bits < 2^63: overflow-safe signed cast, identical
+        # in any engine with md5/substr/conv semantics
+        th = F.conv(F.substring(F.md5("tok"), 2, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn '{hash_fn}'")
     tokens = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")).alias(
             "tok"
         ),
-    ).withColumn("th", F.xxhash64("tok"))
+    ).withColumn("th", th)
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -446,7 +464,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def simhash_near_dups(
-    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc_a, doc_b, hamming ≤ max) via block LSH with ``max_hamming + 1``
     blocks: a pair with ≤ max_hamming differing bits cannot touch every one
@@ -462,7 +484,7 @@ def simhash_near_dups(
     base, extra = divmod(64, n_blocks)
     widths = [base + (1 if b < extra else 0) for b in range(n_blocks)]
     offsets = [sum(widths[:b]) for b in range(n_blocks)]
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col, hash_fn)
     blocks = sh.select(
         "doc_id",
         "simhash",
