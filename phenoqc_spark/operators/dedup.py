@@ -104,13 +104,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     persist: bool = True,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-Jaccard ≥ threshold.
 
     Pair generation happens *within shingle buckets* (self-join on the
     shingle key), so complexity is Σ bucket², never |docs|².  Hub shingles
-    (stop-word bigrams) are the skew risk — callers can pre-filter by
-    document frequency; AQE skew-join splitting handles the rest.
+    (stop-word bigrams) are the skew risk: ``max_doc_freq`` drops shingles
+    shared by more than that many *unique shingle-sets* from candidate
+    generation only — the exact Jaccard is still computed over the full
+    sets (``array_intersect``), so reported values never change; what the
+    cap trades away is recall for pairs whose ONLY shared shingles are
+    hub shingles (near-dup pairs share many, so a generous cap loses
+    nothing in practice — the standard web-dedup df-cut).  Default None =
+    exact, every pair considered; AQE skew-join splitting handles residual
+    imbalance.
 
     As in :func:`minhash_lsh_pairs`, identical shingle-sets collapse to a
     representative before the pair join (web corpora are duplicate-heavy; a
@@ -153,6 +161,14 @@ def ngram_jaccard_pairs(
         F.min_by("sh_set", "doc_id").alias("sh_set"),
     )
     rep_sh = groups.select("set_hash", "rep_id", F.explode("sh_set").alias("shingle"))
+    if max_doc_freq is not None:
+        keep = (
+            rep_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        rep_sh = rep_sh.join(keep, "shingle")
     pairs = (
         rep_sh.alias("l")
         .join(rep_sh.alias("r"), "shingle")
@@ -160,18 +176,21 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col("l.set_hash").alias("sh_a"), F.col("r.set_hash").alias("sh_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.count(F.lit(1)).alias("_n_shared_kept"))
+        .drop("_n_shared_kept")
     )
-    sizes = groups.select("set_hash", "n_sh")
+    # exact verify on the FULL sets (independent of any df-cut above)
+    ga = groups.select(
+        F.col("set_hash").alias("sh_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_a")
+    )
+    gb = groups.select(
+        F.col("set_hash").alias("sh_b"), F.col("sh_set").alias("set_b"), F.col("n_sh").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
     rep_pairs = (
-        pairs.join(
-            sizes.select(F.col("set_hash").alias("sh_a"), F.col("n_sh").alias("n_a")), "sh_a"
-        )
-        .join(sizes.select(F.col("set_hash").alias("sh_b"), F.col("n_sh").alias("n_b")), "sh_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-        )
+        pairs.join(ga, "sh_a")
+        .join(gb, "sh_b")
+        .withColumn("jaccard", inter / (F.col("n_a") + F.col("n_b") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select("sh_a", "sh_b", "jaccard")
     )

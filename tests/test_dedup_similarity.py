@@ -259,3 +259,39 @@ def test_stream_source_counters_state_survives_restart(spark, tmp_path):
     got2 = run_once()
     # srcA counter resumed from state: 1+1 docs, 3+4 tokens
     assert got2["srcA"] == (2, 7)
+
+
+def test_ngram_max_doc_freq_and_release(spark):
+    """The df-cut drops hub-shingle-only pairs from candidate generation but
+    never changes a reported jaccard; release_intermediates frees caches."""
+    rows = [
+        # 0/1 share distinctive shingles; 2..5 share ONLY the hub bigram
+        (0, "unique alpha beta hub tok"),
+        (1, "unique alpha beta hub tok"),
+        (2, "hub tok aaa bbb"),
+        (3, "hub tok ccc ddd"),
+        (4, "hub tok eee fff"),
+        (5, "hub tok ggg hhh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(df, n=2, threshold=0.2).collect()
+    }
+    # hub-only pairs exist in the exact output (jaccard 1/7 < 0.2 filtered;
+    # use low threshold so they'd appear)
+    capped_df = D.ngram_jaccard_pairs(df, n=2, threshold=0.2, max_doc_freq=2)
+    capped = {(r.doc_a, r.doc_b): r.jaccard for r in capped_df.collect()}
+    # the 0-1 identical pair survives the cut with an UNCHANGED jaccard
+    assert capped[(0, 1)] == exact[(0, 1)] == 1.0
+    # every capped pair's jaccard matches the exact run (values never change)
+    for k, v in capped.items():
+        assert exact[k] == v
+    # pairs connected ONLY via the hub shingle ('hub tok' appears in 5 sets
+    # > cap 2) are dropped from candidates
+    assert (2, 3) in exact and (2, 3) not in capped
+    # lifecycle: unpersist attached intermediates without error
+    sc = spark.sparkContext._jsc.sc()
+    D.release_intermediates(capped_df)
+    assert getattr(capped_df, "_phenoqc_persisted") == []
+    D.release_intermediates(capped_df)  # idempotent, no-op
