@@ -681,6 +681,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dd_minhash_lsh"] = dd_minhash_lsh
 
+    def dd_near_dedup(spark, sf_dir):
+        # corpus near-dedup keep-list (the 100 TB product: one survivor per
+        # near-dup cluster, never materializes member pairs); oracle is a
+        # recursive-CTE connected-components over the exact pair set
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 < 2,
+                F.concat(F.lit("near duplicate text bucket "), (F.col("doc_id") % 5).cast("string")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return (
+            D.minhash_near_dedup(docs, threshold=0.8, num_hashes=32, bands=8)
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+
+    q["dd_near_dedup"] = dd_near_dedup
+
     def dd_simhash(spark, sf_dir):
         # md5-derived token hash -> the fingerprint and therefore the exact
         # hamming pairs are recomputable in SQL: oracle does brute-force
@@ -1576,6 +1597,41 @@ SELECT doc_a, doc_b, ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
 FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
 WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
 ORDER BY doc_a, doc_b
+"""
+
+    o["dd_near_dedup"] = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 2
+              THEN 'near duplicate text bucket ' || CAST(doc_id % 5 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+), words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM docs
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS shingle
+  FROM words, range(1, 100000) t(i) WHERE i < len(w)
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs0 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), p AS (
+  SELECT doc_a, doc_b
+  FROM pairs0 JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p
+), reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
+), mins AS (
+  SELECT b AS doc_id, MIN(a) AS m FROM reach GROUP BY b
+)
+SELECT d.doc_id FROM docs d LEFT JOIN mins USING (doc_id)
+WHERE mins.m IS NULL OR mins.m > d.doc_id
+ORDER BY d.doc_id
 """
 
     o["dd_simhash"] = """

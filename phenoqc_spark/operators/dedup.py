@@ -283,45 +283,24 @@ def shingle_sets(df: DataFrame, n: int = 2, text_col: str = "text", id_col: str 
     return words.select("doc_id", sh.alias("sh_set"), F.size(sh).alias("n_sh"))
 
 
-def minhash_lsh_pairs(
+def _minhash_rep_graph(
     df: DataFrame,
-    threshold: float = 0.8,
-    num_hashes: int = 64,
-    bands: int = 16,
-    n: int = 2,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    persist: bool = True,
-) -> DataFrame:
-    """Candidate pairs via banded LSH, verified by exact shingle Jaccard.
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    n: int,
+    text_col: str,
+    id_col: str,
+    persist: bool,
+):
+    """Shared LSH core: (doc_sets, rep_pairs, persisted).
 
-    rows/band = num_hashes/bands; a pair collides in ≥1 band with
-    probability 1-(1-j^r)^b.  Candidates (bucket-join, skew-safe via AQE)
-    are then verified exactly — output is (doc_a, doc_b, jaccard ≥ t).
+    doc_sets = (doc_id, sh_set, n_sh, set_hash, sig) per doc (one map-only
+    stage); rep_pairs = verified near-dup edges BETWEEN unique shingle-sets
+    (sh_a, sh_b, jaccard ≥ t).  See ``minhash_lsh_pairs`` for the design
+    rationale.
 
-    Plan shape (tuned for both the 100 TB tier and cold single-shot cost):
 
-    1. ``shingle_sets`` computes each doc's distinct shingle set as an
-       array column in ONE map-only codegen stage — no explode, no shuffle.
-       set_hash, set size, and the full minhash signature (elementwise
-       ``array_min(transform(sh_set, x -> xxhash64(x, i)))``) are further
-       projections of that same stage.
-    2. Identical shingle-sets collapse to one representative BEFORE the LSH
-       join (standard web-dedup staging: exact-collapse, then near-dup over
-       unique content).  Web corpora are duplicate-heavy; without this, a
-       group of g identical docs costs O(g²) inside every band bucket and
-       again in candidate-distinct and exact-verify.  Output is provably
-       identical: buckets and exact Jaccard are functions of the shingle
-       set alone, so member candidacy ⟺ representative candidacy and
-       member jaccard = representative jaccard; within-group pairs are
-       jaccard 1.0 and always candidates (equal signatures).
-    3. Exact verify uses ``array_intersect`` on the two reps' set arrays in
-       the candidate projection — no shingle re-join, no pair groupBy.
-
-    ``persist`` caches the small per-doc (set_hash, n_sh, sig) table reused
-    by the group, within-expansion, and cross-expansion branches.  At the
-    100 TB tier, materialize it to a staging table instead — same plan,
-    executor-disk instead of cache memory.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -403,6 +382,56 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", inter / (F.col("n_a") + F.col("n_b") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select("sh_a", "sh_b", "jaccard")
+    )
+    return doc_sets, rep_pairs, persisted
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified by exact shingle Jaccard.
+
+    rows/band = num_hashes/bands; a pair collides in ≥1 band with
+    probability 1-(1-j^r)^b.  Candidates (bucket-join, skew-safe via AQE)
+    are then verified exactly — output is (doc_a, doc_b, jaccard ≥ t).
+
+    Plan shape (tuned for both the 100 TB tier and cold single-shot cost):
+
+    1. ``shingle_sets`` computes each doc's distinct shingle set as an
+       array column in ONE map-only codegen stage — no explode, no shuffle.
+       set_hash, set size, and the full minhash signature (elementwise
+       ``array_min(transform(sh_set, x -> xxhash64(x, i)))``) are further
+       projections of that same stage.
+    2. Identical shingle-sets collapse to one representative BEFORE the LSH
+       join (standard web-dedup staging: exact-collapse, then near-dup over
+       unique content).  Web corpora are duplicate-heavy; without this, a
+       group of g identical docs costs O(g²) inside every band bucket and
+       again in candidate-distinct and exact-verify.  Output is provably
+       identical: buckets and exact Jaccard are functions of the shingle
+       set alone, so member candidacy ⟺ representative candidacy and
+       member jaccard = representative jaccard; within-group pairs are
+       jaccard 1.0 and always candidates (equal signatures).
+    3. Exact verify uses ``array_intersect`` on the two reps' set arrays in
+       the candidate projection — no shingle re-join, no pair groupBy.
+
+    NOTE the output is the full PAIR LIST, quadratic in duplicate-group
+    size by definition; for corpus dedup at the 100 TB tier use
+    ``minhash_near_dedup``, which never materializes member pairs.
+
+    ``persist`` caches the small per-doc (set_hash, n_sh, sig) table reused
+    by the group, within-expansion, and cross-expansion branches.  At the
+    100 TB tier, materialize it to a staging table instead — same plan,
+    executor-disk instead of cache memory.
+    """
+    doc_sets, rep_pairs, persisted = _minhash_rep_graph(
+        df, threshold, num_hashes, bands, n, text_col, id_col, persist
     )
     # --- expand group members back into doc pairs ----------------------
     members = doc_sets.select("set_hash", "doc_id")
@@ -543,3 +572,53 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def minhash_near_dedup(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
+    """Corpus near-deduplication: keep one representative (min id) per
+    near-duplicate cluster; returns the surviving rows of ``df``.
+
+    This is the 100 TB dedup PRODUCT (the pair list of
+    ``minhash_lsh_pairs`` is quadratic in duplicate-group size by
+    definition; the keep-list never materializes member pairs):
+
+    1. the shared LSH core yields verified near-dup edges BETWEEN unique
+       shingle-sets (``_minhash_rep_graph`` — duplicate groups are one
+       node each);
+    2. connected components over that set-level graph (ontology-scale,
+       not corpus-scale: nodes = unique contents with ≥1 near-dup edge)
+       assign each content a cluster;
+    3. the cluster keep-id is the min member doc id; everything else is
+       dropped via one left-anti join.  Docs with fewer than n words have
+       no shingle set and are always kept.
+    """
+    from .canonicalize import connected_components
+
+    doc_sets, rep_pairs, persisted = _minhash_rep_graph(
+        df, threshold, num_hashes, bands, n, text_col, id_col, persist
+    )
+    cc = connected_components(
+        rep_pairs.select(F.col("sh_a").alias("src"), F.col("sh_b").alias("dst"))
+    )
+    members = doc_sets.select("set_hash", "doc_id")
+    comp = (
+        members.join(cc.withColumnRenamed("node", "set_hash"), "set_hash", "left")
+        .withColumn("component", F.coalesce("component", F.col("set_hash")))
+    )
+    keep = comp.groupBy("component").agg(F.min("doc_id").alias("keep_id"))
+    dropped = (
+        comp.join(keep, "component")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    out = df.join(dropped, id_col, "left_anti")
+    return _register_persisted(out, persisted)

@@ -295,3 +295,19 @@ def test_ngram_max_doc_freq_and_release(spark):
     D.release_intermediates(capped_df)
     assert getattr(capped_df, "_phenoqc_persisted") == []
     D.release_intermediates(capped_df)  # idempotent, no-op
+
+
+def test_minhash_near_dedup_keeplist(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),   # near dup of 0
+        (3, "completely different text about spark engines"),
+        (4, "tiny"),                                          # <n words: always kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept_df = D.minhash_near_dedup(df, threshold=0.5, num_hashes=32, bands=16)
+    kept = sorted(r.doc_id for r in kept_df.collect())
+    D.release_intermediates(kept_df)
+    # 0/1/2 cluster together -> keep 0; 3 and 4 survive
+    assert kept == [0, 3, 4]
