@@ -1,3 +1,13 @@
-from .pipeline import sessionized_page_counts, stream_source_counters, stream_triples
+from .pipeline import (
+    sessionized_page_counts,
+    stream_dedup_docs,
+    stream_source_counters,
+    stream_triples,
+)
 
-__all__ = ["sessionized_page_counts", "stream_source_counters", "stream_triples"]
+__all__ = [
+    "sessionized_page_counts",
+    "stream_dedup_docs",
+    "stream_source_counters",
+    "stream_triples",
+]

@@ -141,3 +141,30 @@ def stream_source_counters(
     return prepped.groupBy("source").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_dedup_docs(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    watermark_col: str | None = None,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact dedup: emit each distinct document text once across
+    micro-batches.
+
+    Spark-first: the built-in streaming ``dropDuplicates`` carries the
+    fingerprint set in the state store (surviving restarts via the
+    checkpoint), so no custom stateful operator is needed.  With
+    ``watermark_col`` set, ``dropDuplicatesWithinWatermark`` bounds the
+    state to the watermark horizon — the 100 TB posture for an unbounded
+    crawl (a duplicate arriving later than the watermark may re-emit;
+    downstream batch dedup catches the long tail).  The fingerprint is the
+    same md5 as ``textstats.fingerprint``, so stream and batch agree.
+    """
+    from pyspark.sql import functions as F
+
+    fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
+    out = docs_stream.withColumn("fp", fp)
+    if watermark_col:
+        return out.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(["fp"])
+    return out.dropDuplicates(["fp"])

@@ -311,3 +311,40 @@ def test_minhash_near_dedup_keeplist(spark):
     D.release_intermediates(kept_df)
     # 0/1/2 cluster together -> keep 0; 3 and 4 survive
     assert kept == [0, 3, 4]
+
+
+def test_stream_dedup_docs_across_batches(spark, tmp_path):
+    """Streaming exact dedup suppresses duplicates across micro-batches via
+    the state store (second run from the same checkpoint sees batch-1
+    fingerprints)."""
+    from phenoqc_spark.streaming import stream_dedup_docs
+
+    src = str(tmp_path / "docs_in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    b1 = [(0, "hello world"), (1, "something else")]
+    spark.createDataFrame(b1, "doc_id long, text string").write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream_dedup_docs(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+
+    assert run_once() == [0, 1]
+    # batch 2: one dup of doc 0 (different id), one new text
+    b2 = [(2, "hello   WORLD"), (3, "fresh content")]
+    spark.createDataFrame(b2, "doc_id long, text string").write.mode("append").parquet(src)
+    assert run_once() == [0, 1, 3]  # doc 2 suppressed by cross-batch state
