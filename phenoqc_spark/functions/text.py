@@ -36,8 +36,23 @@ def extract_text(html: pd.Series) -> pd.Series:
     extraction is the exact inverse.  This replaces the reference's
     chunked CSV/JSON readers (reference: src/phenoqc/input.py:4-79) as the
     record-acquisition step.
+
+    The conforming-wrapper path is fully vectorized: one ``.str.decode``
+    over the batch, then C-level startswith/endswith/slice on the decoded
+    strings (the wrapper is pure ASCII, so character slicing equals byte
+    slicing and the result is byte-identical to the bytes-level inverse).
+    Only non-conforming rows fall back to the per-row regex tag-strip.
     """
-    return html.map(_extract_one)
+    decoded = html.str.decode("utf-8", "replace")
+    prefix, suffix = HTML_PREFIX.decode(), HTML_SUFFIX.decode()
+    mask = (decoded.str.startswith(prefix) & decoded.str.endswith(suffix)).fillna(False)
+    out = pd.Series([None] * len(html), index=html.index, dtype=object)
+    if mask.any():
+        out[mask] = decoded[mask].str.slice(len(prefix), -len(suffix))
+    slow = ~mask & html.notna()
+    if slow.any():
+        out[slow] = html[slow].map(_extract_one)
+    return out
 
 
 @pandas_udf(StringType())
