@@ -1599,6 +1599,51 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
 ORDER BY doc_a, doc_b
 """
 
+    # sim_ann_lsh: the hyperplanes are deterministic (seed 42), so bucket
+    # assignment and the exact-cosine re-rank are SQL-recomputable with the
+    # planes inlined as literal DOUBLE lists (identical bit patterns to the
+    # Spark literals - both sides come from the same Python floats).
+    from phenoqc_spark.operators.similarity import _hyperplanes as _hp
+
+    _plane_vals = ",\n  ".join(
+        f"({i}, [{', '.join(repr(x) for x in pl)}])" for i, pl in enumerate(_hp(64, 12, 42))
+    )
+    o["sim_ann_lsh"] = f"""
+WITH planes(i, p) AS (VALUES
+  {_plane_vals}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+signs AS (
+  SELECT e.vec_id, planes.i,
+         CASE WHEN list_dot_product(e.v, planes.p) >= 0 THEN (1::BIGINT << planes.i) ELSE 0::BIGINT END AS bit
+  FROM e, planes
+),
+b AS (
+  SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM signs GROUP BY vec_id
+),
+qp AS (
+  SELECT b.vec_id AS query_id, xor(b.bucket, px.x) AS bucket
+  FROM b, (SELECT 0::BIGINT AS x UNION ALL SELECT (1::BIGINT << t.i) FROM range(0, 12) t(i)) px
+  WHERE b.vec_id < 5
+),
+cand AS (
+  SELECT DISTINCT qp.query_id, cb.vec_id
+  FROM qp JOIN b cb ON qp.bucket = cb.bucket
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(ev.v, eq.v)
+           / (sqrt(list_dot_product(ev.v, ev.v)) * sqrt(list_dot_product(eq.v, eq.v))) AS cosine
+  FROM cand c JOIN e ev ON c.vec_id = ev.vec_id JOIN e eq ON c.query_id = eq.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
     o["dd_near_dedup"] = """
 WITH RECURSIVE docs AS (
   SELECT doc_id,
