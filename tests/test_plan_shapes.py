@@ -85,3 +85,25 @@ def test_spearman_ranks_have_no_global_window(spark):
     assert specs, txt  # the rank windows must exist
     for spec in specs:
         assert spec.startswith("_bkt"), f"unpartitioned window: {spec}\n{txt}"
+
+
+def test_shingle_sets_is_map_only(spark, sf_dir):
+    """The dedup front end (per-doc shingle set + size) must be one
+    map-only stage: no Exchange, no Generate (explode) in the plan."""
+    from phenoqc_spark.operators.dedup import shingle_sets
+    from phenoqc_spark.sources import load_table
+
+    txt = plan_text(shingle_sets(load_table(spark, sf_dir, "documents")))
+    assert "Exchange" not in txt, txt
+    assert "Generate" not in txt, txt
+
+
+def test_schema_flag_plan_is_python_free(spark, sf_dir):
+    """v_schema_flag compiles to JVM predicates: no Python operator and no
+    round-trip through to_json."""
+    import __spark_entry__ as E
+
+    txt = plan_text(E.queries()["v_schema_flag"](spark, sf_dir))
+    assert "ArrowEvalPython" not in txt, txt
+    assert "BatchEvalPython" not in txt, txt
+    assert "to_json" not in txt, txt
