@@ -321,3 +321,62 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ivf_assign_cells(
+    corpus: DataFrame,
+    centroids: List[List[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding, cid): nearest-centroid cell per vector, computed
+    map-only from the broadcast codebook.  Write this partitioned by ``cid``
+    (``.write.partitionBy("cid")`` / an Iceberg identity partition) to get
+    the 100 TB IVF layout — probes then become partition pruning."""
+    base = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    dots = _centroid_dots("embedding", centroids)
+    return base.withColumn("cid", (F.array_position(dots, F.array_max(dots)) - 1).cast("int"))
+
+
+def cosine_topk_ivf_partitioned(
+    spark,
+    table_path: str,
+    queries: DataFrame,
+    centroids: List[List[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF ANN over a cell-PARTITIONED vector table: the probe-cell filter
+    is a partition predicate, so the scan reads ONLY the probed cells'
+    files (``PartitionFilters`` in the plan — the part of the corpus
+    touched is |probed cells| / |cells|, independent of corpus size).
+
+    The probe set is computed driver-side from the broadcast codebook
+    (|queries| × n_probe cell ids — bounded), because a partition filter
+    must be a literal predicate to prune at planning time.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("q")
+    )
+    qd = q.select("query_id", "q", F.posexplode(_centroid_dots("q", centroids)).alias("cid", "cdot"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cdot"), F.asc("cid"))
+    probes = (
+        qd.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "q", "cid")
+    )
+    probe_cells = sorted({r.cid for r in probes.select("cid").distinct().collect()})
+    corpus = spark.read.parquet(table_path).filter(F.col("cid").isin(probe_cells))
+    cand = corpus.join(F.broadcast(probes), "cid").select(
+        "query_id", "vec_id", F.col("embedding").alias("v"), "q"
+    )
+    cos = (_dot_expr("v", "q") / (_norm_expr("v") * _norm_expr("q"))).alias("cosine")
+    scored = cand.select("query_id", "vec_id", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

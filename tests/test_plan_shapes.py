@@ -107,3 +107,36 @@ def test_schema_flag_plan_is_python_free(spark, sf_dir):
     assert "ArrowEvalPython" not in txt, txt
     assert "BatchEvalPython" not in txt, txt
     assert "to_json" not in txt, txt
+
+
+def test_ivf_partitioned_scan_prunes_cells(spark, tmp_path):
+    """IVF over a cell-partitioned vector table: the probe filter must land
+    in PartitionFilters (only probed cells' files are read) and results
+    must equal the unpartitioned IVF on the same codebook."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators import similarity as S
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(4, 8)) * 5.0
+    vecs = [
+        (i, (centers[i % 4] + rng.normal(size=8) * 0.2).astype(float).tolist())
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    C = S.ivf_centroids(emb, n_centroids=4, seed=7)
+    path = str(tmp_path / "ivf_table")
+    S.ivf_assign_cells(emb, C).write.partitionBy("cid").parquet(path)
+
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    part = S.cosine_topk_ivf_partitioned(spark, path, qdf, C, k=5, n_probe=1)
+    txt = plan_text(part)
+    assert "PartitionFilters" in txt and "cid" in txt.split("PartitionFilters")[1][:120], txt
+
+    base = S.cosine_topk_ivf(emb, qdf, k=5, n_probe=1, centroids=C)
+    got = {(r.query_id, r.vec_id, r.rank) for r in part.collect()}
+    want = {(r.query_id, r.vec_id, r.rank) for r in base.collect()}
+    assert got == want and len(got) > 0
