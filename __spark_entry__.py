@@ -749,15 +749,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_ann_lsh"] = sim_ann_lsh
 
     def sim_ann_ivf(spark, sf_dir):
-        # IVF ANN: sampled spherical-kmeans codebook (broadcast) → cell
-        # assignment (JVM argmax) → probe n cells → exact re-rank; rows-only
-        # (kmeans codebook not SQL-expressible)
+        # IVF ANN with the PINNED codebook artifact (the production
+        # pattern: centroids are a versioned model applied unchanged at any
+        # corpus size) → cell assignment (JVM argmax) → probe n cells →
+        # exact re-rank.  With literal centroids the whole query is
+        # SQL-recomputable, so it is oracle-checked.
+        from phenoqc_spark.ivf_codebook import IVF_CODEBOOK_8x64
+
         emb = load_table(spark, sf_dir, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
         return S.cosine_topk_ivf(
-            emb, queries_df, k=10, n_centroids=8, n_probe=4
+            emb, queries_df, k=10, n_probe=4, centroids=IVF_CODEBOOK_8x64
         ).orderBy("query_id", "rank")
 
     q["sim_ann_ivf"] = sim_ann_ivf
@@ -1628,6 +1632,52 @@ qp AS (
 cand AS (
   SELECT DISTINCT qp.query_id, cb.vec_id
   FROM qp JOIN b cb ON qp.bucket = cb.bucket
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(ev.v, eq.v)
+           / (sqrt(list_dot_product(ev.v, ev.v)) * sqrt(list_dot_product(eq.v, eq.v))) AS cosine
+  FROM cand c JOIN e ev ON c.vec_id = ev.vec_id JOIN e eq ON c.query_id = eq.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+    # sim_ann_ivf: pinned codebook → every stage SQL-recomputable (same
+    # argmax/tie-break and probe ordering as the Spark plan).
+    from phenoqc_spark.ivf_codebook import IVF_CODEBOOK_8x64 as _cb
+
+    _cell_vals = ",\n  ".join(
+        f"({j}, [{', '.join(repr(x) for x in c)}])" for j, c in enumerate(_cb)
+    )
+    o["sim_ann_ivf"] = f"""
+WITH cells(j, c) AS (VALUES
+  {_cell_vals}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (
+  SELECT e.vec_id, cells.j,
+         list_dot_product(e.v, cells.c) / sqrt(list_dot_product(e.v, e.v)) AS dot
+  FROM e, cells
+),
+cass AS (
+  SELECT vec_id, j AS cid FROM (
+    SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, j ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, j AS cid FROM (
+    SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, j ASC) AS rn
+    FROM d WHERE vec_id < 5
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, ca.vec_id FROM probes p JOIN cass ca ON p.cid = ca.cid
 ),
 scored AS (
   SELECT c.query_id, c.vec_id,
