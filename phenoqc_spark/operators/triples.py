@@ -169,3 +169,47 @@ def mapping_stats(terms: DataFrame, links: DataFrame) -> DataFrame:
             100.0 * F.sum(F.col("term_id").isNotNull().cast("int")) / F.count("*"), 2
         ).alias("success_rate_pct"),
     )
+
+
+def map_wide(
+    records: DataFrame,
+    phenotype_columns: dict,
+    resolver_bc,
+    id_col: str = "SampleID",
+) -> DataFrame:
+    """Reference-shaped WIDE mapping output: one ``{ONTO}_ID`` column per
+    ontology (reference: batch_processing.py:585-620 — note the reference
+    keys the new column by ontology alone, so with several phenotype
+    columns mapping to the same ontology the LAST column's mapping wins;
+    that observed overwrite semantics is preserved here).
+
+    ``phenotype_columns`` is the reference's config shape:
+    ``{column_name: [ontology_id, ...]}``.  Resolution cost is
+    vocabulary-sized (one distinct-terms resolve over all columns); the
+    fan-out back to rows is a broadcast join per (column, ontology).
+    """
+    present = {c: o for c, o in phenotype_columns.items() if c in records.columns}
+    if not present:
+        return records
+    terms = terms_long(
+        records.withColumn("_url_dummy", F.lit("")),
+        list(present),
+        [],
+        id_col=id_col,
+        url_col="_url_dummy",
+    )
+    links = resolve_vocab(terms, resolver_bc)
+    out = records
+    for column, ontos in present.items():
+        out = out.withColumn("_tn", normalize_terms(F.col(column)))
+        for onto in ontos:
+            m = links.filter(F.col("ontology") == onto).select(
+                F.col("term_norm").alias("_tn"), F.col("term_id").alias("_tid")
+            )
+            out = (
+                out.join(F.broadcast(m), "_tn", "left")
+                .withColumn(f"{onto}_ID", F.col("_tid"))
+                .drop("_tid")
+            )
+        out = out.drop("_tn")
+    return out

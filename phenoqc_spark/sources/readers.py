@@ -128,3 +128,37 @@ def load_data(spark: SparkSession, path: str, **kw) -> DataFrame:
     if ext == ".parquet":
         return spark.read.parquet(path)
     raise ValueError(f"Unsupported file extension: {ext!r} (csv/tsv/json/parquet)")
+
+
+def collect_input_files(paths, recursive: bool = False):
+    """Collect all supported data files (.csv/.tsv/.json) from files,
+    directories, and ZIP archives (reference: cli.py:131-196).
+
+    ZIPs extract to a temp dir; ``recursive`` walks nested directories,
+    otherwise one directory level is scanned (reference's top-level +
+    one-layer behavior).  Returns absolute paths in discovery order."""
+    import os
+
+    exts = {".csv", ".tsv", ".json"}
+    out = []
+
+    def scan_dir(d):
+        for idx, (root, _dirs, files) in enumerate(sorted(os.walk(d))):
+            for fn in sorted(files):
+                if os.path.splitext(fn)[1].lower() in exts:
+                    out.append(os.path.join(root, fn))
+            if not recursive and idx >= 1:
+                break
+
+    for p in paths:
+        if os.path.isfile(p):
+            ext = os.path.splitext(p)[1].lower()
+            if ext == ".zip":
+                extracted, err = extract_zip(p)
+                if err is None:
+                    scan_dir(extracted)
+            elif ext in exts:
+                out.append(os.path.abspath(p))
+        elif os.path.isdir(p):
+            scan_dir(p)
+    return out

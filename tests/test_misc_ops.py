@@ -106,3 +106,87 @@ def test_salted_distinct(spark):
     df = spark.createDataFrame(rows, "term_norm string").repartition(8)
     out = sorted(r.term_norm for r in salted_distinct(df, "term_norm").collect())
     assert len(out) == 21 and "hub" in out
+
+
+def test_map_wide_reference_shape(spark, resolver):
+    from phenoqc_spark.operators.triples import map_wide
+
+    rows = [
+        ("S1", "Hypertension", "Anemia"),
+        ("S2", "Asthma", None),
+        ("S3", "Xyzzynothing", "DOID:1612"),
+    ]
+    df = spark.createDataFrame(rows, "SampleID string, PrimaryPhenotype string, DiseaseCode string")
+    bc = spark.sparkContext.broadcast(resolver)
+    out = map_wide(
+        df, {"PrimaryPhenotype": ["HPO", "DO"], "DiseaseCode": ["DO"]}, bc
+    )
+    got = {r.SampleID: r.asDict() for r in out.collect()}
+    assert got["S1"]["HPO_ID"] == "HP:0000822"
+    # DiseaseCode maps DO last -> overwrites PrimaryPhenotype's DO mapping
+    # (reference's observed keying by ontology alone)
+    assert got["S1"]["DO_ID"] == "DOID:1388"   # Anemia
+    assert got["S2"]["HPO_ID"] == "HP:0002090"  # Asthma
+    assert got["S2"]["DO_ID"] is None           # DiseaseCode null
+    assert got["S3"]["HPO_ID"] is None          # junk unmapped
+    assert got["S3"]["DO_ID"] == "DOID:1612"
+
+
+def test_run_qc_job_end_to_end(spark, tmp_path, onto_dir):
+    """The QC CLI flow (reference: phenoqc --input ... --schema ...):
+    load → validate → impute → wide-map → processed CSV + summary."""
+    import json
+    import subprocess
+    import sys
+
+    from phenoqc_spark.config import save_config
+    from phenoqc_spark.fixtures import fixture_config
+
+    data = tmp_path / "cohort.csv"
+    data.write_text(
+        "SampleID,PrimaryPhenotype,Age\n"
+        "S1,Hypertension,30\n"
+        "S2,Asthma,\n"
+        "S3,Nonsenseterm,45\n"
+        "S3,Nonsenseterm,45\n"  # duplicate record
+    )
+    schema = tmp_path / "schema.json"
+    schema.write_text(json.dumps({
+        "type": "object",
+        "properties": {
+            "SampleID": {"type": "string"},
+            "Age": {"type": ["integer", "null"], "minimum": 0},
+        },
+        "required": ["SampleID"],
+    }))
+    cfg = fixture_config(onto_dir)
+    cfg["phenotype_columns"] = {"PrimaryPhenotype": ["HPO"]}
+    cfg["imputation"] = {"strategy": "mean"}
+    cfg_path = tmp_path / "config.yaml"
+    save_config(cfg, str(cfg_path))
+    out_dir = tmp_path / "out"
+
+    proc = subprocess.run(
+        [sys.executable, "jobs/run_qc_job.py",
+         "--input", str(data), "--schema", str(schema), "--config", str(cfg_path),
+         "--unique_identifiers", "SampleID", "--output", str(out_dir),
+         "--single-file", "--cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.load(open(out_dir / "qc_summary.json"))
+    assert len(summary) == 1
+    s0 = summary[0]
+    assert s0["rows"] == 4 and s0["duplicates"] >= 1
+    assert any(m["ontology"] == "HPO" for m in s0["mapping_stats"])
+    import glob
+
+    csvs = glob.glob(str(out_dir / "cohort_processed.csv" / "*.csv"))
+    assert len(csvs) == 1
+    body = open(csvs[0]).read()
+    assert "HPO_ID" in body.splitlines()[0]
+    assert "HP:0000822" in body  # Hypertension mapped
+    # mean imputation filled S2's Age
+    rows = body.strip().splitlines()
+    s2 = [r for r in rows if r.startswith("S2")][0]
+    assert s2.split(",")[2] not in ("", None)
