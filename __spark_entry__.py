@@ -1005,6 +1005,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["txt_source_stats"] = txt_source_stats
 
+    def txt_redact(spark, sf_dir):
+        # PII scrub: deterministic injected emails/IPs so the pass has work
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 10.0.0."),
+                    (F.col("doc_id") % 255).cast("string"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return (
+            X.redact_pii(docs)
+            .select(
+                "doc_id", "n_emails", "n_ips", F.md5("text_redacted").alias("redacted_md5")
+            )
+            .orderBy("doc_id")
+        )
+
+    q["txt_redact"] = txt_redact
+
+    def td_contamination(spark, sf_dir):
+        # decontamination: flag corpus docs sharing any word 8-gram with
+        # the "benchmark" slice (docs 0-99 stand in for an eval suite)
+        docs = load_table(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") < 100).select("text")
+        corpus = docs.filter(F.col("doc_id") >= 100)
+        return X.contamination_flags(corpus, bench, n=8).orderBy("doc_id")
+
+    q["td_contamination"] = td_contamination
+
     # Oracle-checked queries first: the grading driver records a bounded
     # number of entries in insertion order, and an oracle-checked query
     # must never be dropped in favour of a rows-only one.
@@ -1655,6 +1692,36 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
     _cell_vals = ",\n  ".join(
         f"({j}, [{', '.join(repr(x) for x in c)}])" for j, c in enumerate(_cb)
     )
+    o["txt_redact"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), '\\+?\\d[\\d\\-\\s]{7,}\\d', '<PHONE>', 'g')) AS redacted_md5
+FROM d ORDER BY doc_id
+"""
+
+    o["td_contamination"] = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] || ' ' || w[i + 4] || ' ' || w[i + 5] || ' ' || w[i + 6] || ' ' || w[i + 7] AS shingle
+  FROM words, range(1, 100000) t(i) WHERE i + 7 <= len(w)
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id < 100
+)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM sh s JOIN bench b ON s.shingle = b.shingle
+WHERE s.doc_id >= 100
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
     o["sim_ann_ivf"] = f"""
 WITH cells(j, c) AS (VALUES
   {_cell_vals}),

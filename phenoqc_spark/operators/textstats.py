@@ -130,3 +130,58 @@ def corpus_source_stats(df: DataFrame, source_col: str = "source", text_col: str
             F.round(F.sum("_short") / F.count(F.lit(1)), 6).alias("short_doc_share"),
         )
     )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``text_redacted`` + per-kind counts: emails, phone-like
+    numbers, and IPv4 addresses replaced by typed placeholders — the
+    standard pre-training scrub pass.  Pure codegen (regexp_replace /
+    regexp_count), SQL-oracle-checkable; patterns are deliberately simple
+    and documented rather than exhaustive."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    phone = r"\+?\d[\d\-\s]{7,}\d"
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(t, email, "<EMAIL>"), ipv4, "<IP>"),
+        phone,
+        "<PHONE>",
+    )
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(email)))
+        .withColumn("n_ips", F.regexp_count(F.regexp_replace(t, email, "<EMAIL>"), F.lit(ipv4)))
+        .withColumn("text_redacted", redacted)
+    )
+
+
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits): documents sharing any word ``n``-gram with the
+    benchmark suite — the decontamination pass every LLM data pipeline
+    runs before training.
+
+    Scale shape: the benchmark shingle set is tiny (suites are thousands
+    of items) and broadcast; the corpus side is the map-only
+    ``shingle_sets`` projection exploded once and semi-joined — no
+    corpus-side shuffle beyond the per-doc count aggregate."""
+    from .dedup import shingle_sets
+
+    bench = (
+        shingle_sets(benchmark.select(F.lit(0).alias("doc_id"), F.col(bench_text_col).alias("text")), n)
+        .select(F.explode("sh_set").alias("shingle"))
+        .distinct()
+    )
+    corpus = shingle_sets(df, n, text_col, id_col).select(
+        "doc_id", F.explode("sh_set").alias("shingle")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

@@ -348,3 +348,34 @@ def test_stream_dedup_docs_across_batches(spark, tmp_path):
     b2 = [(2, "hello   WORLD"), (3, "fresh content")]
     spark.createDataFrame(b2, "doc_id long, text string").write.mode("append").parquet(src)
     assert run_once() == [0, 1, 3]  # doc 2 suppressed by cross-batch state
+
+
+def test_redact_pii(spark):
+    rows = [
+        (0, "contact me at jo.doe+x@example.org or 192.168.0.1 thanks"),
+        (1, "call +1 555-123-4567 now"),
+        (2, "clean text only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in X.redact_pii(df).collect()}
+    assert got[0].n_emails == 1 and got[0].n_ips == 1
+    assert "<EMAIL>" in got[0].text_redacted and "<IP>" in got[0].text_redacted
+    assert "example.org" not in got[0].text_redacted
+    assert "<PHONE>" in got[1].text_redacted
+    assert got[2].text_redacted == "clean text only"
+
+
+def test_contamination_flags(spark):
+    bench = spark.createDataFrame(
+        [("which is the benchmark question about gravity on the moon",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "prefix text which is the benchmark question about gravity on the moon suffix"),
+            (1, "totally unrelated web document content here with many words indeed"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_hits for r in X.contamination_flags(docs, bench, n=8).collect()}
+    assert 0 in hits and hits[0] >= 1
+    assert 1 not in hits
