@@ -190,3 +190,23 @@ def test_run_qc_job_end_to_end(spark, tmp_path, onto_dir):
     rows = body.strip().splitlines()
     s2 = [r for r in rows if r.startswith("S2")][0]
     assert s2.split(",")[2] not in ("", None)
+
+
+def test_driver_contract_invariants():
+    """queries()/oracle_sql() invariants the grading driver relies on:
+    every oracle key has a query, oracle-backed queries come first
+    (a recording cap must never drop a checked query), and names are
+    unique and stable."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    os_ = E.oracle_sql()
+    assert set(os_) <= set(qs), set(os_) - set(qs)
+    names = list(qs)
+    n_oracle = len(os_)
+    assert all(k in os_ for k in names[:n_oracle]), "oracle-backed must lead"
+    assert all(k not in os_ for k in names[n_oracle:]), "rows-only must trail"
+    assert len(names) == len(set(names))
+    # every oracle is non-trivial SQL over the registered views
+    for k, sql in os_.items():
+        assert "SELECT" in sql.upper() and len(sql) > 40, k
