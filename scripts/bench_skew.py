@@ -96,9 +96,21 @@ def main() -> None:
     )
     header = "## Hub-skew stress (scripts/bench_skew.py)"
     existing = open(skew_md).read() if os.path.exists(skew_md) else ""
+    if header in existing:
+        # section exists: insert the data row after the table's last row
+        lines_ = existing.rstrip().splitlines()
+        for i in range(len(lines_) - 1, -1, -1):
+            if lines_[i].startswith("| ") and not lines_[i].startswith("| rows"):
+                lines_.insert(i + 1, line)
+                break
+        with open(skew_md, "w") as fh:
+            fh.write("\n".join(lines_) + "\n")
+        return_early = True
+    else:
+        return_early = False
     with open(skew_md, "a") as fh:
-        if header in existing:
-            fh.write(line + "\n")  # section exists: append the data row only
+        if return_early:
+            pass
         else:
             fh.write(
                 f"\n{header}\n\n"
