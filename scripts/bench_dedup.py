@@ -20,6 +20,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DOCS = int(os.environ.get("DEDUP_DOCS", "1000000"))
+# The pair-list ops are quadratic in duplicate-group size by definition;
+# at large DOCS run only the keep-list product + linear ops.
+SKIP_PAIR_OPS = os.environ.get("DEDUP_SKIP_PAIR_OPS") == "1"
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 WORDS = 35
@@ -101,7 +104,8 @@ def main() -> None:
         D.release_intermediates(out)
         return n
 
-    timed("minhash_lsh_pairs", run_minhash)
+    if not SKIP_PAIR_OPS:
+        timed("minhash_lsh_pairs", run_minhash)
 
     def run_near_dedup():
         out = D.minhash_near_dedup(docs, threshold=0.8, num_hashes=32, bands=8)
@@ -110,10 +114,11 @@ def main() -> None:
         return nkeep
 
     timed("minhash_near_dedup", run_near_dedup)
-    timed(
-        "simhash_near_dups",
-        lambda: D.simhash_near_dups(docs, max_hamming=3).count(),
-    )
+    if not SKIP_PAIR_OPS:
+        timed(
+            "simhash_near_dups",
+            lambda: D.simhash_near_dups(docs, max_hamming=3).count(),
+        )
     timed("source_stats", lambda: X.corpus_source_stats(docs).count())
 
     line = {
@@ -129,11 +134,16 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "DEDUP.md"
     )
     header = "# BENCH/DEDUP — dedup operators at corpus scale"
+    def _cell(name, unit):
+        if name not in results:
+            return "(skipped: pair list quadratic at this scale)"
+        return f"{results[name]['sec']}s ({results[name]['result']:,} {unit})"
+
     row = (
         f"| {DOCS:,} | {int(CPUS)} | {results['exact_dedup']['sec']}s | "
-        f"{results['minhash_lsh_pairs']['sec']}s ({results['minhash_lsh_pairs']['result']:,} pairs) | "
-        f"{results['minhash_near_dedup']['sec']}s ({results['minhash_near_dedup']['result']:,} kept) | "
-        f"{results['simhash_near_dups']['sec']}s ({results['simhash_near_dups']['result']:,} pairs) | "
+        f"{_cell('minhash_lsh_pairs', 'pairs')} | "
+        f"{_cell('minhash_near_dedup', 'kept')} | "
+        f"{_cell('simhash_near_dups', 'pairs')} | "
         f"{results['source_stats']['sec']}s |"
     )
     existing = open(md_path).read() if os.path.exists(md_path) else ""
