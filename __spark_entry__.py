@@ -231,8 +231,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # ---- KG construction ---------------------------------------------------
-    q["kg_triples_exact"] = _kg_triples
-
+    # NOTE (round 3): the driver records at most 50 correctness entries, so
+    # three strictly-subsumed oracle queries were retired to make room for
+    # txt_source_stats / txt_redact / td_contamination:
+    #   kg_triples_exact ⊂ kg_canonical_triples (same _kg_triples plan, plus
+    #     the canonical rewrite) and ⊂ kg_triples_full (full cascade pools);
+    #   v_format_date ⊂ v_format_multi + v_cell_violations (date format is
+    #     exercised by cell_violations' bad_format_date rows);
+    #   agg_missing_flag ⊂ agg_quality_scores (same missing-flag aggregate
+    #     feeds the missing_score term).
+    # The operators behind them (format_violations, flag_missing, the exact
+    # triples path) are unchanged and unit-tested.
     def kg_triples_full(spark, sf_dir):
         # full pools incl. fuzzy/prefix/junk surfaces; oracle = pinned
         # resolver outputs (_KG_FULL_EXPECTED), so the whole cascade is
@@ -364,17 +373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["v_anomalies_zscore"] = v_anomalies_zscore
 
-    def v_format_date(spark, sf_dir):
-        orders = load_table(spark, sf_dir, "orders").withColumn(
-            "d",
-            F.when(F.col("o_orderkey") % 20 == 0, F.lit("NOT_A_DATE")).otherwise(
-                F.col("o_orderdate").cast("string")
-            ),
-        )
-        return V.format_violations(orders, "d", "date").select("o_orderkey", "d").orderBy("o_orderkey")
-
-    q["v_format_date"] = v_format_date
-
     def v_timeliness(spark, sf_dir):
         ev = load_table(spark, sf_dir, "events").withColumn("ts_s", F.col("ts").cast("string"))
         return (
@@ -415,17 +413,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["v_schema_flag"] = v_schema_flag
 
     # ---- aggregation family ------------------------------------------------
-    def agg_missing_flag(spark, sf_dir):
-        ev = _events_nulls(spark, sf_dir).select("event_id", "value")
-        from phenoqc_spark.operators.validation import flag_missing
-
-        return (
-            flag_missing(ev)
-            .agg(F.sum(F.col("MissingDataFlag").cast("long")).alias("n_flagged"))
-        )
-
-    q["agg_missing_flag"] = agg_missing_flag
-
     def agg_class_distribution(spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
         return (
@@ -1025,7 +1012,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             X.redact_pii(docs)
             .select(
-                "doc_id", "n_emails", "n_ips", F.md5("text_redacted").alias("redacted_md5")
+                "doc_id",
+                "n_emails",
+                "n_ips",
+                "n_phones",
+                F.md5("text_redacted").alias("redacted_md5"),
             )
             .orderBy("doc_id")
         )
@@ -1059,25 +1050,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
-
-    o["kg_triples_exact"] = f"""
-WITH m(col, idx, onto, tid) AS (VALUES
-        {_KG_ORACLE_VALUES}),
-d AS (
-  SELECT doc_id,
-         CAST(doc_id % 7 AS INT) AS pidx,
-         CAST((doc_id + 3) % 7 AS INT) AS didx
-  FROM documents
-)
-SELECT DISTINCT
-  printf('https://example.org/doc/%08d', doc_id) || '#' || CAST(doc_id AS VARCHAR) AS subj,
-  col || '->' || onto AS pred,
-  tid AS obj
-FROM d JOIN m
-  ON (m.col = 'PrimaryPhenotype' AND m.idx = d.pidx)
-  OR (m.col = 'DiseaseCode' AND m.idx = d.didx)
-ORDER BY subj, pred, obj
-"""
 
     from phenoqc_spark.pages import PHENO_POOLS as _PP
 
@@ -1192,16 +1164,6 @@ WHERE sd IS NOT NULL AND sd <> 0 AND ABS((value - mu) / sd) > 3
 ORDER BY event_id
 """
 
-    o["v_format_date"] = """
-SELECT o_orderkey,
-       CASE WHEN o_orderkey % 20 = 0 THEN 'NOT_A_DATE' ELSE CAST(o_orderdate AS VARCHAR) END AS d
-FROM orders
-WHERE NOT regexp_matches(
-  CASE WHEN o_orderkey % 20 = 0 THEN 'NOT_A_DATE' ELSE CAST(o_orderdate AS VARCHAR) END,
-  '^\\d{4}-\\d{2}-\\d{2}$')
-ORDER BY o_orderkey
-"""
-
     o["v_timeliness"] = """
 SELECT event_id, 'lag_exceeded' AS issue FROM events
 WHERE ts IS NOT NULL
@@ -1224,10 +1186,6 @@ SELECT event_id,
        (user_id IS NULL
         OR COALESCE((CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END) < 10.0, FALSE)) AS flag
 FROM events ORDER BY event_id
-"""
-
-    o["agg_missing_flag"] = """
-SELECT CAST(SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged FROM events
 """
 
     o["agg_class_distribution"] = """
@@ -1703,6 +1661,7 @@ WITH d AS (
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
        CAST(len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), '\\+?\\d[\\d\\-\\s]{7,}\\d')) AS INT) AS n_phones,
        md5(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), '\\+?\\d[\\d\\-\\s]{7,}\\d', '<PHONE>', 'g')) AS redacted_md5
 FROM d ORDER BY doc_id
 """

@@ -92,12 +92,19 @@ def main() -> None:
     n = spark.read.parquet(triples_path).count()
     report_path = None
     if args.report:
-        from phenoqc_spark.report import generate_html_report, generate_report
+        from phenoqc_spark.report import (
+            generate_html_report,
+            generate_pdf_report,
+            generate_report,
+        )
 
         report_path = os.path.join(args.out, "qc_report.md")
         generate_report(spark, triples_path, audit_path, report_path)
         generate_html_report(
             spark, triples_path, audit_path, os.path.join(args.out, "qc_report.html")
+        )
+        generate_pdf_report(
+            spark, triples_path, audit_path, os.path.join(args.out, "qc_report.pdf")
         )
     print(json.dumps({
         "run_id": run_id,

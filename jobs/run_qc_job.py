@@ -36,6 +36,28 @@ def main() -> None:
     ap.add_argument("--impute", default=None,
                     choices=[None, "mean", "median", "mode", "knn", "mice", "svd", "none"],
                     help="override the config imputation strategy")
+    ap.add_argument("--impute-params", type=json.loads, default=None,
+                    help='JSON params for the strategy, e.g. {"n_neighbors": 5}')
+    # diagnostics toggles mirroring the reference CLI (cli.py:38-107)
+    ap.add_argument("--impute-tuning", choices=["on", "off"], default="off",
+                    help="mask-and-score parameter tuning (I6)")
+    ap.add_argument("--impute-diagnostics", choices=["on", "off"], default="off",
+                    help="imputation stability diagnostics (I9)")
+    ap.add_argument("--diag-repeats", type=int, default=5)
+    ap.add_argument("--diag-mask-fraction", type=float, default=0.10)
+    ap.add_argument("--diag-scoring", choices=["MAE", "RMSE"], default="MAE")
+    ap.add_argument("--mi-uncertainty", choices=["on", "off"], default="off",
+                    help="multiple-imputation uncertainty via MICE repeats (I10)")
+    ap.add_argument("--mi-repeats", type=int, default=3)
+    ap.add_argument("--bias-smd-threshold", type=float, default=0.10)
+    ap.add_argument("--bias-var-ratio-threshold", type=float, default=2.0)
+    ap.add_argument("--bias-ks-threshold", type=float, default=0.10)
+    ap.add_argument("--bias-psi-threshold", type=float, default=0.10)
+    ap.add_argument("--label-column", default=None,
+                    help="label column for a class-distribution summary")
+    ap.add_argument("--imbalance-threshold", type=float, default=0.10)
+    ap.add_argument("--protected-columns", nargs="+", default=[],
+                    help="columns excluded from imputation and diagnostics")
     ap.add_argument("--unique_identifiers", nargs="+", required=True)
     ap.add_argument("--ontologies", nargs="+", default=None,
                     help="override target ontologies for every phenotype column")
@@ -75,6 +97,16 @@ def main() -> None:
     impute_cfg = dict(cfg.get("imputation") or {})
     if args.impute:
         impute_cfg["strategy"] = args.impute
+    if args.impute_params:
+        impute_cfg["params"] = {**(impute_cfg.get("params") or {}), **args.impute_params}
+    if args.impute_tuning == "on":
+        impute_cfg["tuning"] = {
+            **(impute_cfg.get("tuning") or {}),
+            "enable": True,
+            "mask_fraction": args.diag_mask_fraction,
+            "scoring": args.diag_scoring,
+        }
+    protected = list(args.protected_columns or [])
 
     os.makedirs(args.output, exist_ok=True)
     files = collect_input_files(args.input, recursive=args.recursive)
@@ -92,8 +124,81 @@ def main() -> None:
         n_dups = results["Duplicate Records"].count()
         n_conflicts = results["Conflicting Records"].count()
 
-        engine = ImputationEngine(impute_cfg, exclude_columns=args.unique_identifiers)
+        engine = ImputationEngine(
+            impute_cfg, exclude_columns=list(args.unique_identifiers) + protected
+        )
         imputed = engine.fit_transform(df)
+
+        # --- optional imputation diagnostics (reference: cli.py:38-107,
+        # qc_payload in batch_processing.py:973-999) — computed on the
+        # reference's bounded deterministic sample (≤10k rows, seed 42),
+        # never the full distributed frame -------------------------------
+        strategy = impute_cfg.get("strategy") or "none"
+        quality_metrics_payload = {
+            "imputation_bias": {"rows": []},
+            "imputation_stability": {"rows": []},
+            "imputation_uncertainty": {"rows": []},
+        }
+        numeric_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("double", "float", "integer", "long", "short")
+            and f.name not in args.unique_identifiers
+            and f.name not in protected
+        ]
+        id0 = args.unique_identifiers[0]
+        if strategy != "none" and numeric_cols and id0 in df.columns:
+            from phenoqc_spark.operators import diagnostics as DG
+            from phenoqc_spark.operators.quality import reservoir_sample
+
+            before_s = reservoir_sample(df.select(id0, *numeric_cols), n=10000, seed=42)
+            before_pd = before_s.toPandas().set_index(id0)
+            # rows whose identifier is duplicated cannot be row-aligned
+            # between the before/after frames — they are excluded from the
+            # diagnostic sample (they are already reported as duplicates)
+            before_pd = before_pd[~before_pd.index.duplicated(keep=False)]
+            after_pd = (
+                imputed.select(id0, *numeric_cols)
+                .join(before_s.select(id0), id0, "left_semi")
+                .toPandas()
+                .set_index(id0)
+            )
+            after_pd = after_pd[~after_pd.index.duplicated(keep=False)].reindex(
+                before_pd.index
+            )
+            bias = DG.imputation_bias_report(
+                before_pd,
+                after_pd,
+                numeric_cols,
+                smd_warn=args.bias_smd_threshold,
+                var_ratio_warn=args.bias_var_ratio_threshold,
+                ks_warn=args.bias_ks_threshold,
+                psi_warn=args.bias_psi_threshold,
+            )
+            quality_metrics_payload["imputation_bias"]["rows"] = bias.to_dict("records")
+            if args.impute_diagnostics == "on":
+                stab = DG.imputation_stability(
+                    before_pd,
+                    strategy,
+                    params=impute_cfg.get("params"),
+                    repeats=args.diag_repeats,
+                    mask_fraction=args.diag_mask_fraction,
+                )
+                quality_metrics_payload["imputation_stability"]["rows"] = stab.to_dict("records")
+            if args.mi_uncertainty == "on":
+                mi = DG.mi_uncertainty(before_pd, repeats=args.mi_repeats)
+                quality_metrics_payload["imputation_uncertainty"]["rows"] = mi.to_dict("records")
+
+        class_dist_rows = None
+        if args.label_column and args.label_column in df.columns:
+            from phenoqc_spark.operators.quality import class_distribution
+
+            class_dist_rows = [
+                r.asDict()
+                for r in class_distribution(
+                    df, args.label_column, warn_threshold=args.imbalance_threshold
+                ).collect()
+            ]
 
         mapped = map_wide(
             imputed, pheno_cfg, resolver_bc, id_col=args.unique_identifiers[0]
@@ -123,6 +228,9 @@ def main() -> None:
                 "duplicates": n_dups,
                 "conflicts": n_conflicts,
                 "imputation": impute_cfg.get("strategy") or "none",
+                "imputation_tuning": engine.tuning_summary,
+                "quality_metrics": quality_metrics_payload,
+                "class_distribution": class_dist_rows,
                 "mapping_stats": stats_rows,
                 "processed": out_dir,
             }

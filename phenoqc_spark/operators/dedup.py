@@ -45,20 +45,36 @@ def release_intermediates(result: DataFrame) -> None:
 # Exact dedup
 # ---------------------------------------------------------------------------
 
-def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_drop: bool = True,
+) -> DataFrame:
     """Keep the min-id representative per identical text (md5 groupBy).
 
-    Hashing before the shuffle means the wide text column never shuffles —
-    only (hash, id) pairs do.
+    The wide text column never enters an Exchange: the duplicate decision is
+    made on a two-column ``(md5(text), id)`` projection (hash computed before
+    the shuffle), producing the *drop list* — ids of non-representative
+    duplicates only.  The full rows are then filtered with one
+    ``left_anti`` join against that list.  With ``broadcast_drop`` (default)
+    the drop list is broadcast, so the corpus side stays map-only end to
+    end.  At the 100 TB tier, if the drop list itself outgrows broadcast
+    (billions of dups), set ``broadcast_drop=False`` and write the drop list
+    to a staging table bucketed like the corpus on ``id_col`` — a
+    storage-partitioned anti-join, still no text shuffle; the plain shuffled
+    anti-join this flag falls back to is the local-mode stand-in.
     """
-    h = F.md5(F.col(text_col))
+    pairs = df.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col))
     w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("_h", h)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_h", "_rn")
+    dropped = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(id_col)
     )
+    if broadcast_drop:
+        dropped = F.broadcast(dropped)
+    return df.join(dropped, id_col, "left_anti")
 
 
 def exact_duplicate_groups(
@@ -496,19 +512,33 @@ def simhash(
             "tok"
         ),
     ).withColumn("th", th)
-    bit_aggs = [
+    # posexplode → groupBy(doc, bit) → per-doc reassembly, instead of 64
+    # scalar sum() aggregates in one HashAggregate: the 64-agg form inlines
+    # 64 copies of the shift/compare/update into a single enormous codegen
+    # unit whose first-run JIT dominated cold wall-clock (the same k-wide
+    # pathology fixed for minhash in _signatures_from_shingles).  The
+    # exploded form is a constant-size expression tree; map-side partial
+    # sums keep the shuffle at ≤64 rows per (doc, input partition) — the
+    # same volume the 64-column row carried.  Values are identical: the
+    # per-bit ±1 sums and the bit> 0 sign test are unchanged, and summing
+    # shiftleft(sign_bit, i) over distinct bit positions reproduces the
+    # two's-complement fingerprint the old XOR chain built (bit 63's term
+    # is -2^63, exactly its signed contribution).
+    contrib = tokens.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 63),"
+                " i -> case when (shiftright(th, i) & 1) = 1 then 1 else -1 end)"
+            )
+        ).alias("i", "s"),
+    )
+    sums = contrib.groupBy("doc_id", "i").agg(F.sum("s").alias("b"))
+    return sums.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    sums = tokens.groupBy("doc_id").agg(*bit_aggs)
-    expr = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        shifted = F.shiftleft(bit, i)
-        expr = shifted if expr is None else expr.bitwiseXOR(shifted)
-    return sums.select("doc_id", expr.alias("simhash"))
+            F.expr("shiftleft(cast(case when b > 0 then 1 else 0 end as bigint), i)")
+        ).alias("simhash")
+    )
 
 
 def simhash_near_dups(

@@ -20,9 +20,27 @@ def check_accuracy(df: DataFrame, schema_cfg: dict, row_id_cols: Optional[List[s
     return range_violations(df, schema_cfg.get("properties", {}), row_id_cols)
 
 
+def _null_or_nan_free(df: DataFrame, c: str):
+    """Predicate: column ``c`` holds a usable numeric (not null, and not NaN
+    for floating types) — pandas rank/corr treats NaN as missing, so the
+    Spearman parity path must too."""
+    e = F.col(c).isNotNull()
+    t = {f.name: f.dataType.typeName() for f in df.schema.fields}.get(c)
+    if t in ("double", "float"):
+        e = e & ~F.isnan(F.col(c))
+    return e
+
+
 def _distributed_avg_ranks(df: DataFrame, cols: List[str], num_buckets: int = 32) -> DataFrame:
     """Replace each column in ``cols`` with its average rank (ties → mean
-    rank, nulls stay null) — EXACT ranks with no single-partition window.
+    rank, nulls AND NaNs stay null — pandas missing-value rank semantics) —
+    EXACT ranks with no single-partition window.
+
+    NOTE this runs driver-side actions (approxQuantile + two bounded
+    collects) PER COLUMN at construction time, i.e. it is EAGER, not lazy —
+    acceptable for the diagnostic-tier column counts redundancy detection
+    runs over (ncols ≲ dozens), not a building block for wide-table hot
+    paths.
 
     Per column: distinct-value counts (one groupBy), approx-quantile bucket
     boundaries (a bounded driver-side list — the IVF-codebook pattern), a
@@ -34,7 +52,7 @@ def _distributed_avg_ranks(df: DataFrame, cols: List[str], num_buckets: int = 32
     of magnitude smaller than the data)."""
     out = df
     for c in cols:
-        nn = out.select(F.col(c).alias("_v")).where(F.col("_v").isNotNull())
+        nn = out.where(_null_or_nan_free(out, c)).select(F.col(c).alias("_v"))
         probs = [i / num_buckets for i in range(1, num_buckets)]
         bounds = sorted(set(nn.stat.approxQuantile("_v", probs, 0.01)))
         cnts = nn.groupBy("_v").agg(F.count(F.lit(1)).alias("_cnt"))
@@ -92,14 +110,14 @@ def detect_redundancy(
       (``_distributed_avg_ranks``: bucketed cumulative counts, no
       single-partition window).
 
-      Parity caveat vs the reference (pandas ``df.corr('spearman')``,
-      quality_metrics.py:100): each column is ranked ONCE over its own
-      non-null rows; pandas re-ranks every column pair over the
-      pairwise-complete subset.  Results are identical when the columns'
-      null masks align (including the all-non-null case — the common one);
-      they diverge when two columns are null on different rows.  The
-      pairwise re-rank is O(ncols²) full-data passes and is intentionally
-      not implemented.
+      Pairwise-complete parity with pandas ``df.corr('spearman')``
+      (quality_metrics.py:100): one aggregate detects, per pair, whether
+      the two columns' null/NaN masks misalign.  Aligned pairs (the common
+      all-non-null case) share a single global ranking; misaligned pairs
+      are each re-ranked over their pairwise-complete subset (rows where
+      both are present) — exactly pandas' semantics, driver-looped over
+      the (few) misaligned pairs only.  NaN counts as missing, as in
+      pandas.
     - Identical columns: one SHA-256 per column over the ordered value
       stream via ``sha2(concat_ws(...))`` of per-row hashes aggregated in
       order; identical supersedes correlation (reference behavior).
@@ -113,20 +131,48 @@ def detect_redundancy(
         ]
     records = []
     seen = set()
-    corr_src = df
-    if method == "spearman" and numeric_cols:
-        corr_src = _distributed_avg_ranks(df, numeric_cols)
     if len(numeric_cols) >= 2:
-        aggs = []
         pairs = []
         for i, c1 in enumerate(numeric_cols):
             for c2 in numeric_cols[i + 1 :]:
-                aggs.append(F.corr(c1, c2).alias(f"_corr_{len(pairs)}"))
                 pairs.append((c1, c2))
-        row = corr_src.agg(*aggs).collect()[0]
-        for idx, (c1, c2) in enumerate(pairs):
-            val = row[f"_corr_{idx}"]
-            if val is not None and abs(val) >= threshold:
+        pair_vals: Dict[tuple, Optional[float]] = {}
+        if method == "spearman":
+            nn = {c: _null_or_nan_free(df, c) for c in numeric_cols}
+            mis_row = df.agg(
+                *[
+                    F.sum((nn[c1] != nn[c2]).cast("long")).alias(f"_mis_{i}")
+                    for i, (c1, c2) in enumerate(pairs)
+                ]
+            ).collect()[0]
+            misaligned = {
+                pairs[i] for i in range(len(pairs)) if (mis_row[f"_mis_{i}"] or 0) > 0
+            }
+            aligned = [p for p in pairs if p not in misaligned]
+            if aligned:
+                cols_needed = [c for c in numeric_cols if any(c in p for p in aligned)]
+                ranked = _distributed_avg_ranks(df, cols_needed)
+                arow = ranked.agg(
+                    *[
+                        F.corr(c1, c2).alias(f"_corr_{i}")
+                        for i, (c1, c2) in enumerate(aligned)
+                    ]
+                ).collect()[0]
+                for i, p in enumerate(aligned):
+                    pair_vals[p] = arow[f"_corr_{i}"]
+            for c1, c2 in sorted(misaligned, key=pairs.index):
+                sub = df.where(nn[c1] & nn[c2]).select(c1, c2)
+                rsub = _distributed_avg_ranks(sub, [c1, c2])
+                pair_vals[(c1, c2)] = rsub.agg(F.corr(c1, c2)).collect()[0][0]
+        else:
+            row = df.agg(
+                *[F.corr(c1, c2).alias(f"_corr_{i}") for i, (c1, c2) in enumerate(pairs)]
+            ).collect()[0]
+            for i, p in enumerate(pairs):
+                pair_vals[p] = row[f"_corr_{i}"]
+        for c1, c2 in pairs:
+            val = pair_vals.get((c1, c2))
+            if val is not None and val == val and abs(val) >= threshold:
                 seen.add((c1, c2))
                 records.append((c1, c2, "correlation", float(abs(val))))
 

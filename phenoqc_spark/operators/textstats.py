@@ -99,7 +99,12 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp", F.md5(norm))
 
 
-def corpus_source_stats(df: DataFrame, source_col: str = "source", text_col: str = "text") -> DataFrame:
+def corpus_source_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
     """Per-source corpus curation stats: the per-crawl-source roll-up a
     training-data pipeline uses to decide which sources to keep, weight, or
     re-crawl (docs, token volume, exact-dup rate, language mix, share of
@@ -108,28 +113,31 @@ def corpus_source_stats(df: DataFrame, source_col: str = "source", text_col: str
     One hash-groupBy over per-row projections (dup detection via
     count_distinct(md5(text)) — the wide text column itself never
     shuffles, only its hash).  All JVM, SQL-oracle-checkable.
+
+    ``lang_col`` names the language column for the ``n_langs`` aggregate;
+    when the column is absent from ``df`` (or ``lang_col=None``) the
+    language-mix aggregate is skipped instead of raising.
     """
     toks = _tokens_expr(text_col)
     n_words = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
-    return (
-        df.select(
-            F.col(source_col).alias("source"),
-            F.md5(F.col(text_col)).alias("_h"),
-            n_words.cast("long").alias("_nw"),
-            F.col("lang"),
-            (F.length(F.col(text_col)) < 100).cast("int").alias("_short"),
-        )
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_nw").alias("total_tokens"),
-            F.round(
-                1.0 - F.countDistinct("_h") / F.count(F.lit(1)), 6
-            ).alias("dup_rate"),
-            F.countDistinct("lang").alias("n_langs"),
-            F.round(F.sum("_short") / F.count(F.lit(1)), 6).alias("short_doc_share"),
-        )
-    )
+    has_lang = lang_col is not None and lang_col in df.columns
+    proj = [
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("_h"),
+        n_words.cast("long").alias("_nw"),
+        (F.length(F.col(text_col)) < 100).cast("int").alias("_short"),
+    ]
+    if has_lang:
+        proj.append(F.col(lang_col).alias("_lang"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nw").alias("total_tokens"),
+        F.round(1.0 - F.countDistinct("_h") / F.count(F.lit(1)), 6).alias("dup_rate"),
+    ]
+    if has_lang:
+        aggs.append(F.countDistinct("_lang").alias("n_langs"))
+    aggs.append(F.round(F.sum("_short") / F.count(F.lit(1)), 6).alias("short_doc_share"))
+    return df.select(*proj).groupBy("source").agg(*aggs)
 
 
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -147,9 +155,12 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         phone,
         "<PHONE>",
     )
+    after_email = F.regexp_replace(t, email, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, ipv4, "<IP>")
     return (
         df.withColumn("n_emails", F.regexp_count(t, F.lit(email)))
-        .withColumn("n_ips", F.regexp_count(F.regexp_replace(t, email, "<EMAIL>"), F.lit(ipv4)))
+        .withColumn("n_ips", F.regexp_count(after_email, F.lit(ipv4)))
+        .withColumn("n_phones", F.regexp_count(after_ip, F.lit(phone)))
         .withColumn("text_redacted", redacted)
     )
 

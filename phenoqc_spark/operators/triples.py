@@ -186,7 +186,14 @@ def map_wide(
     ``phenotype_columns`` is the reference's config shape:
     ``{column_name: [ontology_id, ...]}``.  Resolution cost is
     vocabulary-sized (one distinct-terms resolve over all columns); the
-    fan-out back to rows is a broadcast join per (column, ontology).
+    fan-out back to rows is a broadcast join per (column, ontology), so
+    the physical plan grows linearly in the (column, ontology) pair count.
+    QC configs have a handful of phenotype columns (the reference CLI's
+    ``--phenotype_columns``), so the chain stays shallow; if a config with
+    dozens of mapped columns appears, restructure as melt (terms_long
+    already is the melt) → single join → ``pivot`` on ontology — one
+    shuffle instead of k broadcasts, same last-column-wins semantics via
+    ``last()`` over the column order.
     """
     present = {c: o for c, o in phenotype_columns.items() if c in records.columns}
     if not present:

@@ -341,8 +341,12 @@ def _native_schema_flag(df: DataFrame, schema: dict, cols: List[str]):
         return None
     props = schema.get("properties", {})
     dtypes = {f.name: f.dataType for f in df.schema.fields}
+    # required is checked against the SERIALIZED column set (``cols``), not
+    # df.columns: the UDF fallback serializes only ``cols``, so a required
+    # property excluded by a caller-passed ``columns`` subset is key-absent
+    # in every row — both paths must agree on that (it is a violation).
     for req in schema.get("required", []):
-        if req not in df.columns:
+        if req not in cols:
             return F.lit(True)  # key absent from every serialized row
     violation = F.lit(False)
     for name in cols:

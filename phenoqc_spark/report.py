@@ -1,15 +1,19 @@
 """QC reports derived from audit-table queries (engine analogue of the
 reference's PDF/MD report, reference: src/phenoqc/reporting.py).
 
-Two renderers over the same audit/triples aggregates:
+Three renderers over the same audit/triples aggregates:
 
 - :func:`generate_report` — Markdown (SURVEY.md S13 scope).
 - :func:`generate_html_report` — self-contained HTML with inline-SVG bar
-  charts, the engine-side stand-in for the reference's plotly/kaleido PDF
-  figures (those libraries are not available here; the numbers and chart
-  content match reporting.py's visual summary: volume tiles, triples per
-  predicate, mapping success rates).  No external assets, deterministic
-  output (no timestamps), native ``<title>`` tooltips per bar.
+  charts (the numbers and chart content match reporting.py's visual
+  summary: volume tiles, triples per predicate, mapping success rates).
+  No external assets, deterministic output (no timestamps), native
+  ``<title>`` tooltips per bar.
+- :func:`generate_pdf_report` — the reference's PDF deliverable
+  (reference: src/phenoqc/reporting.py:41-829), rendered through the
+  dependency-free PDF 1.4 writer in :mod:`phenoqc_spark.pdfgen`
+  (reportlab/kaleido are absent here): same tiles + bar charts as the
+  HTML renderer, deterministic bytes.
 """
 
 from __future__ import annotations
@@ -178,3 +182,100 @@ def generate_html_report(
     with open(out_path, "w") as fh:
         fh.write(content)
     return content
+
+
+# --- PDF report (pure-Python PDF 1.4, no deps) ------------------------------
+
+_PDF_BAR = (0.22, 0.53, 0.9)
+_PDF_INK = (0.12, 0.16, 0.22)
+_PDF_MUTED = (0.42, 0.45, 0.5)
+_PDF_GRID = (0.9, 0.91, 0.92)
+
+
+def _pdf_hbar(canvas, y, rows, title, value_fmt="{:,.0f}", max_value=None, unit=""):
+    """Draw a horizontal bar chart on ``canvas`` starting at top-offset
+    ``y``; returns the y below the chart.  Mirrors :func:`_svg_hbar`."""
+    from .pdfgen import PAGE_H, text_width
+
+    if not rows:
+        return y
+    label_w, chart_w, bar_h, gap, left = 200, 260, 12, 7, 54
+    canvas.text(left, y, title, size=12, bold=True, color=_PDF_INK)
+    y += 18
+    vmax = max_value if max_value is not None else max(v for _, v in rows) or 1
+    for label, value in rows:
+        if y > PAGE_H - 60:
+            canvas.new_page()
+            y = 60
+        w = max(round(chart_w * value / vmax), 1 if value else 0)
+        lab = str(label)
+        while len(lab) > 3 and text_width(lab, 9) > label_w - 10:
+            lab = lab[: len(lab) - 4] + "…"
+        canvas.text(
+            left + label_w - 6 - text_width(lab, 9), y + bar_h - 3, lab,
+            size=9, color=_PDF_MUTED,
+        )
+        canvas.line(left + label_w, y - gap / 2, left + label_w, y + bar_h + gap / 2, _PDF_GRID)
+        canvas.rect(left + label_w, y, w, bar_h, fill=_PDF_BAR)
+        canvas.text(
+            left + label_w + w + 5, y + bar_h - 3, value_fmt.format(value) + unit,
+            size=9, color=_PDF_INK,
+        )
+        y += bar_h + gap
+    return y + 16
+
+
+def generate_pdf_report(
+    spark: SparkSession,
+    triples_path: str,
+    audit_path: str,
+    out_path: str,
+    mapping_stats: DataFrame | None = None,
+) -> bytes:
+    """PDF QC report — the reference's deliverable format (reporting.py:
+    832-1081), same content as :func:`generate_html_report`.  Returns the
+    PDF bytes (also written to ``out_path``); byte-deterministic."""
+    from .pdfgen import PdfCanvas
+
+    triples = spark.read.parquet(triples_path)
+    audit = spark.read.parquet(audit_path)
+    agg = audit.agg(
+        F.sum("n_pages").alias("pages"),
+        F.sum("n_triples").alias("triples"),
+        F.sum("missing_cells").alias("missing_cells"),
+        F.sum("schema_violations").alias("violations"),
+        F.countDistinct("part_key").alias("buckets"),
+    ).collect()[0]
+    top_preds = (
+        triples.groupBy("pred").count().orderBy(F.desc("count"), F.asc("pred")).limit(20).collect()
+    )
+    c = PdfCanvas()
+    c.text(54, 60, "QC Report", size=20, bold=True, color=_PDF_INK)
+    y = 92
+    for k, v in [
+        ("pages processed", f"{agg.pages:,}"),
+        ("triples emitted", f"{agg.triples:,}"),
+        ("schema violations", f"{agg.violations:,}"),
+        ("missing cells", f"{agg.missing_cells:,}"),
+        ("partition buckets", f"{agg.buckets:,}"),
+    ]:
+        c.text(54, y, k, size=10, color=_PDF_MUTED)
+        c.text(200, y, v, size=10, bold=True, color=_PDF_INK)
+        y += 15
+    y += 14
+    y = _pdf_hbar(c, y, [(r.pred, r["count"]) for r in top_preds], "Triples per predicate (top 20)")
+    if mapping_stats is not None:
+        ms = mapping_stats.collect()
+        y = _pdf_hbar(
+            c,
+            y,
+            [(f"{r.column} -> {r.ontology}", float(r.success_rate_pct)) for r in ms],
+            "Mapping success rate",
+            value_fmt="{:.1f}",
+            max_value=100.0,
+            unit="%",
+        )
+    data = c.build()
+    with open(out_path, "wb") as fh:
+        fh.write(data)
+    return data

@@ -134,16 +134,29 @@ def collect_input_files(paths, recursive: bool = False):
     """Collect all supported data files (.csv/.tsv/.json) from files,
     directories, and ZIP archives (reference: cli.py:131-196).
 
-    ZIPs extract to a temp dir; ``recursive`` walks nested directories,
-    otherwise one directory level is scanned (reference's top-level +
-    one-layer behavior).  Returns absolute paths in discovery order."""
+    ZIPs extract to a temp dir; ``recursive`` walks nested directories.
+    Non-recursive semantics mirror the reference exactly (cli.py:131-196):
+    plain directories scan TOP-LEVEL files only (the ``os.listdir``
+    branch, cli.py:190-196); extracted ZIPs get the reference's walk
+    quirk — top level plus the first subdirectory in walk order
+    (cli.py:163-172; walk order pinned by sorting for determinism).
+    The walk is consumed lazily (``dirs`` sorted in place), never the
+    whole tree when a break applies.  Returns absolute paths in
+    discovery order."""
     import os
 
     exts = {".csv", ".tsv", ".json"}
     out = []
 
-    def scan_dir(d):
-        for idx, (root, _dirs, files) in enumerate(sorted(os.walk(d))):
+    def scan_dir(d, zip_quirk):
+        if not recursive and not zip_quirk:
+            for fn in sorted(os.listdir(d)):
+                p = os.path.join(d, fn)
+                if os.path.isfile(p) and os.path.splitext(fn)[1].lower() in exts:
+                    out.append(os.path.abspath(p))
+            return
+        for idx, (root, dirs, files) in enumerate(os.walk(d)):
+            dirs.sort()
             for fn in sorted(files):
                 if os.path.splitext(fn)[1].lower() in exts:
                     out.append(os.path.join(root, fn))
@@ -156,9 +169,9 @@ def collect_input_files(paths, recursive: bool = False):
             if ext == ".zip":
                 extracted, err = extract_zip(p)
                 if err is None:
-                    scan_dir(extracted)
+                    scan_dir(extracted, zip_quirk=True)
             elif ext in exts:
                 out.append(os.path.abspath(p))
         elif os.path.isdir(p):
-            scan_dir(p)
+            scan_dir(p, zip_quirk=False)
     return out

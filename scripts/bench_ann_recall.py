@@ -1,0 +1,139 @@
+"""Measured ANN recall@k vs brute force at the bench scale factor.
+
+Publishes the accuracy/cost trade-off for the two ANN paths as evidence
+(BENCH/ANN.md):
+
+- sign-LSH (``cosine_topk_lsh``): sweep ``n_planes`` — more planes =
+  smaller buckets = faster candidate join, lower recall.
+- IVF (``cosine_topk_ivf``, pinned codebook): sweep ``n_probe`` — more
+  probed cells = more candidates = higher recall.
+
+Ground truth is ``cosine_topk_bruteforce`` on the same queries.  Timings
+use the bench protocol (warmed best-of-2); recall is averaged over
+queries.  Usage: ``python scripts/bench_ann_recall.py`` (env: SF_DIR,
+SPARK_GRAFT_CPUS).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "8")
+K = 10
+N_QUERIES = 50
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.ivf_codebook import IVF_CODEBOOK_8x64
+    from phenoqc_spark.operators import similarity as S
+    from phenoqc_spark.session import get_spark
+    from phenoqc_spark.sources import load_table
+
+    spark = get_spark(
+        "ann-recall",
+        master=f"local[{CPUS}]",
+        extra_conf={"spark.sql.shuffle.partitions": str(max(int(CPUS), 4)),
+                    "spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    n_vecs = emb.count()
+    qdf = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    def timed(make):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = make()
+            rows = df.collect()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return df, round(best, 3)
+
+    gt_df, gt_sec = timed(lambda: S.cosine_topk_bruteforce(emb, qdf, k=K))
+    gt = topk_sets(gt_df)
+
+    results = []
+
+    def record(name, setting, df, sec):
+        got = topk_sets(df)
+        recalls = [len(got.get(q, set()) & gt[q]) / len(gt[q]) for q in gt]
+        results.append(
+            {
+                "method": name,
+                "setting": setting,
+                "recall_at_k": round(sum(recalls) / len(recalls), 4),
+                "sec": sec,
+            }
+        )
+
+    for n_planes in (8, 12, 16):
+        df, sec = timed(lambda: S.cosine_topk_lsh(emb, qdf, dim=64, k=K, n_planes=n_planes))
+        record("sign-LSH", f"n_planes={n_planes} (multi-probe 1-bit)", df, sec)
+
+    for n_probe in (1, 2, 4, 8):
+        df, sec = timed(
+            lambda: S.cosine_topk_ivf(
+                emb, qdf, k=K, n_probe=n_probe, centroids=IVF_CODEBOOK_8x64
+            )
+        )
+        record("IVF (8x64 codebook)", f"n_probe={n_probe}/8", df, sec)
+
+    lines = [
+        "# BENCH/ANN — measured ANN recall@k vs brute force",
+        "",
+        f"Protocol: `scripts/bench_ann_recall.py` at `{SF_DIR}` "
+        f"(local[{CPUS}], {n_vecs} vectors, dim 64, {N_QUERIES} queries, k={K}; "
+        "warmed best-of-2 timings; ground truth = `cosine_topk_bruteforce`, "
+        f"which took {gt_sec} s).",
+        "",
+        "| method | setting | recall@10 | sec |",
+        "|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(f"| {r['method']} | {r['setting']} | {r['recall_at_k']} | {r['sec']} |")
+    lines += [
+        "",
+        "Reading: IVF recall climbs monotonically with probed cells and hits",
+        "1.0 at n_probe = n_cells (then it IS brute force, partitioned); the",
+        "recall/scan-fraction dial is n_probe/n_cells, and on a partitioned",
+        "table the probes prune partitions",
+        "(test_ivf_partitioned_scan_prunes_cells).  Sign-LSH recall is LOW on",
+        "this corpus and falls as planes are added — expected, and worth",
+        "stating plainly: the synthetic embeddings are near-isotropic (no",
+        "cluster structure), so a query's true neighbors have only moderate",
+        "cosine and straddle many hyperplane boundaries; 1-bit multi-probe",
+        "cannot recover them.  Sign-LSH is the right tool for high-similarity",
+        "regimes (it is what embedding_near_dups uses at threshold ≥0.95,",
+        "where recall is ~1 by construction); for general top-k retrieval at",
+        "moderate similarity, IVF is the production path.",
+        "",
+    ]
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "ANN.md"
+    )
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(lines))
+    print(json.dumps({"results": results, "gt_sec": gt_sec, "out": out_path}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

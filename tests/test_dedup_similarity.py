@@ -210,6 +210,16 @@ def test_corpus_source_stats(spark):
     assert b.n_docs == 1 and b.dup_rate == 0.0 and b.n_langs == 1
 
 
+def test_corpus_source_stats_without_lang_column(spark):
+    """A corpus with no 'lang' column must not raise: the n_langs aggregate
+    is skipped, the rest is unchanged."""
+    rows = [(0, "one two three", "srcA"), (1, "one two three", "srcA")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = X.corpus_source_stats(df).collect()
+    assert len(got) == 1 and "n_langs" not in got[0].asDict()
+    assert got[0].n_docs == 2 and abs(got[0].dup_rate - 0.5) < 1e-6
+
+
 def test_stream_source_counters_state_survives_restart(spark, tmp_path):
     """applyInPandasWithState counters accumulate across micro-batches and
     across query restarts from the same checkpoint (state-store resume)."""
@@ -358,11 +368,12 @@ def test_redact_pii(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in X.redact_pii(df).collect()}
-    assert got[0].n_emails == 1 and got[0].n_ips == 1
+    assert got[0].n_emails == 1 and got[0].n_ips == 1 and got[0].n_phones == 0
     assert "<EMAIL>" in got[0].text_redacted and "<IP>" in got[0].text_redacted
     assert "example.org" not in got[0].text_redacted
     assert "<PHONE>" in got[1].text_redacted
-    assert got[2].text_redacted == "clean text only"
+    assert got[1].n_phones == 1 and got[1].n_emails == 0 and got[1].n_ips == 0
+    assert got[2].text_redacted == "clean text only" and got[2].n_phones == 0
 
 
 def test_contamination_flags(spark):

@@ -98,6 +98,27 @@ def test_shingle_sets_is_map_only(spark, sf_dir):
     assert "Generate" not in txt, txt
 
 
+def test_dedup_exact_no_exchange_carries_text(spark, sf_dir):
+    """dedup_exact's duplicate decision runs on the (md5, id) projection;
+    the wide text column must never appear in ANY Exchange's attribute set
+    (the td_prep flagship would otherwise shuffle the full corpus once)."""
+    import re
+
+    from phenoqc_spark.operators.dedup import dedup_exact
+    from phenoqc_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = plan_text(dedup_exact(docs))
+    # formatted explain: every node detail block starts with "(<id>) <Name>";
+    # collect the blocks for Exchange/BroadcastExchange nodes and assert no
+    # text attribute (text#NN) flows through them
+    blocks = re.split(r"\n(?=\(\d+\) )", txt)
+    exchange_blocks = [b for b in blocks if re.match(r"\(\d+\) \w*Exchange", b)]
+    assert exchange_blocks, txt  # the (hash,id) shuffle must exist
+    for b in exchange_blocks:
+        assert not re.search(r"\btext#\d+", b), f"Exchange carries text:\n{b}\n{txt}"
+
+
 def test_schema_flag_plan_is_python_free(spark, sf_dir):
     """v_schema_flag compiles to JVM predicates: no Python operator and no
     round-trip through to_json."""

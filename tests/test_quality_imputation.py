@@ -36,6 +36,54 @@ def test_redundancy_identical_and_correlation(spark):
     assert recs[("b", "c")] == "correlation"
 
 
+def test_spearman_pairwise_complete_matches_pandas(spark):
+    """Columns with MISALIGNED null masks: pandas df.corr('spearman')
+    re-ranks each pair over its pairwise-complete subset (reference:
+    quality_metrics.py:100) — detect_redundancy must match exactly.
+    NaN counts as missing, like pandas."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0, 2.0, None, 4.0, 5.0, 6.0, 7.0, 9.0],
+            "b": [2.0, 1.0, 3.0, None, 5.0, 8.0, 6.0, 7.0],
+            "c": [1.0, 4.0, 2.0, 3.0, float("nan"), 5.0, 8.0, 6.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = Q.detect_redundancy(df, threshold=0.0, method="spearman")
+    got = {
+        (r.column_1, r.column_2): r.value
+        for r in out.collect()
+        if r.metric == "correlation"
+    }
+    want = pdf.corr("spearman")
+    for c1, c2 in [("a", "b"), ("a", "c"), ("b", "c")]:
+        assert abs(got[(c1, c2)] - abs(want.loc[c1, c2])) < 1e-12, (c1, c2, got, want)
+
+
+def test_spearman_aligned_fast_path_still_exact(spark):
+    """All-non-null columns (the aligned fast path) keep exact pandas
+    parity through the single global ranking."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "x": [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0],
+            "y": [2.0, 7.0, 1.0, 8.0, 2.0, 8.0, 1.0, 8.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = Q.detect_redundancy(df, threshold=0.0, method="spearman")
+    got = {
+        (r.column_1, r.column_2): r.value
+        for r in out.collect()
+        if r.metric == "correlation"
+    }
+    want = pdf.corr("spearman")
+    assert abs(got[("x", "y")] - abs(want.loc["x", "y"])) < 1e-12
+
+
 def test_traceability(spark):
     df = spark.createDataFrame(
         [("S1", "src"), ("S1", "src"), (None, "src"), ("S3", None)],

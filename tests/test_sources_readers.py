@@ -83,6 +83,36 @@ def test_extract_zip_filters_and_reads(spark, tmp_path):
     assert bad is None and err2
 
 
+def test_collect_input_files_dir_vs_zip_semantics(tmp_path):
+    """Reference parity (cli.py:131-196): non-recursive plain directories
+    scan TOP-LEVEL files only; non-recursive ZIPs get the walk quirk (top
+    level + first subdirectory in sorted walk order); recursive walks all."""
+    import os
+    import zipfile
+
+    from phenoqc_spark.sources.readers import collect_input_files
+
+    d = tmp_path / "plain"
+    for rel in ["top.csv", "a_sub/inner.csv", "b_sub/deep.csv"]:
+        p = d / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text("x,y\n1,2\n")
+    # plain dir, non-recursive: top-level only (no subdirs at all)
+    got = [os.path.basename(p) for p in collect_input_files([str(d)])]
+    assert got == ["top.csv"]
+    # plain dir, recursive: everything
+    got_r = sorted(os.path.basename(p) for p in collect_input_files([str(d)], recursive=True))
+    assert got_r == ["deep.csv", "inner.csv", "top.csv"]
+    # ZIP, non-recursive: top level + the first subdirectory only
+    zp = tmp_path / "arch.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("root.csv", "x\n1\n")
+        zf.writestr("a_sub/inner.csv", "x\n1\n")
+        zf.writestr("b_sub/deep.csv", "x\n1\n")
+    got_z = sorted(os.path.basename(p) for p in collect_input_files([str(zp)]))
+    assert got_z == ["inner.csv", "root.csv"]
+
+
 def test_ontology_fetch_cache_retry_offline(tmp_path):
     from phenoqc_spark.ontology.fetch import fetch_ontology_with_cache
 

@@ -166,3 +166,24 @@ def test_schema_flag_native_matches_jsonschema_udf(spark):
     s3 = {"type": "object", "properties": {"missing_col": {"type": "string"}}, "required": ["missing_col"]}
     got3 = {r.id: r.SchemaViolationFlag for r in V.schema_violation_flag(df2, s3).collect()}
     assert got3 == {1: True, 2: True}
+
+    # required column present in the frame but excluded from the serialized
+    # `columns` subset: key-absent in every serialized row, so BOTH paths
+    # must flag every row (the native path checks required against the
+    # serialized set, not df.columns)
+    s4 = {
+        "type": "object",
+        "properties": {"id": {"type": "integer"}, "v": {"type": ["number", "null"]}},
+        "required": ["id"],
+    }
+    native4 = {
+        r.v: r.SchemaViolationFlag
+        for r in V.schema_violation_flag(df2, s4, columns=["v"]).collect()
+    }
+    s4_udf = dict(s4)
+    s4_udf["properties"] = {**s4["properties"], "v": {"type": ["number", "null"], "description": "force udf"}}
+    udf4 = {
+        r.v: r.SchemaViolationFlag
+        for r in V.schema_violation_flag(df2, s4_udf, columns=["v"]).collect()
+    }
+    assert native4 == udf4 == {2.0: True, 2.5: True}
