@@ -3,7 +3,10 @@
 All operators work over a ``documents(doc_id, text, …)`` table and are
 designed for the 100 TB regime:
 
-- exact: one hash-groupBy (map-side partial agg collapses duplicates).
+- exact: duplicate decision on a (md5, id) projection, broadcast
+  anti-join drop-list — the wide text column never enters an Exchange.
+- paragraph-level: cross-doc boilerplate removal via a hash-only DF
+  aggregate + literal-broadcast map-only rewrite.
 - minhash LSH: shingle → minhash signature (one Arrow-free pass using
   xxhash64 + aggregate) → band buckets → join within buckets only; the
   candidate verify is an exact Jaccard on the candidate pairs (tiny).
@@ -506,39 +509,40 @@ def simhash(
         th = F.conv(F.substring(F.md5("tok"), 2, 15), 16, 10).cast("long")
     else:
         raise ValueError(f"unknown hash_fn '{hash_fn}'")
+    # SHAPE NOTE (measured, round 3 — 1M docs × 35 tokens, local[32],
+    # steady-state best-of-2 on the fingerprint stage alone):
+    #   - this form (explode tokens → ONE HashAggregate with 64 scalar
+    #     ±1-sum aggregates):                               3.6 s
+    #   - posexplode bits → groupBy(doc, bit) → reassemble: 60.6 s for the
+    #     full near-dup job vs 23.7 s (the 64× row blow-up through the
+    #     aggregate machinery swamps any codegen-unit saving)
+    #   - map-only nested-lambda fold over sequence(0,63):  9.5 s
+    #     (aggregate-in-aggregate; no shuffle but 64 passes per row)
+    #   - zip_with bit-count accumulator array:             8.8 s
+    #     (per-token 64-int array allocation → GC pressure)
+    # The k-wide HashAggregate pathology that hit minhash does NOT apply
+    # here: these are plain sum() updates (no inlined shingle loops), the
+    # one-time JIT amortizes, and the alternatives lose 2.5-17× steady
+    # state.  Keep this form.
     tokens = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")).alias(
             "tok"
         ),
     ).withColumn("th", th)
-    # posexplode → groupBy(doc, bit) → per-doc reassembly, instead of 64
-    # scalar sum() aggregates in one HashAggregate: the 64-agg form inlines
-    # 64 copies of the shift/compare/update into a single enormous codegen
-    # unit whose first-run JIT dominated cold wall-clock (the same k-wide
-    # pathology fixed for minhash in _signatures_from_shingles).  The
-    # exploded form is a constant-size expression tree; map-side partial
-    # sums keep the shuffle at ≤64 rows per (doc, input partition) — the
-    # same volume the 64-column row carried.  Values are identical: the
-    # per-bit ±1 sums and the bit> 0 sign test are unchanged, and summing
-    # shiftleft(sign_bit, i) over distinct bit positions reproduces the
-    # two's-complement fingerprint the old XOR chain built (bit 63's term
-    # is -2^63, exactly its signed contribution).
-    contrib = tokens.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, 63),"
-                " i -> case when (shiftright(th, i) & 1) = 1 then 1 else -1 end)"
-            )
-        ).alias("i", "s"),
-    )
-    sums = contrib.groupBy("doc_id", "i").agg(F.sum("s").alias("b"))
-    return sums.groupBy("doc_id").agg(
+    bit_aggs = [
         F.sum(
-            F.expr("shiftleft(cast(case when b > 0 then 1 else 0 end as bigint), i)")
-        ).alias("simhash")
-    )
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = tokens.groupBy("doc_id").agg(*bit_aggs)
+    expr = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        shifted = F.shiftleft(bit, i)
+        expr = shifted if expr is None else expr.bitwiseXOR(shifted)
+    return sums.select("doc_id", expr.alias("simhash"))
 
 
 def simhash_near_dups(
@@ -602,6 +606,103 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level (sub-document) dedup: cross-doc boilerplate removal
+# ---------------------------------------------------------------------------
+
+def boilerplate_paragraphs(
+    df: DataFrame,
+    min_df: int = 5,
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """(para_hash, df_count) for paragraphs occurring in MORE than
+    ``min_df`` distinct documents — the nav/header/footer/cookie-banner
+    mass that document-level dedup cannot see (it repeats across
+    otherwise-unique pages).
+
+    Scale shape: paragraphs are split per row, de-duplicated within the
+    doc (``array_distinct`` → the count is document frequency), hashed in
+    the same projection, and ONLY the 32-byte hash enters the groupBy
+    shuffle — paragraph text never leaves its map stage.  Whitespace-only
+    paragraphs are ignored.
+    """
+    paras = df.select(
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), f"\\Q{sep}\\E"))
+        ).alias("_p")
+    ).filter(F.length(F.trim("_p")) > 0)
+    return (
+        paras.select(F.md5("_p").alias("para_hash"))
+        .groupBy("para_hash")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") > min_df)
+    )
+
+
+def strip_paragraphs(
+    df: DataFrame,
+    bad_hashes: list,
+    text_col: str = "text",
+    sep: str = "\n\n",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Map-only rewrite: drop paragraphs whose md5 is in ``bad_hashes``
+    (a driver-side list, inlined as ONE array literal — a single Literal
+    node, not len(bad_hashes) expression-tree children, so the generated
+    code stays constant-size however long the list is; the broadcast-side
+    of the two-pass boilerplate pipeline).  Whitespace-only paragraphs are
+    preserved as document structure.  Pure projection: no join, no
+    shuffle, the corpus is touched exactly once.  ``array_contains`` on
+    the literal is a linear probe per paragraph — fine for the
+    nav/footer-sized sets this targets; beyond that use the anti-join
+    variant described in :func:`paragraph_dedup`."""
+    arr = (
+        F.lit([str(h) for h in bad_hashes])
+        if bad_hashes
+        else F.array().cast("array<string>")
+    )
+    paras = F.split(F.col(text_col), f"\\Q{sep}\\E")
+    kept = F.filter(
+        paras,
+        lambda p: (F.length(F.trim(p)) == 0) | ~F.array_contains(arr, F.md5(p)),
+    )
+    return df.withColumn(out_col, F.array_join(kept, sep))
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    min_df: int = 5,
+    text_col: str = "text",
+    sep: str = "\n\n",
+    out_col: str = "text_clean",
+    max_boilerplate: int = 100_000,
+) -> DataFrame:
+    """Cross-document paragraph dedup (boilerplate removal) as one
+    two-pass pipeline:
+
+    1. :func:`boilerplate_paragraphs` — hash-only aggregate of paragraph
+       document frequency (the only shuffle, 32 bytes/paragraph);
+    2. collect the flagged hashes (bounded: boilerplate sets are small by
+       nature — ``max_boilerplate`` guards the assumption and raises
+       rather than silently ballooning the driver);
+    3. :func:`strip_paragraphs` — map-only rewrite of the corpus.
+
+    At the 100 TB tier step 2's list ships to executors as a task literal
+    exactly like a broadcast dict; if a corpus ever exceeds the guard,
+    write the hash table out and switch step 3 to an explode + broadcast
+    anti-join + ordered reassembly instead.
+    """
+    flagged = boilerplate_paragraphs(df, min_df, text_col, sep)
+    bad = [r.para_hash for r in flagged.limit(max_boilerplate + 1).collect()]
+    if len(bad) > max_boilerplate:
+        raise ValueError(
+            f"boilerplate set exceeds max_boilerplate={max_boilerplate}; "
+            "materialize the hash table and use an anti-join rewrite"
+        )
+    return strip_paragraphs(df, sorted(bad), text_col, sep, out_col)
 
 
 def minhash_near_dedup(

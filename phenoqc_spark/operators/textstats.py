@@ -165,6 +165,89 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 filters), all
+    pure per-row JVM lambda expressions — no explode, no shuffle:
+
+    - ``dup_line_frac``: fraction of lines that repeat an earlier line.
+    - ``dup_line_char_frac``: fraction of characters inside those repeated
+      lines.
+    - ``dup_word_frac``: 1 − distinct_words/words.
+    - ``top_bigram_char_frac``: character mass of the most repeated word
+      bigram (occurrences × bigram length / total chars); ties resolve to
+      the larger mass, which is the filter-relevant quantity.
+
+    High values mark boilerplate/template/spam pages that repetition
+    filters drop before training.
+
+    The line/token arrays are materialized as projection columns BEFORE
+    the lambda stages: Catalyst does not CSE a ``split`` repeated inside a
+    lambda body, so inlining it would re-run the split per array element
+    (the pitfall documented at :func:`phenoqc_spark.operators.dedup.word_shingles`).
+    """
+    staged = df.withColumn("_rl", F.split(F.col(text_col), r"\n")).withColumn(
+        "_rt", _tokens_expr(text_col)
+    )
+    t = F.col(text_col)
+    n_lines = F.size("_rl")
+    # line i (1-based) repeats iff the same line first appears earlier
+    rep_mask = F.expr(
+        "transform(sequence(1, size(_rl)),"
+        " i -> array_position(_rl, element_at(_rl, i)) < i)"
+    )
+    rep_chars = F.expr(
+        "aggregate(sequence(1, size(_rl)), 0L,"
+        " (acc, i) -> acc + IF(array_position(_rl, element_at(_rl, i)) < i,"
+        " cast(length(element_at(_rl, i)) as bigint), 0L))"
+    )
+    n_rep_lines = F.size(F.filter(rep_mask, lambda x: x))
+    total_chars = F.length(t)
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size("_rt"))
+    n_distinct_words = F.size(F.array_distinct("_rt"))
+    # most repeated word bigram's char mass; row-local O(b²) lambda over
+    # the doc's own bigrams — constant-size codegen, no shuffle
+    staged = staged.withColumn(
+        "_rb",
+        F.when(
+            F.size("_rt") >= 2,
+            F.expr(
+                "transform(sequence(1, size(_rt) - 1),"
+                " i -> concat(element_at(_rt, i), ' ', element_at(_rt, i + 1)))"
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    big = F.col("_rb")
+    top_mass = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(big),
+                lambda s: F.size(F.filter(big, lambda x: x == s)) * F.length(s),
+            )
+        ),
+        F.lit(0),
+    )
+    z = F.lit(0.0)
+    return (
+        staged.withColumn(
+            "dup_line_frac",
+            F.when(n_lines > 0, F.round(n_rep_lines / n_lines, 6)).otherwise(z),
+        )
+        .withColumn(
+            "dup_line_char_frac",
+            F.when(total_chars > 0, F.round(rep_chars / total_chars, 6)).otherwise(z),
+        )
+        .withColumn(
+            "dup_word_frac",
+            F.when(n_words > 0, F.round(1.0 - n_distinct_words / n_words, 6)).otherwise(z),
+        )
+        .withColumn(
+            "top_bigram_char_frac",
+            F.when(total_chars > 0, F.round(top_mass / total_chars, 6)).otherwise(z),
+        )
+        .drop("_rl", "_rt", "_rb")
+    )
+
+
 def contamination_flags(
     df: DataFrame,
     benchmark: DataFrame,

@@ -376,6 +376,63 @@ def test_redact_pii(spark):
     assert got[2].text_redacted == "clean text only" and got[2].n_phones == 0
 
 
+def test_repetition_stats(spark):
+    rows = [
+        # 4 lines, "same line" repeats twice more (2 repeats of 9 chars);
+        # 9 words, 5 distinct → dup_word_frac = 1 - 5/9
+        (0, "same line\nsame line\nsame line\nunique words here"),
+        (1, "all fresh words never repeating once"),
+        (2, ""),
+        # "a b a b a b": bigrams = [a b, b a, a b, b a, a b]; top 'a b'
+        # occurs 3× (len 3) → mass 9 over 11 chars
+        (3, "a b a b a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in X.repetition_stats(df).collect()}
+    assert got[0].dup_line_frac == 0.5  # 2 of 4 lines are repeats
+    assert got[0].dup_line_char_frac == round(18 / len(rows[0][1]), 6)
+    assert got[0].dup_word_frac == round(1 - 5 / 9, 6)
+    assert got[1].dup_line_frac == 0.0 and got[1].dup_word_frac == 0.0
+    assert got[2].dup_line_frac == 0.0 and got[2].top_bigram_char_frac == 0.0
+    assert got[3].top_bigram_char_frac == round(9 / 11, 6)
+    assert got[3].dup_word_frac == round(1 - 2 / 6, 6)
+
+
+def test_repetition_stats_is_map_only(spark):
+    from tests.test_plan_shapes import plan_text
+
+    df = spark.createDataFrame([(0, "x\ny")], "doc_id long, text string")
+    txt = plan_text(X.repetition_stats(df))
+    assert "Exchange" not in txt and "Generate" not in txt, txt
+
+
+def test_paragraph_dedup_removes_cross_doc_boilerplate(spark):
+    header = "SITE NAV | home | about"
+    footer = "copyright example corp"
+    rows = [
+        (i, f"{header}\n\nunique body {i} with words\n\n{footer}") for i in range(8)
+    ] + [(100, "standalone doc\n\nno boilerplate at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flagged = {r.para_hash: r.df_count for r in D.boilerplate_paragraphs(df, min_df=5).collect()}
+    assert len(flagged) == 2 and set(flagged.values()) == {8}
+    out = {r.doc_id: r.text_clean for r in D.paragraph_dedup(df, min_df=5).collect()}
+    assert out[3] == "unique body 3 with words"
+    assert out[100] == "standalone doc\n\nno boilerplate at all"
+    # guard: an over-budget boilerplate set raises instead of ballooning
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        D.paragraph_dedup(df, min_df=0, max_boilerplate=1)
+
+
+def test_strip_paragraphs_is_map_only(spark):
+    from tests.test_plan_shapes import plan_text
+
+    df = spark.createDataFrame([(0, "a\n\nb")], "doc_id long, text string")
+    txt = plan_text(D.strip_paragraphs(df, ["00000000000000000000000000000000"]))
+    assert "Exchange" not in txt and "Join" not in txt, txt
+
+
 def test_contamination_flags(spark):
     bench = spark.createDataFrame(
         [("which is the benchmark question about gravity on the moon",)], "text string"
