@@ -164,11 +164,21 @@ def _apply_np(strategy: str, X: np.ndarray, params: dict) -> np.ndarray:
         return iterative_impute(X, max_iter=int(params.get("max_iter", 10)))
     if strategy == "svd":
         return iterative_svd_impute(X, rank=params.get("rank"))
-    if strategy == "mean":
+    if strategy in ("mean", "median"):
         out = X.copy()
-        mu = np.nanmean(out, axis=0)
+        with np.errstate(all="ignore"):
+            fill = np.nanmean(out, axis=0) if strategy == "mean" else np.nanmedian(out, axis=0)
         idx = np.where(np.isnan(out))
-        out[idx] = np.take(mu, idx[1])
+        out[idx] = np.take(fill, idx[1])
+        return out
+    if strategy == "mode":
+        out = X.copy()
+        for j in range(out.shape[1]):
+            col = out[:, j]
+            vals = col[~np.isnan(col)]
+            if vals.size:
+                uniq, counts = np.unique(vals, return_counts=True)
+                col[np.isnan(col)] = uniq[np.argmax(counts)]  # ties → smallest, as in impute
         return out
     raise ValueError(strategy)
 
