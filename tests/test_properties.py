@@ -42,6 +42,41 @@ def _lcs_dp(a: str, b: str) -> int:
     return prev[-1]
 
 
+@settings(max_examples=100, deadline=None)
+@given(st.lists(text_st, min_size=0, max_size=12), st.integers(min_value=1, max_value=3))
+def test_pdf_writer_structure_holds_for_any_content(texts, n_pages):
+    """The hand-rolled PDF 1.4 writer (pdfgen.py) must emit structurally
+    valid output for ANY text content: header/EOF framing, startxref
+    pointing at the xref table, every xref offset pointing at its 'N 0
+    obj' header, and parenthesis/backslash-safe literal strings."""
+    from phenoqc_spark.pdfgen import PdfCanvas
+
+    c = PdfCanvas()
+    for p in range(n_pages - 1):
+        c.new_page()
+    for i, s in enumerate(texts):
+        c.text(50, 50 + 14 * (i % 40), s, size=9)
+        c.rect(40, 40 + (i % 5), 10 + i, 4)
+    data = c.build()
+    assert data.startswith(b"%PDF-1.4") and data.rstrip().endswith(b"%%EOF")
+    xref_at = int(data.rsplit(b"startxref", 1)[1].split(b"%%EOF")[0].strip())
+    assert data[xref_at : xref_at + 4] == b"xref"
+    body = data[xref_at:].split(b"trailer")[0].decode()
+    entries = body.splitlines()[2:]
+    for i, line in enumerate(entries):
+        if line.endswith("n "):
+            off = int(line.split()[0])
+            assert data[off:].startswith(f"{i} 0 obj".encode()), (i, off)
+    # stream lengths are exact: /Length N matches the bytes between
+    # stream\n and \nendstream for every content stream
+    import re as _re
+
+    for m in _re.finditer(rb"<< /Length (\d+) >>\nstream\n", data):
+        n = int(m.group(1))
+        start = m.end()
+        assert data[start + n : start + n + 10] == b"\nendstream"
+
+
 @settings(max_examples=200, deadline=None)
 @given(word_st, word_st)
 def test_wratio_bounds_and_identity(a, b):
