@@ -53,6 +53,13 @@ def main() -> None:
     ap.add_argument("--bias-var-ratio-threshold", type=float, default=2.0)
     ap.add_argument("--bias-ks-threshold", type=float, default=0.10)
     ap.add_argument("--bias-psi-threshold", type=float, default=0.10)
+    ap.add_argument("--quality-metrics", "--metrics", nargs="+", default=None,
+                    choices=["accuracy", "redundancy", "traceability",
+                             "timeliness", "imputation_bias", "all"],
+                    help="additional quality metrics to evaluate "
+                         "(reference QUALITY_METRIC_CHOICES)")
+    ap.add_argument("--redundancy-threshold", type=float, default=None)
+    ap.add_argument("--redundancy-method", choices=["pearson", "spearman"], default=None)
     ap.add_argument("--label-column", default=None,
                     help="label column for a class-distribution summary")
     ap.add_argument("--imbalance-threshold", type=float, default=0.10)
@@ -117,12 +124,34 @@ def main() -> None:
         validator = DataValidator(
             df, schema, [c for c in args.unique_identifiers if c in df.columns]
         )
-        results = validator.run_all_validations(cfg.get("quality") or {})
+        quality_cfg = dict(cfg.get("quality") or {})
+        if args.quality_metrics:
+            quality_cfg["quality_metrics"] = list(args.quality_metrics)
+        if args.redundancy_threshold is not None or args.redundancy_method is not None:
+            rcfg = dict(quality_cfg.get("redundancy") or {})
+            if args.redundancy_threshold is not None:
+                rcfg["threshold"] = args.redundancy_threshold
+            if args.redundancy_method is not None:
+                rcfg["method"] = args.redundancy_method
+            quality_cfg["redundancy"] = rcfg
+        results = validator.run_all_validations(quality_cfg)
         flagged = results["Format Validation"]
         n_rows = df.count()
         n_violations = flagged.filter(flagged.SchemaViolationFlag).count()
         n_dups = results["Duplicate Records"].count()
         n_conflicts = results["Conflicting Records"].count()
+        extra_metrics = {}
+        for key in (
+            "Accuracy Issues",
+            "Traceability Issues",
+            "Timeliness Issues",
+        ):
+            if results.get(key) is not None:
+                extra_metrics[key] = results[key].count()
+        if results.get("Redundancy Issues") is not None:
+            extra_metrics["Redundancy Issues"] = [
+                r.asDict() for r in results["Redundancy Issues"].collect()
+            ]
 
         engine = ImputationEngine(
             impute_cfg, exclude_columns=list(args.unique_identifiers) + protected
@@ -228,6 +257,7 @@ def main() -> None:
                 "duplicates": n_dups,
                 "conflicts": n_conflicts,
                 "imputation": impute_cfg.get("strategy") or "none",
+                "extra_metrics": extra_metrics,
                 "imputation_tuning": engine.tuning_summary,
                 "quality_metrics": quality_metrics_payload,
                 "class_distribution": class_dist_rows,

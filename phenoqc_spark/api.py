@@ -86,7 +86,9 @@ class DataValidator:
         if "redundancy" in metrics or "all" in metrics:
             rcfg = cfg.get("redundancy", {}) if isinstance(cfg.get("redundancy"), dict) else {}
             results["Redundancy Issues"] = Q.detect_redundancy(
-                self.df, threshold=float(rcfg.get("threshold", 0.98))
+                self.df,
+                threshold=float(rcfg.get("threshold", 0.98)),
+                method=str(rcfg.get("method", "pearson")),
             )
         if "traceability" in metrics or "all" in metrics:
             results["Traceability Issues"] = Q.check_traceability(

@@ -208,7 +208,8 @@ def test_run_qc_job_end_to_end(spark, tmp_path, onto_dir):
          "--unique_identifiers", "SampleID", "--output", str(out_dir),
          "--single-file", "--cpus", "2",
          "--impute-diagnostics", "on", "--diag-repeats", "2",
-         "--mi-uncertainty", "on", "--mi-repeats", "2"],
+         "--mi-uncertainty", "on", "--mi-repeats", "2",
+         "--quality-metrics", "accuracy", "traceability"],
         capture_output=True, text=True, timeout=300, cwd="/root/repo",
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -224,6 +225,10 @@ def test_run_qc_job_end_to_end(spark, tmp_path, onto_dir):
     assert any(r["column"] == "Age" and r["n_imp"] >= 1 for r in qm["imputation_bias"]["rows"])
     assert qm["imputation_stability"]["rows"], qm
     assert any(r["column"] == "Age" for r in qm["imputation_uncertainty"]["rows"])
+    # --quality-metrics selector (reference QUALITY_METRIC_CHOICES):
+    # traceability sees the duplicated S3 identifier
+    assert s0["extra_metrics"]["Accuracy Issues"] == 0
+    assert s0["extra_metrics"]["Traceability Issues"] >= 2
     import glob
 
     csvs = glob.glob(str(out_dir / "cohort_processed.csv" / "*.csv"))
