@@ -1045,6 +1045,132 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------------------
+# out-of-band extras: verified by the LOCAL gate only
+# ---------------------------------------------------------------------------
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Round-3 operators with full rows+schema+hash oracle checks run by
+    ``scripts/check_correctness.py`` ONLY: the grading driver records at
+    most 50 entries and ``oracle_sql()`` sits exactly at that cap, so
+    these get the identical differential check out-of-band instead of
+    displacing a recorded query (see COVERAGE.md extras table)."""
+    from phenoqc_spark.operators import dedup as D, textstats as X
+
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def txt_repetition(spark, sf_dir):
+        # inject deterministic line repetition so the signals have mass
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat_ws("\n", F.col("text"), F.col("text"), F.lit("tail line")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return (
+            X.repetition_stats(docs)
+            .select(
+                "doc_id",
+                "dup_line_frac",
+                "dup_line_char_frac",
+                "dup_word_frac",
+                "top_bigram_char_frac",
+            )
+            .orderBy("doc_id")
+        )
+
+    q["txt_repetition"] = txt_repetition
+
+    def dd_paragraph(spark, sf_dir):
+        # 2/3 of docs share an injected header + footer paragraph; the
+        # boilerplate pass must strip exactly those, preserving bodies
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 != 2,
+                F.concat(
+                    F.lit("SHARED HEADER NAV\n\n"),
+                    F.col("text"),
+                    F.lit("\n\nCOPYRIGHT FOOTER"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return (
+            D.paragraph_dedup(docs, min_df=5)
+            .select("doc_id", F.md5("text_clean").alias("clean_md5"))
+            .orderBy("doc_id")
+        )
+
+    q["dd_paragraph"] = dd_paragraph
+    return q
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    o: dict[str, str] = {}
+    o["txt_repetition"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text || chr(10) || 'tail line'
+              ELSE text END AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS ls,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
+  FROM d
+), m AS (
+  SELECT doc_id, text, ls, ws,
+         list_sum([CASE WHEN list_position(ls, ls[i]) < i THEN 1 ELSE 0 END
+                   FOR i IN range(1, len(ls) + 1)]) AS n_rep,
+         list_sum([CASE WHEN list_position(ls, ls[i]) < i THEN length(ls[i]) ELSE 0 END
+                   FOR i IN range(1, len(ls) + 1)]) AS rep_chars,
+         CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(ws) END AS n_words,
+         len(list_distinct(ws)) AS n_distinct,
+         CASE WHEN len(ws) >= 2
+              THEN [ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]
+              ELSE [] END AS bg
+  FROM l
+)
+SELECT doc_id,
+       CASE WHEN len(ls) > 0 THEN ROUND(CAST(n_rep AS DOUBLE) / len(ls), 6) ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN length(text) > 0 THEN ROUND(CAST(rep_chars AS DOUBLE) / length(text), 6) ELSE 0.0 END AS dup_line_char_frac,
+       CASE WHEN n_words > 0 THEN ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN length(text) > 0
+            THEN ROUND(CAST(COALESCE(list_max(list_transform(list_distinct(bg),
+                 s -> len(list_filter(bg, x -> x = s)) * length(s))), 0) AS DOUBLE) / length(text), 6)
+            ELSE 0.0 END AS top_bigram_char_frac
+FROM m ORDER BY doc_id
+"""
+
+    o["dd_paragraph"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 <> 2
+              THEN 'SHARED HEADER NAV' || chr(10) || chr(10) || text || chr(10) || chr(10) || 'COPYRIGHT FOOTER'
+              ELSE text END AS text
+  FROM documents
+), p AS (
+  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM d
+), freq AS (
+  SELECT md5(x) AS h
+  FROM (SELECT doc_id, UNNEST(list_distinct(ps)) AS x FROM p)
+  WHERE len(trim(x)) > 0
+  GROUP BY md5(x) HAVING COUNT(*) > 5
+), bad AS (SELECT COALESCE(list(h), []) AS hs FROM freq)
+SELECT doc_id,
+       md5(array_to_string(
+         list_filter(ps, x -> len(trim(x)) = 0 OR NOT list_contains(bad.hs, md5(x))),
+         chr(10) || chr(10))) AS clean_md5
+FROM p, bad ORDER BY doc_id
+"""
+    return o
+
+
+# ---------------------------------------------------------------------------
 # oracles (DuckDB SQL over the registered views)
 # ---------------------------------------------------------------------------
 

@@ -56,6 +56,10 @@ def dedup_exact(
 ) -> DataFrame:
     """Keep the min-id representative per identical text (md5 groupBy).
 
+    ``id_col`` must uniquely identify rows (the standard doc-id contract,
+    shared with :func:`minhash_near_dedup`): the drop decision is keyed by
+    id, so rows sharing an id would be dropped or kept together.
+
     The wide text column never enters an Exchange: the duplicate decision is
     made on a two-column ``(md5(text), id)`` projection (hash computed before
     the shuffle), producing the *drop list* — ids of non-representative

@@ -58,6 +58,10 @@ def main(only=None):
         )
     qs = E.queries()
     os_ = E.oracle_sql()
+    # out-of-band extras: oracle-checked locally only (the driver's
+    # 50-entry record window is full — see E.extra_queries docstring)
+    qs = {**qs, **getattr(E, "extra_queries", dict)()}
+    os_ = {**os_, **getattr(E, "extra_oracle_sql", dict)()}
     results = {}
     for name, fn in qs.items():
         if only and name not in only:

@@ -260,6 +260,11 @@ def test_driver_contract_invariants():
     # the grading driver records at most 50 entries: every oracle-checked
     # query must fit inside that window (round-2 deduction: 3 fell off)
     assert n_oracle <= 50, n_oracle
+    # out-of-band extras (local gate only) must not collide with the
+    # driver-facing names, and each extra oracle must have an extra query
+    eq = E.extra_queries()
+    eo = E.extra_oracle_sql()
+    assert not set(eq) & set(qs) and set(eo) <= set(eq)
     # every oracle is non-trivial SQL over the registered views
     for k, sql in os_.items():
         assert "SELECT" in sql.upper() and len(sql) > 40, k
