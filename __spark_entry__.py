@@ -1106,6 +1106,29 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dd_paragraph"] = dd_paragraph
+
+    def txt_tfidf(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return X.tfidf_topk(docs, k=3).orderBy("doc_id", "rank")
+
+    q["txt_tfidf"] = txt_tfidf
+
+    def txt_hosts(spark, sf_dir):
+        # synthesize deterministic URLs over the documents table (37 hosts)
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.format_string(
+                "https://host%02d.example.org/p/%d", (F.col("doc_id") % 37), F.col("doc_id")
+            ).alias("url"),
+            F.when(
+                F.col("doc_id") % 10 < 2,
+                F.concat(F.lit("dup bucket "), (F.col("doc_id") % 5).cast("string")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return X.url_host_stats(docs).orderBy("host")
+
+    q["txt_hosts"] = txt_hosts
     return q
 
 
@@ -1166,6 +1189,52 @@ SELECT doc_id,
          list_filter(ps, x -> len(trim(x)) = 0 OR NOT list_contains(bad.hs, md5(x))),
          chr(10) || chr(10))) AS clean_md5
 FROM p, bad ORDER BY doc_id
+"""
+
+    o["txt_tfidf"] = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE length(token) > 0 GROUP BY 1, 2
+), dfq AS (
+  SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token
+), n AS (SELECT COUNT(DISTINCT doc_id) AS N FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfq.doc_freq,
+         ROUND(tf.tf * (ln((n.N + 1.0) / (dfq.doc_freq + 1)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfq USING (token), n
+), ranked AS (
+  SELECT doc_id, token, tf, doc_freq, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_freq,
+       tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+    o["txt_hosts"] = """
+WITH d AS (
+  SELECT printf('https://host%02d.example.org/p/%d', CAST(doc_id % 37 AS INT), doc_id) AS url,
+         CASE WHEN doc_id % 10 < 2 THEN 'dup bucket ' || CAST(doc_id % 5 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+), parsed AS (
+  SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
+         regexp_extract(url, '^https://[^/]+(/[^?#]*)', 1) AS path,
+         md5(text) AS h
+  FROM d
+), g AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+         ROUND(1.0 - COUNT(DISTINCT h) * 1.0 / COUNT(*), 6) AS dup_rate
+  FROM parsed GROUP BY host
+), t AS (SELECT SUM(n_docs) AS total FROM g)
+SELECT host, n_docs, n_paths, dup_rate,
+       ROUND(CAST(n_docs AS DOUBLE) / t.total, 6) AS corpus_share
+FROM g, t ORDER BY host
 """
     return o
 

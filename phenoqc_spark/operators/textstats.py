@@ -248,6 +248,87 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, token, tf, doc_freq, tfidf, rank): top-``k`` TF-IDF terms
+    per document — the per-doc keyword signal corpus curation uses for
+    topic mixing and boilerplate spotting.
+
+    tf = in-document count; idf = ln((N+1)/(doc_freq+1)) + 1 (the smoothed
+    formulation, no division by zero); ties rank by token ascending
+    (deterministic).  Scale shape: one token explode; document frequency
+    is a hash-groupBy on the (short) token key with map-side partial
+    aggregation; the join back is token-keyed; the per-doc top-k window
+    partitions by doc — never a global sort.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens_expr(text_col)).alias("token")
+    ).filter(F.length("token") > 0)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # corpus size as a broadcast 1-row aggregate: the whole plan stays
+    # lazy (no construction-time action)
+    n_docs = df.agg(F.countDistinct(F.col(id_col)).alias("_N"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_N") + 1.0) / (F.col("doc_freq") + 1)) + 1.0),
+                6,
+            ),
+        )
+        .drop("_N")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "doc_freq", "tfidf", "rank")
+    )
+
+
+def url_host_stats(df: DataFrame, url_col: str = "url", text_col: str | None = "text") -> DataFrame:
+    """Per-host curation roll-up over a web corpus: docs, distinct paths,
+    corpus share, and (when ``text_col`` is present) exact-dup rate within
+    the host — the table a crawl-curation pass uses to up/down-weight or
+    block hosts.
+
+    JVM ``parse_url`` for host/path; one hash-groupBy (text contributes
+    only its md5, as in :func:`corpus_source_stats`).  Share-of-corpus
+    comes from a window over the grouped result (host-count sized), not a
+    second scan.
+    """
+    has_text = text_col is not None and text_col in df.columns
+    proj = [
+        F.parse_url(F.col(url_col), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col(url_col), F.lit("PATH")).alias("_path"),
+    ]
+    if has_text:
+        proj.append(F.md5(F.col(text_col)).alias("_h"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_path").alias("n_paths"),
+    ]
+    if has_text:
+        aggs.append(
+            F.round(1.0 - F.countDistinct("_h") / F.count(F.lit(1)), 6).alias("dup_rate")
+        )
+    from pyspark.sql import Window
+
+    grouped = df.select(*proj).groupBy("host").agg(*aggs)
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return grouped.withColumn("corpus_share", F.round(F.col("n_docs") / total, 6))
+
+
 def contamination_flags(
     df: DataFrame,
     benchmark: DataFrame,

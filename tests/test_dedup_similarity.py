@@ -433,6 +433,42 @@ def test_strip_paragraphs_is_map_only(spark):
     assert "Exchange" not in txt and "Join" not in txt, txt
 
 
+def test_tfidf_topk(spark):
+    rows = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "cherry cherry durian"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.rank): r for r in X.tfidf_topk(df, k=2).collect()}
+    import math
+
+    # doc 0: apple tf=2 df=1 → 2*(ln(4/2)+1); banana tf=1 df=2 → ln(4/3)+1
+    assert got[(0, 1)].token == "apple"
+    assert abs(got[(0, 1)].tfidf - round(2 * (math.log(4 / 2) + 1), 6)) < 1e-9
+    assert got[(0, 2)].token == "banana"
+    # doc 2: cherry tf=2 beats durian tf=1 despite durian's rarer df
+    assert got[(2, 1)].token == "cherry" and got[(2, 2)].token == "durian"
+    assert all(r.rank <= 2 for r in got.values())
+
+
+def test_url_host_stats(spark):
+    rows = [
+        (0, "https://a.example.org/x", "same"),
+        (1, "https://a.example.org/y", "same"),
+        (2, "https://a.example.org/y?q=1", "other"),
+        (3, "https://b.example.org/z", "unique"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {r.host: r for r in X.url_host_stats(df).collect()}
+    a = got["a.example.org"]
+    assert a.n_docs == 3 and a.n_paths == 2  # /x, /y (query string not path)
+    assert abs(a.dup_rate - (1 - 2 / 3)) < 1e-6
+    assert abs(a.corpus_share - 0.75) < 1e-6
+    b = got["b.example.org"]
+    assert b.n_docs == 1 and b.dup_rate == 0.0
+
+
 def test_contamination_flags(spark):
     bench = spark.createDataFrame(
         [("which is the benchmark question about gravity on the moon",)], "text string"
