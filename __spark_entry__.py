@@ -1129,6 +1129,24 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return X.url_host_stats(docs).orderBy("host")
 
     q["txt_hosts"] = txt_hosts
+
+    def sim_pq_adc(spark, sf_dir):
+        # PQ encode + ADC top-k with the PINNED codebook artifact — every
+        # stage (normalize, sub-centroid argmax, lookup-table sum, rank)
+        # SQL-recomputable, so the compressed-ANN path is hash-checked
+        from phenoqc_spark.operators import similarity as S
+        from phenoqc_spark.pq_codebook import PQ_CODEBOOK_8x16x8
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        codes = S.pq_encode(emb, PQ_CODEBOOK_8x16x8)
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return S.cosine_topk_pq(codes, queries_df, PQ_CODEBOOK_8x16x8, k=10).orderBy(
+            "query_id", "rank"
+        )
+
+    q["sim_pq_adc"] = sim_pq_adc
     return q
 
 
@@ -1235,6 +1253,58 @@ WITH d AS (
 SELECT host, n_docs, n_paths, dup_rate,
        ROUND(CAST(n_docs AS DOUBLE) / t.total, 6) AS corpus_share
 FROM g, t ORDER BY host
+"""
+
+    # sim_pq_adc: pinned PQ codebook (m=8 × ksub=16 × d=8) → encoding,
+    # lookup tables, and ADC ranking all SQL-recomputable.  The half-norm
+    # literals (cn) are computed by the same Python expression feeding the
+    # Spark literals, so the argmax tie-break is bit-identical.
+    from phenoqc_spark.pq_codebook import PQ_CODEBOOK_8x16x8 as _PQ
+
+    _pq_rows = ",\n  ".join(
+        f"({mi}, {j}, [{', '.join(repr(x) for x in c)}], {sum(x * x for x in c) / 2.0!r})"
+        for mi, book in enumerate(_PQ)
+        for j, c in enumerate(book)
+    )
+    o["sim_pq_adc"] = f"""
+WITH cb(m, j, c, cn) AS (VALUES
+  {_pq_rows}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv FROM e),
+sub AS (
+  SELECT u.vec_id, cb.m, cb.j,
+         list_dot_product(uv[cb.m * 8 + 1 : cb.m * 8 + 8], cb.c) - cb.cn AS s
+  FROM u, cb
+),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY s DESC, j ASC) AS rn
+    FROM sub
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(v, x -> x / (sqrt(list_dot_product(v, v)) + 1e-12)) AS qu
+  FROM e WHERE vec_id < 5
+),
+tq AS (
+  SELECT q.query_id, cb.m, cb.j,
+         list_dot_product(qu[cb.m * 8 + 1 : cb.m * 8 + 8], cb.c) AS t
+  FROM q, cb
+),
+adc AS (
+  SELECT tq.query_id, codes.vec_id, ROUND(SUM(tq.t), 6) AS adc_score
+  FROM codes JOIN tq ON codes.m = tq.m AND codes.code = tq.j
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_score DESC, vec_id ASC) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id, adc_score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
     return o
 

@@ -96,6 +96,21 @@ def main() -> None:
         )
         record("IVF (8x64 codebook)", f"n_probe={n_probe}/8", df, sec)
 
+    # --- PQ: compressed codes + ADC, with and without exact re-rank ------
+    from phenoqc_spark.pq_codebook import PQ_CODEBOOK_8x16x8
+
+    codes = S.pq_encode(emb, PQ_CODEBOOK_8x16x8).persist()
+    codes.count()
+    df, sec = timed(lambda: S.cosine_topk_pq(codes, qdf, PQ_CODEBOOK_8x16x8, k=K))
+    record("PQ ADC (8x16 codebook, 8B/vec)", "codes only", df, sec)
+    df, sec = timed(
+        lambda: S.cosine_topk_pq(
+            codes, qdf, PQ_CODEBOOK_8x16x8, k=K, rerank=emb, rerank_factor=4
+        )
+    )
+    record("PQ ADC + exact re-rank", "shortlist k*4", df, sec)
+    codes.unpersist()
+
     # --- clustered corpus: the regime sign-LSH is FOR --------------------
     # 100 centers × 20 members, member≈center+small noise → a query's true
     # neighbors share its cluster and its bucket.  Deterministic (seed 7).
@@ -152,7 +167,12 @@ def main() -> None:
         "stating plainly: the synthetic embeddings are near-isotropic (no",
         "cluster structure), so a query's true neighbors have only moderate",
         "cosine and straddle many hyperplane boundaries; 1-bit multi-probe",
-        "cannot recover them.  The clustered-corpus rows (100 centers × 20",
+        "cannot recover them.  PQ shows the same corpus effect: on isotropic",
+        "vectors the quantization error is the same size as the (weak) true",
+        "neighbor structure, so ADC recall is low and the k×4 re-rank can",
+        "only recover what the shortlist caught; on clustered data the same",
+        "operator measures ≥0.9 reranked (test_pq_encode_and_adc_recall).",
+        "The clustered-corpus rows (100 centers × 20",
         "members, σ=0.05 — the regime web/doc embeddings actually live in)",
         "show the same operator with high recall: sign-LSH is the right tool",
         "for high-similarity/clustered regimes (embedding_near_dups uses it",

@@ -140,6 +140,62 @@ def test_ann_ivf_self_retrieval_and_recall(spark):
     assert len(ex & ap) / len(ex) >= 0.8
 
 
+def test_pq_encode_and_adc_recall(spark):
+    import numpy as np
+
+    # clustered 16-dim corpus: PQ codes must preserve neighborhood enough
+    # for high ADC recall vs exact cosine
+    rng = np.random.RandomState(11)
+    centers = rng.normal(size=(6, 16)) * 3.0
+    vecs = [
+        (i, (centers[i % 6] + rng.normal(size=16) * 0.15).astype(float).tolist())
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    books = S.pq_train(emb, m=4, ksub=8, sample_n=120, seed=3)
+    assert len(books) == 4 and all(len(b[0]) == 4 for b in books)
+    codes = S.pq_encode(emb, books)
+    first = codes.orderBy("vec_id").collect()
+    assert all(len(r.codes) == 4 and all(0 <= c < 8 for c in r.codes) for r in first)
+    # deterministic: re-encoding yields identical codes
+    again = codes.orderBy("vec_id").collect()
+    assert [r.codes for r in first] == [r.codes for r in again]
+    # NOTE: no same-cluster code-agreement assertion — k-means freely
+    # splits one cluster across two sub-centroids (observed ~50/50 on this
+    # fixture), which ADC handles fine; the neighborhood contract is the
+    # recall assertion below, not code equality.
+
+    qdf = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    adc = S.cosine_topk_pq(codes, qdf, books, k=10).collect()
+    exact = S.cosine_topk_bruteforce(emb, qdf, k=10).collect()
+    ex = {(r.query_id, r.vec_id) for r in exact}
+    ap = {(r.query_id, r.vec_id) for r in adc}
+    # ADC alone ranks at code granularity: coarse (cluster-level) recall
+    # only — every hit in the right cluster, modest set overlap
+    assert len(ex & ap) / len(ex) >= 0.4, len(ex & ap) / len(ex)
+    for r in adc:
+        assert r.vec_id % 6 == r.query_id % 6
+    # production second stage: exact re-rank of the ADC shortlist
+    rer = S.cosine_topk_pq(codes, qdf, books, k=10, rerank=emb, rerank_factor=3).collect()
+    rr = {(r.query_id, r.vec_id) for r in rer}
+    assert len(ex & rr) / len(ex) >= 0.9, len(ex & rr) / len(ex)
+    top1 = {r.query_id: (r.vec_id, r.cosine) for r in rer if r.rank == 1}
+    for qid, (vid, cos) in top1.items():
+        assert vid == qid and abs(cos - 1.0) < 1e-6  # self-retrieval
+
+
+def test_pq_plan_is_map_only(spark):
+    from tests.test_plan_shapes import plan_text
+
+    vecs = [(i, [float(i), 1.0, 0.5, 2.0]) for i in range(20)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    books = S.pq_train(emb, m=2, ksub=4, sample_n=20)
+    txt = plan_text(S.pq_encode(emb, books))
+    assert "Exchange" not in txt and "Join" not in txt, txt
+
+
 def test_embedding_near_dups(spark):
     base = [(0, [1.0, 2.0, 3.0, 4.0]), (1, [-4.0, 3.0, -2.0, 1.0])]
     dups = [(10, [2.0, 4.0, 6.0, 8.0])]  # same direction as 0
