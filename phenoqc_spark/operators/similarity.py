@@ -406,15 +406,21 @@ def pq_encode(
     codebooks: List[List[List[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: Optional[List[str]] = None,
 ) -> DataFrame:
-    """(vec_id, codes array<int>): nearest sub-centroid per subvector —
-    map-only JVM expressions over the broadcast (literal) codebooks, no
-    shuffle.  Ties resolve to the smallest centroid index (first max).
-    Write this table partitioned/bucketed as the compressed ANN index."""
+    """(vec_id[, extra_cols…], codes array<int>): nearest sub-centroid per
+    subvector — map-only JVM expressions over the broadcast (literal)
+    codebooks, no shuffle.  Ties resolve to the smallest centroid index
+    (first max).  ``extra_cols`` pass through the projection (e.g. the IVF
+    ``cid`` for the combined layout) so no re-join is ever needed.  Write
+    this table partitioned/bucketed as the compressed ANN index."""
     m = len(codebooks)
     d = len(codebooks[0][0])
     cn = _pq_halfnorms(codebooks)
-    base = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    extras = list(extra_cols or [])
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"), *[F.col(c) for c in extras], F.col(vec_col).alias("v")
+    )
     staged = base.withColumn(
         "_vn", F.transform(F.col("v"), lambda x: x.cast("double") / _norm_expr("v"))
     )
@@ -422,7 +428,40 @@ def pq_encode(
     for mi in range(m):
         s = _pq_sub_scores("_vn", codebooks[mi], mi * d, cn[mi])
         code_exprs.append((F.array_position(s, F.array_max(s)) - 1).cast("int"))
-    return staged.select("vec_id", F.array(*code_exprs).alias("codes"))
+    return staged.select("vec_id", *extras, F.array(*code_exprs).alias("codes"))
+
+
+def _pq_query_tables(
+    spark,
+    queries: DataFrame,
+    codebooks: List[List[List[float]]],
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, T array<array<double>>): the per-query ADC lookup table
+    — dot(normalized query subvector, sub-centroid) for every (m, j).
+    Built driver-side (queries are a bounded dimension, like IVF probe
+    lists) and broadcast."""
+    import numpy as np
+
+    m = len(codebooks)
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("q")
+    ).collect()
+    data = []
+    for r in qrows:
+        q = np.array(list(r.q), dtype=np.float64)
+        q = q / (np.linalg.norm(q) + 1e-12)
+        dsub = len(q) // m
+        T = [
+            [
+                float(np.dot(q[mi * dsub : (mi + 1) * dsub], np.array(c)))
+                for c in codebooks[mi]
+            ]
+            for mi in range(m)
+        ]
+        data.append((r.query_id, T))
+    return spark.createDataFrame(data, "query_id long, T array<array<double>>")
 
 
 def cosine_topk_pq(
@@ -454,27 +493,7 @@ def cosine_topk_pq(
     |queries| × k × factor rows ever touch full-precision data.  Returns
     (query_id, vec_id, adc_score, rank) or, reranked, (query_id, vec_id,
     cosine, rank)."""
-    import numpy as np
-
-    m = len(codebooks)
-    qrows = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("q")
-    ).collect()
-    data = []
-    for r in qrows:
-        q = np.array(list(r.q), dtype=np.float64)
-        q = q / (np.linalg.norm(q) + 1e-12)
-        dsub = len(q) // m
-        T = [
-            [
-                float(np.dot(q[mi * dsub : (mi + 1) * dsub], np.array(c)))
-                for c in codebooks[mi]
-            ]
-            for mi in range(m)
-        ]
-        data.append((r.query_id, T))
-    spark = codes_df.sparkSession
-    qt = spark.createDataFrame(data, "query_id long, T array<array<double>>")
+    qt = _pq_query_tables(codes_df.sparkSession, queries, codebooks, query_id_col, query_vec_col)
     scored = codes_df.crossJoin(F.broadcast(qt)).select(
         "query_id",
         "vec_id",
@@ -518,6 +537,80 @@ def cosine_topk_pq(
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def cosine_topk_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: List[List[float]],
+    codebooks: List[List[List[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The full production corpus-scale retrieval path, composed from the
+    tested pieces: IVF cell assignment (map-only, broadcast coarse
+    codebook) → probe the query's ``n_probe`` nearest cells → PQ ADC
+    scoring over the 8-byte codes WITHIN probed cells only → exact-cosine
+    re-rank of the top ``k × rerank_factor`` shortlist against the
+    full-precision vectors.
+
+    Scale shape: the corpus is touched by exactly one map-only
+    assign+encode pass (at rest this is the cid-partitioned codes table —
+    probes become partition pruning, see ``cosine_topk_ivf_partitioned``);
+    the candidate set per query is |probed cells|, scored at 8 bytes per
+    vector; full-precision rows are read only for the shortlist.
+    """
+    assigned = ivf_assign_cells(corpus, centroids, id_col, vec_col)
+    codes = pq_encode(assigned, codebooks, id_col="vec_id", vec_col="embedding",
+                      extra_cols=["cid"])
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("q")
+    )
+    qd = q.select(
+        "query_id", F.posexplode(_centroid_dots("q", centroids)).alias("cid", "cdot")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cdot"), F.asc("cid"))
+    probes = (
+        qd.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "cid")
+    )
+    qt = _pq_query_tables(corpus.sparkSession, queries, codebooks, query_id_col, query_vec_col)
+    cand = codes.join(F.broadcast(probes), "cid").join(F.broadcast(qt), "query_id")
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("T"),
+                lambda c, trow: F.element_at(trow, c + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k * rerank_factor)
+        .select("query_id", "vec_id")
+    )
+    cand_full = shortlist.join(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")), "vec_id"
+    ).join(F.broadcast(q), "query_id")
+    cos = (_dot_expr("v", "q") / (_norm_expr("v") * _norm_expr("q"))).alias("cosine")
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand_full.select("query_id", "vec_id", cos)
+        .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
     )

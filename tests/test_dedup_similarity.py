@@ -186,6 +186,34 @@ def test_pq_encode_and_adc_recall(spark):
         assert vid == qid and abs(cos - 1.0) < 1e-6  # self-retrieval
 
 
+def test_ivf_pq_composed_retrieval(spark):
+    """IVF cell pruning → PQ ADC → exact re-rank: on clustered data with
+    every relevant cell probed, results match brute force at high recall
+    and self-retrieval holds."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    centers = rng.normal(size=(4, 16)) * 4.0
+    vecs = [
+        (i, (centers[i % 4] + rng.normal(size=16) * 0.1).astype(float).tolist())
+        for i in range(100)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    C = S.ivf_centroids(emb, n_centroids=4, seed=9)
+    books = S.pq_train(emb, m=4, ksub=8, sample_n=100, seed=9)
+    qdf = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.cosine_topk_ivf_pq(emb, qdf, C, books, k=5, n_probe=1, rerank_factor=4).collect()
+    top1 = {r.query_id: r for r in out if r.rank == 1}
+    for qid in range(4):
+        assert top1[qid].vec_id == qid and abs(top1[qid].cosine - 1.0) < 1e-6
+    exact = S.cosine_topk_bruteforce(emb, qdf, k=5).collect()
+    ex = {(r.query_id, r.vec_id) for r in exact}
+    got = {(r.query_id, r.vec_id) for r in out}
+    assert len(ex & got) / len(ex) >= 0.8, len(ex & got) / len(ex)
+
+
 def test_pq_plan_is_map_only(spark):
     from tests.test_plan_shapes import plan_text
 
