@@ -1147,6 +1147,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sim_pq_adc"] = sim_pq_adc
+
+    def td_mix_sample(spark, sf_dir):
+        # deterministic stratified mixture over sources (the data-mixing
+        # primitive: selection is a pure function of (doc_id, seed))
+        docs = load_table(spark, sf_dir, "documents")
+        fr = {"src0": 0.5, "src1": 0.25, "src2": 1.0}
+        return (
+            X.deterministic_stratified_sample(docs, "source", fr, seed=42)
+            .select("doc_id", "source")
+            .orderBy("doc_id")
+        )
+
+    q["td_mix_sample"] = td_mix_sample
     return q
 
 
@@ -1305,6 +1318,15 @@ ranked AS (
 )
 SELECT query_id, vec_id, adc_score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+    o["td_mix_sample"] = """
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15)) AS BIGINT)
+      / CAST(1152921504606846976 AS DOUBLE)
+      < CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+                    WHEN 'src2' THEN 1.0 ELSE 0.0 END
+ORDER BY doc_id
 """
     return o
 

@@ -264,6 +264,12 @@ def tfidf_topk(
     is a hash-groupBy on the (short) token key with map-side partial
     aggregation; the join back is token-keyed; the per-doc top-k window
     partitions by doc — never a global sort.
+
+    Hub tokens ("the") are the skew risk on the token-keyed join: AQE
+    skew-join splitting handles them (the session enables it), and note a
+    df-frequency cut would NOT be value-preserving here — a hub token
+    still scores tf·1 under the smoothed idf and can legitimately top-rank
+    a repetitive document, so no silent pruning is applied.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(_tokens_expr(text_col)).alias("token")
@@ -327,6 +333,44 @@ def url_host_stats(df: DataFrame, url_col: str = "url", text_col: str | None = "
     grouped = df.select(*proj).groupBy("host").agg(*aggs)
     total = F.sum("n_docs").over(Window.partitionBy())
     return grouped.withColumn("corpus_share", F.round(F.col("n_docs") / total, 6))
+
+
+def deterministic_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducible stratified Bernoulli sample — the data-mixing
+    primitive: keep a row iff
+    ``md5(id ':' seed)``-derived uniform < fraction(stratum).
+
+    Unlike ``rand()``/``sampleBy`` (whose draws depend on partitioning and
+    row order), membership here is a PURE FUNCTION of (id, seed): reruns,
+    resumed jobs, and different cluster sizes select the identical row
+    set, and any SQL engine can recompute the selection (md5 rather than
+    xxhash64 for cross-engine parity — the portability rationale of
+    :func:`fingerprint`).  Strata absent from ``fractions`` default to 0
+    (dropped).  Pure map-side filter; expected stratum size is
+    fraction × stratum count (binomial, not exact-count sampling — at
+    corpus scale the relative error is negligible; for exact counts use a
+    rank-window per stratum, which costs a shuffle).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16**15)
+    )
+    frac = F.lit(0.0)
+    for stratum, p in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == stratum, F.lit(float(p))).otherwise(frac)
+    return df.filter(u < frac)
 
 
 def contamination_flags(

@@ -517,6 +517,31 @@ def test_strip_paragraphs_is_map_only(spark):
     assert "Exchange" not in txt and "Join" not in txt, txt
 
 
+def test_deterministic_stratified_sample(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = X.deterministic_stratified_sample(df, "source", {"a": 0.3}, seed=7)
+    ids1 = sorted(r.doc_id for r in got.collect())
+    # reruns AND different partitioning select the identical row set
+    ids2 = sorted(
+        r.doc_id
+        for r in X.deterministic_stratified_sample(
+            df.repartition(7), "source", {"a": 0.3}, seed=7
+        ).collect()
+    )
+    assert ids1 == ids2 and len(ids1) > 0
+    # only the configured stratum is sampled; absent strata drop to zero
+    assert all(i % 2 == 0 for i in ids1)
+    # Bernoulli rate lands near the target (1000 candidates, p=0.3)
+    assert 0.2 <= len(ids1) / 1000 <= 0.4
+    # a different seed selects a different set
+    ids3 = sorted(
+        r.doc_id
+        for r in X.deterministic_stratified_sample(df, "source", {"a": 0.3}, seed=8).collect()
+    )
+    assert ids3 != ids1
+
+
 def test_tfidf_topk(spark):
     rows = [
         (0, "apple banana apple"),
