@@ -1160,6 +1160,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["td_mix_sample"] = td_mix_sample
+
+    def txt_unigram_nll(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return X.unigram_logprob_score(docs).orderBy("doc_id")
+
+    q["txt_unigram_nll"] = txt_unigram_nll
     return q
 
 
@@ -1327,6 +1333,20 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15)) AS BIG
       < CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
                     WHEN 'src2' THEN 1.0 ELSE 0.0 END
 ORDER BY doc_id
+"""
+
+    o["txt_unigram_nll"] = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS token
+  FROM documents
+), tt AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+freq AS (SELECT token, COUNT(*) AS cnt FROM tt GROUP BY token),
+tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM freq)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(-ln((COALESCE(cnt, 0) + 1.0) / (tot.total + tot.vocab))), 6) AS mean_nll
+FROM tt LEFT JOIN freq USING (token), tot
+GROUP BY doc_id ORDER BY doc_id
 """
     return o
 

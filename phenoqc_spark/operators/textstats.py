@@ -335,6 +335,58 @@ def url_host_stats(df: DataFrame, url_col: str = "url", text_col: str | None = "
     return grouped.withColumn("corpus_share", F.round(F.col("n_docs") / total, 6))
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, mean_nll): per-document mean negative
+    log-likelihood under a corpus unigram model — the cheap stand-in for
+    the KenLM-perplexity quality filter (high mean_nll = surprising/noisy
+    text, low = boilerplate-ish).  ``reference`` optionally supplies the
+    corpus the model is estimated from (default: ``df`` itself — the
+    usual self-scored setup).
+
+    Model: p(w) = count(w) / total with add-one smoothing over the
+    observed vocabulary; unseen tokens (only possible when ``reference``
+    differs from ``df``) fall back to the add-one floor 1/(total+V).
+
+    Scale shape: the model is one token hash-groupBy over the reference
+    (map-side partial); scoring joins each doc's tokens to the frequency
+    table on the token key (AQE skew-join splits hub tokens) and
+    aggregates per doc — the text column itself never shuffles, only
+    (doc_id, token) pairs.
+    """
+    ref = reference if reference is not None else df
+    ref_toks = ref.select(F.explode(_tokens_expr(text_col)).alias("token")).filter(
+        F.length("token") > 0
+    )
+    freq = ref_toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = freq.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_vocab")
+    )
+    doc_toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens_expr(text_col)).alias("token")
+    ).filter(F.length("token") > 0)
+    scored = (
+        doc_toks.join(freq, "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                    / (F.col("_total") + F.col("_vocab"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.round(F.avg("nll"), 6).alias("mean_nll")
+    )
+
+
 def deterministic_stratified_sample(
     df: DataFrame,
     strata_col: str,

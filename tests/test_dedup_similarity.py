@@ -517,6 +517,32 @@ def test_strip_paragraphs_is_map_only(spark):
     assert "Exchange" not in txt and "Join" not in txt, txt
 
 
+def test_unigram_logprob_score(spark):
+    import math
+
+    rows = [
+        (0, "common common common"),
+        (1, "common rare"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in X.unigram_logprob_score(df).collect()}
+    # model: common cnt=4, rare cnt=1, total=5, vocab=2 → denom 7
+    p_common = (4 + 1.0) / 7
+    p_rare = (1 + 1.0) / 7
+    assert got[0].n_tokens == 3
+    assert abs(got[0].mean_nll - round(-math.log(p_common), 6)) < 1e-6
+    want1 = round((-math.log(p_common) - math.log(p_rare)) / 2, 6)
+    assert abs(got[1].mean_nll - want1) < 1e-6
+    # the rarer doc scores as more surprising
+    assert got[1].mean_nll > got[0].mean_nll
+    # external reference: unseen tokens take the add-one floor
+    ref = spark.createDataFrame([(9, "common common")], "doc_id long, text string")
+    ext = {r.doc_id: r for r in X.unigram_logprob_score(df, reference=ref).collect()}
+    # ref model: common cnt=2, total=2, vocab=1 → p(common)=3/3=1, unseen=1/3
+    assert abs(ext[0].mean_nll - 0.0) < 1e-9
+    assert abs(ext[1].mean_nll - round((0.0 - math.log(1 / 3)) / 2, 6)) < 1e-6
+
+
 def test_deterministic_stratified_sample(spark):
     rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
     df = spark.createDataFrame(rows, "doc_id long, source string")
