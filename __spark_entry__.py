@@ -1166,6 +1166,20 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return X.unigram_logprob_score(docs).orderBy("doc_id")
 
     q["txt_unigram_nll"] = txt_unigram_nll
+
+    def kg_degree_stats(spark, sf_dir):
+        # degree roll-up over a deterministic triple-shaped edge table
+        from phenoqc_spark.operators import canonicalize as C
+
+        docs = load_table(spark, sf_dir, "documents")
+        trips = docs.select(
+            F.format_string("e%02d", (F.col("doc_id") % 40)).alias("subj"),
+            F.lit("rel").alias("pred"),
+            F.format_string("e%02d", ((F.col("doc_id") * 7 + 3) % 45)).alias("obj"),
+        )
+        return C.graph_degree_stats(trips).orderBy("entity")
+
+    q["kg_degree_stats"] = kg_degree_stats
     return q
 
 
@@ -1347,6 +1361,20 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(AVG(-ln((COALESCE(cnt, 0) + 1.0) / (tot.total + tot.vocab))), 6) AS mean_nll
 FROM tt LEFT JOIN freq USING (token), tot
 GROUP BY doc_id ORDER BY doc_id
+"""
+
+    o["kg_degree_stats"] = """
+WITH t AS (
+  SELECT printf('e%02d', CAST(doc_id % 40 AS INT)) AS subj,
+         printf('e%02d', CAST((doc_id * 7 + 3) % 45 AS INT)) AS obj
+  FROM documents
+), od AS (SELECT subj AS entity, CAST(COUNT(*) AS BIGINT) AS out_degree FROM t GROUP BY subj),
+idg AS (SELECT obj AS entity, CAST(COUNT(*) AS BIGINT) AS in_degree FROM t GROUP BY obj)
+SELECT COALESCE(od.entity, idg.entity) AS entity,
+       COALESCE(out_degree, 0) AS out_degree,
+       COALESCE(in_degree, 0) AS in_degree
+FROM od FULL OUTER JOIN idg ON od.entity = idg.entity
+ORDER BY entity
 """
     return o
 

@@ -137,6 +137,95 @@ def canonical_mapping(
     )
 
 
+def graph_degree_stats(
+    triples: DataFrame, subj: str = "subj", obj: str = "obj"
+) -> DataFrame:
+    """(entity, out_degree, in_degree): per-entity degree over the triple
+    graph — the first materialized-graph diagnostic (hub entities, orphan
+    nodes, degree skew feeding salting decisions).
+
+    Two hash-groupBys on the entity keys + one full-outer merge of the
+    (already aggregated, entity-sized) results — the fact table itself is
+    aggregated before any join, so hub skew collapses map-side.
+    """
+    out_deg = triples.groupBy(F.col(subj).alias("entity")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_deg = triples.groupBy(F.col(obj).alias("entity")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_deg.join(in_deg, "entity", "full")
+        .select(
+            "entity",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(node, rank): fixed-iteration power-method PageRank over the
+    directed edge list — entity importance on the materialized KG (e.g.
+    picking representative entities, weighting canonical ids).
+
+    Standard formulation: each round every node sends rank/out_degree
+    along its out-edges; dangling (sink) mass and the teleport term are
+    redistributed uniformly, so Σrank = 1 is invariant.  Per round: one
+    join against the persisted (edge, out_degree) list + one groupBy sum —
+    the same two-shuffle round shape as :func:`connected_components`, with
+    ``localCheckpoint`` truncating the iterative lineage.  The per-round
+    dangling-mass scalar is a driver-side aggregate (one double), like the
+    CC convergence check.  Deterministic for a fixed ``iters``.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    nodes = e.select(F.col("a").alias("node")).union(
+        e.select(F.col("b").alias("node"))
+    ).distinct().persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    links = e.join(out_deg, "a").persist()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    dangling_nodes = nodes.join(
+        out_deg.withColumnRenamed("a", "node"), "node", "left_anti"
+    ).persist()
+    for i in range(iters):
+        contribs = (
+            links.join(ranks.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        row = dangling_nodes.join(ranks, "node").agg(F.sum("rank").alias("d")).collect()[0]
+        dangling = float(row.d or 0.0)
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        if checkpoint_every and (i % checkpoint_every == 0):
+            ranks = ranks.localCheckpoint(eager=True)
+    links.unpersist()
+    dangling_nodes.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
 def canonicalize_objects(triples: DataFrame, mapping: DataFrame) -> DataFrame:
     """Rewrite triple objects through the canonical mapping (broadcast join —
     the mapping is ontology-sized, ~10⁵ rows, never the fact side)."""

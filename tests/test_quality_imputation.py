@@ -218,6 +218,56 @@ def test_canonicalize_objects(spark):
     assert {r.obj for r in out} == {"HP:0000822"}
 
 
+def test_graph_degree_stats(spark):
+    from phenoqc_spark.operators.canonicalize import graph_degree_stats
+
+    trips = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "c"), ("b", "p", "c"), ("d", "p", "a")],
+        "subj string, pred string, obj string",
+    )
+    got = {r.entity: (r.out_degree, r.in_degree) for r in graph_degree_stats(trips).collect()}
+    assert got == {"a": (2, 1), "b": (1, 1), "c": (0, 2), "d": (1, 0)}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Fixed-iteration PageRank must reproduce the identical recurrence in
+    numpy (same damping, uniform teleport + dangling redistribution)."""
+    import numpy as np
+
+    from phenoqc_spark.operators.canonicalize import pagerank
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+        # e is a dangling sink (no out-edges)
+        ("a", "e"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    iters, damping = 12, 0.85
+    got = {r.node: r.rank for r in pagerank(df, iters=iters, damping=damping).collect()}
+
+    names = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(names)}
+    n = len(names)
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        dangling = sum(r[idx[v]] for v in names if v not in out)
+        for s, ds in out.items():
+            for d in ds:
+                nxt[idx[d]] += r[idx[s]] / len(ds)
+        r = (1 - damping) / n + damping * dangling / n + damping * nxt
+    for v in names:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # structure check: c (3 in-edges) funnels its whole rank to a, its
+    # only out-target — a tops, c second, the sink e and source d trail
+    order = sorted(got, key=got.get, reverse=True)
+    assert order[0] == "a" and order[1] == "c" and got["d"] == min(got.values())
+
+
 def test_chain_components_converge(spark):
     # long chain exercises pointer jumping
     edges = spark.createDataFrame(
