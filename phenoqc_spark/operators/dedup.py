@@ -306,6 +306,67 @@ def shingle_sets(df: DataFrame, n: int = 2, text_col: str = "text", id_col: str 
     return words.select("doc_id", sh.alias("sh_set"), F.size(sh).alias("n_sh"))
 
 
+def minhash_doc_sets(
+    df: DataFrame,
+    num_hashes: int = 64,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sh_set, n_sh, set_hash, sig) — the per-doc shingle-set +
+    minhash-signature staging table, one map-only codegen stage.
+
+    This is the table to MATERIALIZE for incremental corpus dedup: write
+    it for the kept corpus once, and each new batch only computes its own
+    rows before joining against the stored ones
+    (:func:`minhash_near_dedup_incremental`).  set_hash is md5 over the
+    sorted per-shingle hashes (hashing each shingle first sidesteps
+    separator-collision issues in the concat — shingles themselves contain
+    spaces); sig is one nested-lambda expression, NOT num_hashes separate
+    projections (k separate array_min(transform(...)) columns inline k
+    copies of the loop into the generated class — measured ~18 s one-time
+    compile+JIT at k=32; the nested form is a constant-size code unit)."""
+    sets = shingle_sets(df, n, text_col, id_col)
+    return sets.select(
+        "doc_id",
+        "sh_set",
+        "n_sh",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(F.expr("transform(sh_set, x -> cast(xxhash64(x) as string))")),
+            )
+        ).alias("set_hash"),
+        F.expr(
+            f"transform(sequence(0, {num_hashes - 1}),"
+            f" i -> array_min(transform(sh_set, x -> xxhash64(x, i))))"
+        ).alias("sig"),
+    )
+
+
+def _band_rows(groups: DataFrame, bands: int, rows_per_band: int, key: str = "set_hash"):
+    """(key, band, bucket) LSH band rows from (key, sig)."""
+    return groups.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig").getItem(b * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(key, "bb.band", "bb.bucket")
+
+
 def _minhash_rep_graph(
     df: DataFrame,
     threshold: float,
@@ -328,28 +389,8 @@ def _minhash_rep_graph(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     persisted = []
-    sets = shingle_sets(df, n, text_col, id_col).filter(F.col("n_sh") > 0)
-    # set_hash: md5 over the sorted per-shingle hashes (hashing each
-    # shingle first sidesteps separator-collision issues in the concat —
-    # shingles themselves contain spaces).
-    doc_sets = sets.select(
-        "doc_id",
-        "sh_set",
-        "n_sh",
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.array_sort(F.expr("transform(sh_set, x -> cast(xxhash64(x) as string))")),
-            )
-        ).alias("set_hash"),
-        # one nested-lambda expression, NOT num_hashes separate projections:
-        # k separate array_min(transform(...)) columns inline k copies of the
-        # loop into the generated class (measured ~18 s one-time compile+JIT
-        # at k=32); the nested form is a constant-size code unit.
-        F.expr(
-            f"transform(sequence(0, {num_hashes - 1}),"
-            f" i -> array_min(transform(sh_set, x -> xxhash64(x, i))))"
-        ).alias("sig"),
+    doc_sets = minhash_doc_sets(df, num_hashes, n, text_col, id_col).filter(
+        F.col("n_sh") > 0
     )
     if persist:
         doc_sets = doc_sets.persist()
@@ -756,4 +797,134 @@ def minhash_near_dedup(
         .select(F.col("doc_id").alias(id_col))
     )
     out = df.join(dropped, id_col, "left_anti")
+    return _register_persisted(out, persisted)
+
+
+def minhash_near_dedup_incremental(
+    new_df: DataFrame,
+    existing_sets: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-processed corpus WITHOUT
+    touching the old documents — the production ingest path: maintain a
+    :func:`minhash_doc_sets` state table covering every content SEEN so
+    far (append each batch's rows after processing — seen, not just kept:
+    a new doc can near-match a previously-dropped doc that chained into a
+    kept cluster, and anchoring must catch that transitive case); each
+    batch computes only its own signatures and joins against the state.
+
+    Semantics (equal to re-running :func:`minhash_near_dedup` over
+    old ∪ new and taking the new rows, provided new ids sort after old
+    ids — test-asserted equivalence):
+
+    1. collapse identical new shingle-sets to a representative;
+    2. LSH band join new-reps × (old-sets ∪ new-reps); exact
+       ``array_intersect`` verify on candidates (identical contents fall
+       out of the same buckets with jaccard 1.0 — no special exact-dup
+       pass needed);
+    3. connected components over the NEW-new edge graph (old docs are
+       immutable, so old-old edges are irrelevant); any new cluster with
+       ≥1 verified edge to an old set is ANCHORED — all its members drop;
+       unanchored clusters keep their min-id member;
+    4. docs with no shingle set (< n words) are always kept, as in the
+       batch operator.
+
+    ``existing_sets`` needs columns (set_hash, n_sh, sh_set, sig) — extra
+    columns (doc_id) are ignored; duplicate set_hashes are collapsed.
+    """
+    from .canonicalize import connected_components
+
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    persisted = []
+    new_sets = minhash_doc_sets(new_df, num_hashes, n, text_col, id_col).filter(
+        F.col("n_sh") > 0
+    )
+    if persist:
+        new_sets = new_sets.persist()
+        persisted.append(new_sets)
+    new_groups = new_sets.groupBy("set_hash").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.min_by("sig", "doc_id").alias("sig"),
+        F.min_by("n_sh", "doc_id").alias("n_sh"),
+        F.min_by("sh_set", "doc_id").alias("sh_set"),
+    )
+    if persist:
+        new_groups = new_groups.persist()
+        persisted.append(new_groups)
+    old = existing_sets.select("set_hash", "sig", "n_sh", "sh_set").dropDuplicates(
+        ["set_hash"]
+    )
+    nb = _band_rows(new_groups, bands, rows_per_band)
+    ob = _band_rows(old, bands, rows_per_band)
+
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+
+    def _sides(g, suffix):
+        return g.select(
+            F.col("set_hash").alias(f"sh_{suffix}"),
+            F.col("sh_set").alias(f"set_{suffix}"),
+            F.col("n_sh").alias(f"n_{suffix}"),
+        )
+
+    # new × new edges (between distinct new contents)
+    nn_cand = (
+        nb.alias("l")
+        .join(nb.alias("r"), ["band", "bucket"])
+        .filter(F.col("l.set_hash") < F.col("r.set_hash"))
+        .select(F.col("l.set_hash").alias("sh_a"), F.col("r.set_hash").alias("sh_b"))
+        .distinct()
+    )
+    nn_edges = (
+        nn_cand.join(_sides(new_groups, "a"), "sh_a")
+        .join(_sides(new_groups, "b"), "sh_b")
+        .filter(jac >= threshold)
+        .select("sh_a", "sh_b")
+    )
+    # new × old anchors
+    no_cand = (
+        nb.alias("l")
+        .join(ob.withColumnRenamed("set_hash", "old_hash").alias("r"), ["band", "bucket"])
+        .select(F.col("l.set_hash").alias("sh_a"), F.col("old_hash").alias("sh_b"))
+        .distinct()
+    )
+    anchored_hashes = (
+        no_cand.join(_sides(new_groups, "a"), "sh_a")
+        .join(_sides(old, "b"), "sh_b")
+        .filter(jac >= threshold)
+        .select(F.col("sh_a").alias("set_hash"))
+        .distinct()
+    )
+    cc = connected_components(
+        nn_edges.select(F.col("sh_a").alias("src"), F.col("sh_b").alias("dst"))
+    )
+    comp = (
+        new_sets.select("set_hash", "doc_id")
+        .join(cc.withColumnRenamed("node", "set_hash"), "set_hash", "left")
+        .withColumn("component", F.coalesce("component", F.col("set_hash")))
+    )
+    anchored_comps = (
+        comp.select("set_hash", "component")
+        .join(anchored_hashes, "set_hash")
+        .select("component")
+        .distinct()
+    )
+    keep = (
+        comp.join(anchored_comps, "component", "left_anti")
+        .groupBy("component")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    dropped = (
+        comp.join(keep, "component", "left")
+        .filter(F.col("keep_id").isNull() | (F.col("doc_id") != F.col("keep_id")))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    out = new_df.join(dropped, id_col, "left_anti")
     return _register_persisted(out, persisted)

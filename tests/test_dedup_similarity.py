@@ -460,6 +460,43 @@ def test_redact_pii(spark):
     assert got[2].text_redacted == "clean text only" and got[2].n_phones == 0
 
 
+def test_minhash_near_dedup_incremental_matches_full(spark):
+    """Incremental batch dedup against the seen-content state table must
+    equal re-running the batch operator over old ∪ new and keeping the new
+    rows (new ids sort after old ids)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def doc(i, kind):
+        if kind == "group":  # near-dup family g
+            g = i % 3
+            return f"{base} family {g} shared run of words {g}"
+        if kind == "variant":  # near-dup of family g with one token changed
+            g = i % 3
+            return f"{base} family {g} shared run of words changed{i}"
+        return f"totally unique content {i} with distinct tokens t{i} u{i} v{i} w{i} x{i}"
+
+    b1 = [(i, doc(i, "group" if i % 4 == 0 else ("variant" if i % 4 == 1 else "uniq")))
+          for i in range(40)]
+    b2 = [(100 + i, doc(i, "group" if i % 5 == 0 else ("variant" if i % 5 == 1 else "uniq")))
+          for i in range(40)]
+    df1 = spark.createDataFrame(b1, "doc_id long, text string")
+    df2 = spark.createDataFrame(b2, "doc_id long, text string")
+
+    full = D.minhash_near_dedup(
+        df1.unionByName(df2), threshold=0.7, num_hashes=32, bands=8
+    )
+    want_new = {r.doc_id for r in full.collect() if r.doc_id >= 100}
+
+    state = D.minhash_doc_sets(df1, num_hashes=32)  # ALL seen batch-1 contents
+    inc = D.minhash_near_dedup_incremental(
+        df2, state, threshold=0.7, num_hashes=32, bands=8
+    )
+    got_new = {r.doc_id for r in inc.collect()}
+    assert got_new == want_new, (sorted(got_new ^ want_new))
+    # sanity: some batch-2 docs dropped (anchored to batch 1), some kept
+    assert got_new and len(got_new) < df2.count()
+
+
 def test_repetition_stats(spark):
     rows = [
         # 4 lines, "same line" repeats twice more (2 repeats of 9 chars);
