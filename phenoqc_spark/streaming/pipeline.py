@@ -143,6 +143,70 @@ def stream_source_counters(
     )
 
 
+def stream_near_dedup_docs(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    output_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 2,
+    trigger_once: bool = True,
+):
+    """Streaming NEAR-dedup: each micro-batch is near-deduplicated against
+    the accumulated seen-content signature state
+    (:func:`phenoqc_spark.operators.dedup.minhash_near_dedup_incremental`),
+    surviving docs append to ``output_path`` and the batch's OWN
+    signatures (seen, not just kept — the anchoring contract) append to
+    the ``state_path`` table.
+
+    State lives in a plain parquet table rather than the state store: the
+    signature rows are corpus-sized (far beyond per-key streaming state)
+    and the batch operators already know how to join against them — the
+    standard foreachBatch + external-state pattern for large dedup state.
+    Exactly-once caveat: the two appends are not atomic; a crash between
+    them can re-emit a batch on restart — at the 100 TB tier make both
+    writes one transactional MERGE into the lakehouse table (the same
+    idempotence strategy as operators/resume.py).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import minhash_doc_sets, minhash_near_dedup_incremental
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        batch_df = batch_df.persist()
+        try:
+            have_state = os.path.exists(state_path)
+            if have_state:
+                state = spark.read.parquet(state_path)
+                kept = minhash_near_dedup_incremental(
+                    batch_df, state, threshold, num_hashes, bands, n
+                )
+            else:
+                from ..operators.dedup import minhash_near_dedup
+
+                kept = minhash_near_dedup(batch_df, threshold, num_hashes, bands, n)
+            kept.write.mode("append").parquet(output_path)
+            minhash_doc_sets(batch_df, num_hashes, n).filter(
+                F.col("n_sh") > 0
+            ).select("set_hash", "sig", "n_sh", "sh_set").write.mode("append").parquet(
+                state_path
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = docs_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_dedup_docs(
     docs_stream: DataFrame,
     text_col: str = "text",

@@ -444,6 +444,36 @@ def test_stream_dedup_docs_across_batches(spark, tmp_path):
     assert run_once() == [0, 1, 3]  # doc 2 suppressed by cross-batch state
 
 
+def test_stream_near_dedup_docs_across_batches(spark, tmp_path):
+    """Streaming NEAR-dedup: micro-batches dedupe against the accumulated
+    parquet signature state — a near-duplicate (not byte-equal) of a
+    batch-1 doc arriving in batch 2 is suppressed."""
+    from phenoqc_spark.streaming.pipeline import stream_near_dedup_docs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    src = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "kept")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [(0, f"{base} one"), (1, "totally different text with its own words here")]
+    spark.createDataFrame(b1, "doc_id long, text string").write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_near_dedup_docs(
+            spark, stream, out_dir, state, ckpt, threshold=0.7, num_hashes=32, bands=8
+        )
+        q.awaitTermination(120)
+        return sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+
+    assert run_once() == [0, 1]
+    # batch 2: near-dup of doc 0 (one word changed), plus a fresh doc
+    b2 = [(2, f"{base} two"), (3, "yet another unrelated document body entirely")]
+    spark.createDataFrame(b2, "doc_id long, text string").write.mode("append").parquet(src)
+    assert run_once() == [0, 1, 3]  # doc 2 near-matches state → suppressed
+
+
 def test_redact_pii(spark):
     rows = [
         (0, "contact me at jo.doe+x@example.org or 192.168.0.1 thanks"),
