@@ -121,6 +121,32 @@ def main() -> None:
         )
     timed("source_stats", lambda: X.corpus_source_stats(docs).count())
 
+    # incremental ingest: a 25%-sized new batch (shifted ids, same dup
+    # profile → many near-dups of the existing corpus) deduped against the
+    # materialized signature state of the full corpus
+    state_dir = f"/tmp/dedup_state_{DOCS}"
+    if not os.path.exists(state_dir):
+        D.minhash_doc_sets(docs, num_hashes=32).where("n_sh > 0").select(
+            "set_hash", "sig", "n_sh", "sh_set"
+        ).write.mode("overwrite").parquet(state_dir)
+    # the tail slice of a larger generation: new ids AND a realistic content
+    # mix — its dup-group seeds partially overlap the existing corpus's
+    # (ingest re-crawls) while its unique docs are genuinely new content
+    # (a naive corpus(DOCS//4) would re-derive the SAME unique seeds as the
+    # old corpus and everything would trivially drop)
+    new_docs = corpus(spark, DOCS + DOCS // 4).filter(F.col("doc_id") >= DOCS)
+
+    def run_incremental():
+        state = spark.read.parquet(state_dir)
+        out = D.minhash_near_dedup_incremental(
+            new_docs, state, threshold=0.8, num_hashes=32, bands=8
+        )
+        nkeep = out.count()
+        D.release_intermediates(out)
+        return nkeep
+
+    timed("incremental_near_dedup", run_incremental)
+
     line = {
         "docs": DOCS,
         "cpus": int(CPUS),
@@ -161,6 +187,16 @@ def main() -> None:
             )
         else:
             fh.write(row + "\n")
+        if "incremental_near_dedup" in results:
+            r = results["incremental_near_dedup"]
+            fh.write(
+                f"\nIncremental ingest ({DOCS:,}-doc state table, "
+                f"{DOCS // 4:,}-doc new batch with the same dup profile): "
+                f"{r['sec']}s, {r['result']:,} kept — "
+                f"{round((DOCS // 4) / r['sec'] * 3600 / 1e6, 1)}M new docs/hour "
+                f"against the materialized signature state "
+                f"(`minhash_near_dedup_incremental`).\n"
+            )
 
 
 if __name__ == "__main__":
