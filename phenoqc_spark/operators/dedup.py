@@ -158,9 +158,15 @@ def ngram_jaccard_pairs(
     executor-disk instead of cache).
     """
     persisted = []
+    # project BEFORE filtering: with the filter in between, Catalyst pushes
+    # the predicate through and then collapses the adjacent Projects by
+    # INLINING the whole shingle-set construction into every reference —
+    # measured 204 s vs 9.5 s per 1M docs for the k-lambda minhash variant
+    # of this exact shape (adjacent Projects without a Filter do NOT get
+    # fully inlined).  Same reason _minhash_rep_graph filters after
+    # minhash_doc_sets.
     doc_sets = (
         shingle_sets(df, n, text_col, id_col)
-        .filter(F.col("n_sh") > 0)
         .select(
             "doc_id",
             "sh_set",
@@ -174,6 +180,7 @@ def ngram_jaccard_pairs(
                 )
             ).alias("set_hash"),
         )
+        .filter(F.col("n_sh") > 0)
     )
     if persist:
         doc_sets = doc_sets.persist()
