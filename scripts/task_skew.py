@@ -81,13 +81,21 @@ def main() -> None:
                      stage_names.get(sid, "")))
     rows.sort(key=lambda x: -(x[2] * x[1]))
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/SKEW.md", "w") as fh:
+    # APPEND when the file already exists — it also carries the hub-skew
+    # stress rows from bench_skew.py; overwriting would silently drop them
+    exists = os.path.exists("BENCH/SKEW.md")
+    with open("BENCH/SKEW.md", "a" if exists else "w") as fh:
+        if not exists:
+            fh.write(
+                f"# Per-stage task-time skew (KG pipeline, {ROWS:,} pages)\n\n"
+                f"{n:,} triples. Skew = max/median task time per stage; values near 1\n"
+                "mean hub-term handling keeps partitions balanced (the linking pass has\n"
+                "no key-partitioned shuffle at all — only the final triple set-dedup\n"
+                "shuffles, on the high-cardinality (subj,pred,obj) key).\n\n"
+            )
+        else:
+            fh.write(f"\nRe-run ({ROWS:,} pages):\n\n")
         fh.write(
-            f"# Per-stage task-time skew (KG pipeline, {ROWS:,} pages, local[16])\n\n"
-            f"{n:,} triples. Skew = max/median task time per stage; values near 1\n"
-            "mean hub-term handling keeps partitions balanced (the linking pass has\n"
-            "no key-partitioned shuffle at all — only the final triple set-dedup\n"
-            "shuffles, on the high-cardinality (subj,pred,obj) key).\n\n"
             "| stage | tasks | median ms | max ms | max/median | name |\n|---|---|---|---|---|---|\n"
         )
         for sid, cnt, med, mx, skew, name in rows[:12]:
