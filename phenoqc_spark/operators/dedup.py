@@ -52,36 +52,64 @@ def dedup_exact(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_drop: bool = True,
+    broadcast_drop: "bool | str" = "auto",
+    broadcast_drop_limit: int = 10_000_000,
+    assert_unique_ids: bool = False,
 ) -> DataFrame:
     """Keep the min-id representative per identical text (md5 groupBy).
 
     ``id_col`` must uniquely identify rows (the standard doc-id contract,
     shared with :func:`minhash_near_dedup`): the drop decision is keyed by
-    id, so rows sharing an id would be dropped or kept together.
+    id, so rows sharing an id would be dropped or kept together.  Pass
+    ``assert_unique_ids=True`` to pay one extra probe job that raises on a
+    violated contract instead of silently mis-dropping.
 
     The wide text column never enters an Exchange: the duplicate decision is
     made on a two-column ``(md5(text), id)`` projection (hash computed before
     the shuffle), producing the *drop list* — ids of non-representative
     duplicates only.  The full rows are then filtered with one
-    ``left_anti`` join against that list.  With ``broadcast_drop`` (default)
-    the drop list is broadcast, so the corpus side stays map-only end to
-    end.  At the 100 TB tier, if the drop list itself outgrows broadcast
-    (billions of dups), set ``broadcast_drop=False`` and write the drop list
-    to a staging table bucketed like the corpus on ``id_col`` — a
-    storage-partitioned anti-join, still no text shuffle; the plain shuffled
-    anti-join this flag falls back to is the local-mode stand-in.
+    ``left_anti`` join against that list.
+
+    ``broadcast_drop``: the drop list's size scales with the duplicate
+    count — a large corpus fraction in dup-heavy web data — so an
+    unconditional broadcast can OOM the driver at the 100 TB design point.
+
+    - ``"auto"`` (default): persist + count the drop list (32 B/row, the
+      count reuses the cache) and broadcast only when it holds ≤
+      ``broadcast_drop_limit`` rows (default 10 M ≈ 80 MB of long ids),
+      else fall back to the shuffled anti-join.  Call
+      :func:`release_intermediates` on the result when done.
+    - ``True``: always broadcast (fully lazy, no probe job — the caller
+      asserts the dup count is small).
+    - ``False``: shuffled anti-join; at the 100 TB tier prefer writing the
+      drop list to a staging table bucketed like the corpus on ``id_col``
+      (storage-partitioned anti-join, still no text shuffle) — the plain
+      shuffled anti-join is the local-mode stand-in.
     """
     pairs = df.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col))
+    if assert_unique_ids:
+        dup = pairs.groupBy(id_col).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"dedup_exact: id_col {id_col!r} is not unique "
+                f"(e.g. {dup[0][0]!r}); rows sharing an id would be "
+                "dropped/kept together"
+            )
     w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
     dropped = (
         pairs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") > 1)
         .select(id_col)
     )
+    handles = []
+    if broadcast_drop == "auto":
+        dropped = dropped.persist()
+        handles.append(dropped)
+        broadcast_drop = dropped.count() <= broadcast_drop_limit
     if broadcast_drop:
         dropped = F.broadcast(dropped)
-    return df.join(dropped, id_col, "left_anti")
+    out = df.join(dropped, id_col, "left_anti")
+    return _register_persisted(out, handles) if handles else out
 
 
 def exact_duplicate_groups(
@@ -724,35 +752,89 @@ def strip_paragraphs(
     return df.withColumn(out_col, F.array_join(kept, sep))
 
 
+def strip_paragraphs_join(
+    df: DataFrame,
+    flagged: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    sep: str = "\n\n",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Scalable twin of :func:`strip_paragraphs` for boilerplate sets too
+    large to inline as one literal (``flagged`` = DataFrame with a
+    ``para_hash`` column, never collected to the driver): posexplode the
+    paragraphs, broadcast-left-join the flagged hashes, keep unmatched (or
+    whitespace-only) paragraphs, reassemble in position order with
+    ``array_sort(collect_list(struct(pos, p)))``.  Costs one broadcast of
+    the hash table plus one shuffle of the KEPT paragraphs keyed by
+    ``id_col`` — still no corpus×corpus join, and the driver never holds
+    the hash list.  Null ``text`` reassembles to ``''`` (the literal path
+    propagates null) — the only semantic difference."""
+    paras = df.select(
+        F.col(id_col).alias("_sid"),
+        F.posexplode_outer(F.split(F.col(text_col), f"\\Q{sep}\\E")).alias("_pos", "_p"),
+    )
+    kept = (
+        paras.join(
+            F.broadcast(flagged.select(F.col("para_hash").alias("_bh"))),
+            F.md5(F.col("_p")) == F.col("_bh"),
+            "left",
+        )
+        .filter(
+            (F.length(F.trim(F.col("_p"))) == 0)
+            | F.col("_bh").isNull()
+        )
+        .groupBy("_sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_p")))),
+                    lambda s: s["_p"],
+                ),
+                sep,
+            ).alias(out_col)
+        )
+    )
+    return df.join(kept, F.col(id_col) == F.col("_sid"), "left").drop("_sid").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     min_df: int = 5,
     text_col: str = "text",
     sep: str = "\n\n",
     out_col: str = "text_clean",
-    max_boilerplate: int = 100_000,
+    max_boilerplate: int = 5_000,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Cross-document paragraph dedup (boilerplate removal) as one
     two-pass pipeline:
 
     1. :func:`boilerplate_paragraphs` — hash-only aggregate of paragraph
        document frequency (the only shuffle, 32 bytes/paragraph);
-    2. collect the flagged hashes (bounded: boilerplate sets are small by
-       nature — ``max_boilerplate`` guards the assumption and raises
-       rather than silently ballooning the driver);
-    3. :func:`strip_paragraphs` — map-only rewrite of the corpus.
-
-    At the 100 TB tier step 2's list ships to executors as a task literal
-    exactly like a broadcast dict; if a corpus ever exceeds the guard,
-    write the hash table out and switch step 3 to an explode + broadcast
-    anti-join + ordered reassembly instead.
+    2. collect the flagged hashes IF the set is literal-sized
+       (``max_boilerplate``, default 5 000 — ``strip_paragraphs`` probes
+       the literal linearly per paragraph, so the ceiling is deliberately
+       low);
+    3. rewrite the corpus: :func:`strip_paragraphs` (map-only, literal
+       probe) for small sets, or — when the set exceeds the guard and
+       ``id_col`` is given — :func:`strip_paragraphs_join` (broadcast
+       anti-join + ordered reassembly), which never materializes the hash
+       list on the driver at all.  Without ``id_col`` an oversized set
+       raises rather than silently crawling through a 100k-entry linear
+       probe.
     """
     flagged = boilerplate_paragraphs(df, min_df, text_col, sep)
     bad = [r.para_hash for r in flagged.limit(max_boilerplate + 1).collect()]
     if len(bad) > max_boilerplate:
+        if id_col is not None:
+            return strip_paragraphs_join(df, flagged, id_col, text_col, sep, out_col)
         raise ValueError(
             f"boilerplate set exceeds max_boilerplate={max_boilerplate}; "
-            "materialize the hash table and use an anti-join rewrite"
+            "pass id_col= to switch to the broadcast anti-join rewrite "
+            "(strip_paragraphs_join), or raise the guard deliberately"
         )
     return strip_paragraphs(df, sorted(bad), text_col, sep, out_col)
 

@@ -428,8 +428,14 @@ def pq_encode(
     base = corpus.select(
         F.col(id_col).alias("vec_id"), *[F.col(c) for c in extras], F.col(vec_col).alias("v")
     )
+    # Zero-norm guard (query side already has one): an all-zero corpus
+    # vector must encode deterministically (as the zero vector → nearest
+    # sub-centroids), not yield null/NaN codes through a 0/0 division.
+    # Conditional rather than +eps so nonzero vectors normalize
+    # bit-identically to before (the pinned ADC oracles stay exact).
+    safe_norm = F.when(_norm_expr("v") == 0.0, F.lit(1.0)).otherwise(_norm_expr("v"))
     staged = base.withColumn(
-        "_vn", F.transform(F.col("v"), lambda x: x.cast("double") / _norm_expr("v"))
+        "_vn", F.transform(F.col("v"), lambda x: x.cast("double") / safe_norm)
     )
     code_exprs = []
     for mi in range(m):
@@ -468,7 +474,17 @@ def _pq_query_tables(
             for mi in range(m)
         ]
         data.append((r.query_id, T))
-    return spark.createDataFrame(data, "query_id long, T array<array<double>>")
+    # derive the id type from the input frame: string / int / long query
+    # ids all work (a hardcoded 'long' used to reject string ids)
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("query_id", queries.schema[query_id_col].dataType),
+            StructField("T", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+    return spark.createDataFrame(data, schema)
 
 
 def cosine_topk_pq(

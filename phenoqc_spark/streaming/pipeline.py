@@ -143,6 +143,16 @@ def stream_source_counters(
     )
 
 
+def _fs_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe via the Hadoop FileSystem API, so any URI scheme the
+    cluster can read (file://, hdfs://, s3a://, …) resolves correctly —
+    unlike ``os.path.exists``, which only sees the driver's local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def stream_near_dedup_docs(
     spark: SparkSession,
     docs_stream: DataFrame,
@@ -176,11 +186,14 @@ def stream_near_dedup_docs(
     from ..operators.dedup import minhash_doc_sets, minhash_near_dedup_incremental
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         batch_df = batch_df.persist()
         try:
-            have_state = os.path.exists(state_path)
+            # Probe through the Hadoop FileSystem resolved FOR this URI —
+            # a driver-local os.path.exists would always be False for
+            # hdfs:// / s3a:// state, silently disabling cross-batch
+            # anchoring (every micro-batch would dedup only against
+            # itself).
+            have_state = _fs_path_exists(spark, state_path)
             if have_state:
                 state = spark.read.parquet(state_path)
                 kept = minhash_near_dedup_incremental(

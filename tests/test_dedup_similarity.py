@@ -214,6 +214,30 @@ def test_ivf_pq_composed_retrieval(spark):
     assert len(ex & got) / len(ex) >= 0.8, len(ex & got) / len(ex)
 
 
+def test_pq_string_query_ids_and_zero_norm_encode(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vecs = [(i, rng.normal(size=8).astype(float).tolist()) for i in range(1, 40)]
+    vecs.append((0, [0.0] * 8))  # all-zero corpus vector
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    books = S.pq_train(emb, m=2, ksub=4, sample_n=40, seed=1)
+    codes = S.pq_encode(emb, books).collect()
+    # zero-norm vector encodes to valid (non-null) codes
+    zero = [r for r in codes if r.vec_id == 0][0]
+    assert zero.codes is not None and all(c is not None for c in zero.codes)
+    # string query ids flow through the ADC join (query_id type is derived
+    # from the input frame, not hardcoded long)
+    qdf = spark.createDataFrame(
+        [("qa", vecs[0][1]), ("qb", vecs[1][1])],
+        "query_id string, query_vec array<float>",
+    )
+    out = S.cosine_topk_pq(
+        S.pq_encode(emb, books), qdf, books, k=5
+    ).collect()
+    assert {r.query_id for r in out} == {"qa", "qb"}
+
+
 def test_pq_plan_is_map_only(spark):
     from tests.test_plan_shapes import plan_text
 
@@ -557,6 +581,25 @@ def test_repetition_stats_is_map_only(spark):
     assert "Exchange" not in txt and "Generate" not in txt, txt
 
 
+def test_dedup_exact_id_contract_and_auto_fallback(spark):
+    import pytest as _pytest
+
+    rows = [(0, "same"), (1, "same"), (1, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with _pytest.raises(ValueError, match="not unique"):
+        D.dedup_exact(df, assert_unique_ids=True)
+    # auto mode falls back to the shuffled anti-join when the drop list
+    # exceeds the broadcast limit; results identical either way
+    ok = spark.createDataFrame(
+        [(i, f"t{i % 3}") for i in range(12)], "doc_id long, text string"
+    )
+    kept_auto = {
+        r.doc_id for r in D.dedup_exact(ok, broadcast_drop_limit=2).collect()
+    }
+    kept_bcast = {r.doc_id for r in D.dedup_exact(ok, broadcast_drop=True).collect()}
+    assert kept_auto == kept_bcast == {0, 1, 2}
+
+
 def test_paragraph_dedup_removes_cross_doc_boilerplate(spark):
     header = "SITE NAV | home | about"
     footer = "copyright example corp"
@@ -574,6 +617,34 @@ def test_paragraph_dedup_removes_cross_doc_boilerplate(spark):
 
     with _pytest.raises(ValueError):
         D.paragraph_dedup(df, min_df=0, max_boilerplate=1)
+
+
+def test_strip_paragraphs_join_matches_literal_path(spark):
+    # the broadcast anti-join rewrite (oversized boilerplate sets) must
+    # produce the same cleaned text as the literal probe, and
+    # paragraph_dedup must auto-switch to it when id_col is given
+    header = "SITE NAV | home | about"
+    footer = "copyright example corp"
+    rows = [
+        (i, f"{header}\n\nunique body {i} with words\n\n{footer}") for i in range(8)
+    ] + [(100, "standalone doc\n\nno boilerplate at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flagged = D.boilerplate_paragraphs(df, min_df=5)
+    bad = sorted(r.para_hash for r in flagged.collect())
+    lit = {r.doc_id: r.text_clean for r in D.strip_paragraphs(df, bad).collect()}
+    jn = {
+        r.doc_id: r.text_clean
+        for r in D.strip_paragraphs_join(df, flagged, "doc_id").collect()
+    }
+    assert jn == lit
+    # auto-switch: guard of 1 + id_col → join path instead of raising
+    auto = {
+        r.doc_id: r.text_clean
+        for r in D.paragraph_dedup(
+            df, min_df=5, max_boilerplate=1, id_col="doc_id"
+        ).collect()
+    }
+    assert auto == lit
 
 
 def test_strip_paragraphs_is_map_only(spark):
