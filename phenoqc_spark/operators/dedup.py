@@ -889,6 +889,68 @@ def minhash_near_dedup(
     return _register_persisted(out, persisted)
 
 
+def compact_dedup_state(
+    spark,
+    state_path: str,
+    retention_filter=None,
+    shuffle_partitions: "int | None" = None,
+) -> dict:
+    """Compact the append-only seen-content signature state used by
+    :func:`minhash_near_dedup_incremental` / streaming near-dedup.
+
+    The ingest contract appends every batch's signature rows, so content
+    seen in k batches holds k rows.  Those rows are exact duplicates —
+    (sig, n_sh, sh_set) are pure functions of the content behind
+    ``set_hash`` — so ``dropDuplicates(set_hash)`` is a LOSSLESS rewrite:
+    anchoring behavior after compaction is identical (the incremental
+    operator already collapses duplicate hashes at read time; compaction
+    just stops paying that read+collapse cost forever).  One hash
+    aggregate over the state, no corpus involvement.
+
+    ``retention_filter`` (optional Column) ages out signatures — a LOSSY
+    policy decision (e.g. drop rows of contents not worth anchoring
+    against anymore); pass it only when re-emitting old near-dups is
+    acceptable.
+
+    The swap is write-to-sibling + two renames through the Hadoop
+    FileSystem for ``state_path``'s own scheme.  Renames are atomic on
+    HDFS/local but NOT on object stores, and the state must be quiescent
+    (no concurrent micro-batch appends) during the swap — at the
+    lakehouse tier make the state an Iceberg/Delta table and express this
+    same rewrite as a transactional overwrite instead.
+
+    Returns ``{"rows_before", "rows_after"}``.
+    """
+    state = spark.read.parquet(state_path)
+    for c in ("set_hash", "sig", "n_sh", "sh_set"):
+        if c not in state.columns:
+            raise ValueError(f"state at {state_path} lacks column {c!r}")
+    before = state.count()
+    compacted = state.select("set_hash", "sig", "n_sh", "sh_set").dropDuplicates(
+        ["set_hash"]
+    )
+    if retention_filter is not None:
+        compacted = compacted.filter(retention_filter)
+    if shuffle_partitions:
+        compacted = compacted.coalesce(int(shuffle_partitions))
+    base = state_path.rstrip("/")
+    tmp, old = base + "__compacting", base + "__old"
+    compacted.write.mode("overwrite").parquet(tmp)
+    after = spark.read.parquet(tmp).count()
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(base).getFileSystem(hconf)
+    fs.delete(hpath(old), True)
+    if not fs.rename(hpath(base), hpath(old)):
+        raise IOError(f"compact_dedup_state: could not stage {base} aside")
+    if not fs.rename(hpath(tmp), hpath(base)):
+        fs.rename(hpath(old), hpath(base))  # roll back
+        raise IOError(f"compact_dedup_state: could not swap in {tmp}")
+    fs.delete(hpath(old), True)
+    return {"rows_before": before, "rows_after": after}
+
+
 def minhash_near_dedup_incremental(
     new_df: DataFrame,
     existing_sets: DataFrame,

@@ -1,12 +1,30 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
-- brute-force cosine top-k: exact baseline.  The dot product is computed
-  JVM-side with ``aggregate(zip_with(...))`` — no Python in the scoring
-  loop; queries are broadcast so the corpus is never shuffled.
-- LSH-bucketed ANN (random hyperplane signs → bucket join): the scale
-  path — candidates come only from matching buckets, then exact cosine
-  re-ranks.  Recall/probes trade off via number of hyperplanes/tables.
+Operator guide (which ANN to reach for):
+
+- :func:`cosine_topk_bruteforce` — exact baseline.  JVM-side
+  ``aggregate(zip_with(...))`` dot products; queries broadcast, corpus
+  never shuffled.
+- :func:`cosine_topk_ivf` — **the general-purpose ANN default**: recall
+  is monotone in ``n_probe`` (measured 0.32 → 1.0, BENCH/ANN.md) in
+  EVERY regime, and the cell id becomes a partition column at scale
+  (probe = partition pruning).
+- :func:`cosine_topk_lsh` — sign-LSH multiprobe: the cheap path, but ONLY
+  when true neighbors are at high cosine (near-dup corpora, tight
+  clusters): a 1-bit probe reaches neighbors only while
+  ``n_planes·θ/π ≲ 1``; on isotropic embeddings (k-NN cosine ≈ 0.26 →
+  ~5 expected differing bits at 12 planes) recall craters — measured
+  0.10–0.19 (vs 0.96–0.99 clustered).  The operator probes a sample and
+  WARNS in that regime (``regime_check``).
+- :func:`cosine_topk_pq` (+ :func:`cosine_topk_ivf_pq`) — memory-bound
+  tier: 8 B codes vs 256 B vectors; ADC shortlist + exact re-rank.  The
+  per-query ADC *coverage* (Σ_m max_j dot(q_m, c_mj) ≤ 1, computed for
+  free from the lookup tables) measures how quantization-blind the
+  regime is — measured 1.01 on a clustered fixture vs 0.47 on isotropic
+  — and sizes ``rerank_factor="auto"``.
+- :func:`cosine_topk_auto` — regime-routed entry point: probes a sample
+  (:func:`probe_cosine_regime`) and dispatches LSH when the 1-bit reach
+  holds, else IVF.
 """
 
 from __future__ import annotations
@@ -74,6 +92,56 @@ def cosine_topk_bruteforce(
     )
 
 
+def probe_cosine_regime(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    sample_n: int = 512,
+    k: int = 10,
+    n_planes: int = 12,
+) -> dict:
+    """Sampled-neighborhood regime probe for ANN routing (driver-side
+    numpy over ≤ ``sample_n`` vectors — one bounded collect).
+
+    The statistic that predicts sign-LSH recall is the k-NN cosine
+    itself: a neighbor at angle θ differs on ``n_planes·θ/π`` sign bits
+    in expectation, and the 1-bit multiprobe only reaches bucket
+    distance 1.  Returns ``knn_cos`` (median k-th-neighbor cosine within
+    the sample), ``expected_bits`` (= n_planes·arccos(knn_cos)/π),
+    ``lsh_suitable`` (expected_bits ≤ 1.25) and ``regime``
+    ('clustered' | 'isotropic').  Measured: isotropic bench embeddings
+    5.0 expected bits (LSH recall 0.10–0.19), clustered fixture 0.28
+    (recall 0.96–0.99).  The within-sample k-NN cosine underestimates the
+    full-corpus one, which only makes the gate conservative."""
+    import numpy as np
+
+    rows = df.select(F.col(vec_col).alias("v")).limit(sample_n).collect()
+    X = np.array([list(r.v) for r in rows], dtype=np.float64)
+    n = len(X)
+    if n < max(8, k + 1):
+        return {
+            "n_sampled": n,
+            "knn_cos": None,
+            "expected_bits": None,
+            "lsh_suitable": False,
+            "regime": "unknown",
+        }
+    X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+    sims = X @ X.T
+    np.fill_diagonal(sims, -np.inf)
+    kth = np.sort(sims, axis=1)[:, -min(k, n - 1)]
+    knn_cos = float(np.median(kth))
+    theta = float(np.arccos(min(1.0, max(-1.0, knn_cos))))
+    expected_bits = n_planes * theta / math.pi
+    suitable = expected_bits <= 1.25
+    return {
+        "n_sampled": n,
+        "knn_cos": knn_cos,
+        "expected_bits": expected_bits,
+        "lsh_suitable": suitable,
+        "regime": "clustered" if suitable else "isotropic",
+    }
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
     """Deterministic pseudo-random unit hyperplanes (Box-Muller on a
     splitmix-style hash — no numpy needed on executors)."""
@@ -126,12 +194,35 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    regime_check: Optional[int] = 512,
 ) -> DataFrame:
     """Approximate top-k: bucket-join candidates → exact cosine re-rank.
 
     At 100 TB the bucket join replaces the full cross product with
     |bucket|-local work; multi-probe (flip one bit) widens recall.
+
+    ONLY suitable when true neighbors sit at high cosine (see the module
+    guide): with ``regime_check`` (default 512-vector sample) the
+    operator probes the corpus and warns — pointing at
+    :func:`cosine_topk_ivf` / :func:`cosine_topk_auto` — when the 1-bit
+    probe cannot reach the k-NN angle.  Set ``regime_check=None`` to
+    skip the probe job (e.g. when the regime is already known).
     """
+    if regime_check:
+        probe_stats = probe_cosine_regime(corpus, vec_col, regime_check, k, n_planes)
+        if not probe_stats["lsh_suitable"]:
+            import warnings
+
+            warnings.warn(
+                "cosine_topk_lsh: sampled k-NN cosine "
+                f"{probe_stats['knn_cos']} implies "
+                f"{probe_stats['expected_bits']:.1f} expected differing sign "
+                f"bits at n_planes={n_planes} — beyond the 1-bit multiprobe "
+                "reach, so recall will be poor (measured 0.10-0.19 on "
+                "isotropic corpora).  Use cosine_topk_ivf (recall monotone "
+                "in n_probe) or cosine_topk_auto instead.",
+                stacklevel=2,
+            )
     cb = lsh_sign_buckets(corpus, dim, n_planes, seed, id_col, vec_col)
     qb = lsh_sign_buckets(
         queries.select(
@@ -281,6 +372,61 @@ def cosine_topk_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def cosine_topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    n_centroids: int = 16,
+    n_probe: Optional[int] = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: Optional[List[List[float]]] = None,
+    sample_n: int = 512,
+) -> DataFrame:
+    """Regime-routed ANN: probe a corpus sample
+    (:func:`probe_cosine_regime`) and dispatch to sign-LSH multiprobe
+    when the k-NN angle is within the 1-bit reach (near-dup / tightly
+    clustered corpora — the cheap path), else to IVF, whose recall is
+    monotone in ``n_probe`` in every regime.  ``n_probe`` defaults to 4
+    on clustered corpora and ``n_centroids // 2`` on isotropic ones
+    (where neighbors spread across many cells)."""
+    stats = probe_cosine_regime(corpus, vec_col, sample_n, k, n_planes)
+    if stats["lsh_suitable"]:
+        return cosine_topk_lsh(
+            corpus,
+            queries,
+            dim,
+            k,
+            n_planes,
+            seed,
+            id_col,
+            vec_col,
+            query_id_col,
+            query_vec_col,
+            regime_check=None,  # just probed
+        )
+    if n_probe is None:
+        n_probe = 4 if stats["regime"] == "clustered" else max(4, n_centroids // 2)
+    return cosine_topk_ivf(
+        corpus,
+        queries,
+        k,
+        n_centroids,
+        n_probe,
+        seed,
+        id_col,
+        vec_col,
+        query_id_col,
+        query_vec_col,
+        centroids,
     )
 
 
@@ -454,7 +600,15 @@ def _pq_query_tables(
     """(query_id, T array<array<double>>): the per-query ADC lookup table
     — dot(normalized query subvector, sub-centroid) for every (m, j).
     Built driver-side (queries are a bounded dimension, like IVF probe
-    lists) and broadcast."""
+    lists) and broadcast.
+
+    Also computes each query's ADC *coverage* Σ_m max_j T[m][j] (≤ 1 for
+    a normalized query) — how much of the query's energy the codebooks
+    can express, i.e. how quantization-blind the regime is (measured:
+    ≈1.01 clustered fixture, ≈0.47 isotropic bench embeddings).  The
+    median is attached to the returned DataFrame as
+    ``df._pq_coverage`` for the shortlist-sizing rule in
+    :func:`cosine_topk_pq` — free, no extra pass."""
     import numpy as np
 
     m = len(codebooks)
@@ -462,6 +616,7 @@ def _pq_query_tables(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("q")
     ).collect()
     data = []
+    coverages = []
     for r in qrows:
         q = np.array(list(r.q), dtype=np.float64)
         q = q / (np.linalg.norm(q) + 1e-12)
@@ -473,6 +628,7 @@ def _pq_query_tables(
             ]
             for mi in range(m)
         ]
+        coverages.append(sum(max(row) for row in T))
         data.append((r.query_id, T))
     # derive the id type from the input frame: string / int / long query
     # ids all work (a hardcoded 'long' used to reject string ids)
@@ -484,7 +640,11 @@ def _pq_query_tables(
             StructField("T", ArrayType(ArrayType(DoubleType()))),
         ]
     )
-    return spark.createDataFrame(data, schema)
+    out = spark.createDataFrame(data, schema)
+    out._pq_coverage = (  # type: ignore[attr-defined]
+        float(sorted(coverages)[len(coverages) // 2]) if coverages else None
+    )
+    return out
 
 
 def cosine_topk_pq(
@@ -495,7 +655,7 @@ def cosine_topk_pq(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     rerank: Optional[DataFrame] = None,
-    rerank_factor: int = 4,
+    rerank_factor: "int | str" = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -512,11 +672,33 @@ def cosine_topk_pq(
     0.55 on a 6-cluster fixture) — by design.  Pass ``rerank`` (the
     full-precision vector table) to run the production second stage: the
     ADC top ``k × rerank_factor`` shortlist joins its real vectors and is
-    re-ranked by exact cosine (measured recall ≥ 0.9 same fixture); only
-    |queries| × k × factor rows ever touch full-precision data.  Returns
+    re-ranked by exact cosine; only |queries| × k × factor rows ever touch
+    full-precision data.
+
+    Shortlist sizing rule: the per-query ADC coverage (Σ_m max_j T[m][j],
+    computed for free by :func:`_pq_query_tables`) measures how much of
+    the query's energy the codebooks express.  High coverage (≥ 0.7,
+    clustered regime): codes separate neighbors well — factor 4 recovers
+    ≥ 0.9 recall (test-asserted).  Low coverage (isotropic regime): ADC
+    order is noisy — factor 4 recovered only 0.448 (BENCH/ANN.md), so
+    ``rerank_factor="auto"`` (default) picks 16 there and 4 otherwise;
+    ADC-only calls in a low-coverage regime get a warning.  Returns
     (query_id, vec_id, adc_score, rank) or, reranked, (query_id, vec_id,
     cosine, rank)."""
     qt = _pq_query_tables(codes_df.sparkSession, queries, codebooks, query_id_col, query_vec_col)
+    coverage = getattr(qt, "_pq_coverage", None)
+    if rerank_factor == "auto":
+        rerank_factor = 4 if (coverage is None or coverage >= 0.7) else 16
+    if rerank is None and coverage is not None and coverage < 0.7:
+        import warnings
+
+        warnings.warn(
+            f"cosine_topk_pq: ADC coverage {coverage:.2f} < 0.7 — the "
+            "codebooks express little of the query energy in this regime, "
+            "so ADC-only ranking is quantization-noisy; pass rerank= (the "
+            "full-precision vector table) for the exact re-rank stage.",
+            stacklevel=2,
+        )
     scored = codes_df.crossJoin(F.broadcast(qt)).select(
         "query_id",
         "vec_id",
@@ -572,7 +754,7 @@ def cosine_topk_ivf_pq(
     codebooks: List[List[List[float]]],
     k: int = 10,
     n_probe: int = 4,
-    rerank_factor: int = 4,
+    rerank_factor: "int | str" = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -607,6 +789,9 @@ def cosine_topk_ivf_pq(
         .select("query_id", "cid")
     )
     qt = _pq_query_tables(corpus.sparkSession, queries, codebooks, query_id_col, query_vec_col)
+    if rerank_factor == "auto":
+        cov = getattr(qt, "_pq_coverage", None)
+        rerank_factor = 4 if (cov is None or cov >= 0.7) else 16
     cand = codes.join(F.broadcast(probes), "cid").join(F.broadcast(qt), "query_id")
     scored = cand.select(
         "query_id",

@@ -214,6 +214,61 @@ def test_ivf_pq_composed_retrieval(spark):
     assert len(ex & got) / len(ex) >= 0.8, len(ex & got) / len(ex)
 
 
+def test_regime_probe_and_auto_routing(spark):
+    import warnings as W
+
+    import numpy as np
+
+    # clustered corpus → LSH-suitable; isotropic → not
+    rng = np.random.RandomState(11)
+    centers = rng.normal(size=(6, 16)) * 3.0
+    clustered = spark.createDataFrame(
+        [
+            (i, (centers[i % 6] + rng.normal(size=16) * 0.15).astype(float).tolist())
+            for i in range(120)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    iso = spark.createDataFrame(
+        [(i, rng.normal(size=16).astype(float).tolist()) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    pc = S.probe_cosine_regime(clustered, sample_n=120)
+    pi = S.probe_cosine_regime(iso, sample_n=120)
+    assert pc["lsh_suitable"] and pc["regime"] == "clustered"
+    assert not pi["lsh_suitable"] and pi["regime"] == "isotropic"
+
+    # cosine_topk_lsh warns on the isotropic corpus, silent on clustered
+    q = clustered.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qi = iso.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        S.cosine_topk_lsh(iso, qi, dim=16, k=5).collect()
+    assert any("recall will be poor" in str(w.message) for w in rec)
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        S.cosine_topk_lsh(clustered, q, dim=16, k=5).collect()
+    assert not any("recall will be poor" in str(w.message) for w in rec)
+
+    # auto routes clustered→LSH-quality results, isotropic→IVF; both must
+    # agree closely with brute force on their own corpus
+    for corpus, qq in ((clustered, q), (iso, qi)):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in S.cosine_topk_auto(corpus, qq, dim=16, k=5).collect()
+        }
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in S.cosine_topk_bruteforce(corpus, qq, k=5).collect()
+        }
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.8, (recall, corpus is iso)
+
+
 def test_pq_string_query_ids_and_zero_norm_encode(spark):
     import numpy as np
 
@@ -549,6 +604,47 @@ def test_minhash_near_dedup_incremental_matches_full(spark):
     assert got_new == want_new, (sorted(got_new ^ want_new))
     # sanity: some batch-2 docs dropped (anchored to batch 1), some kept
     assert got_new and len(got_new) < df2.count()
+
+
+def test_compact_dedup_state_lossless(spark, tmp_path):
+    """Compacting the append-only signature state (duplicate set_hash rows
+    from re-seen content across batches) must not change incremental
+    anchoring decisions, and must actually shrink the state."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = [(i, f"{base} family {i % 3} shared run of words {i % 3}") for i in range(12)]
+    df1 = spark.createDataFrame(b1, "doc_id long, text string")
+    state_path = str(tmp_path / "state")
+    cols = ["set_hash", "sig", "n_sh", "sh_set"]
+    sets1 = D.minhash_doc_sets(df1, num_hashes=32).select(cols)
+    # simulate three batches re-seeing the same contents: 3x appends
+    for _ in range(3):
+        sets1.write.mode("append").parquet(state_path)
+    before = spark.read.parquet(state_path).count()
+
+    b2 = [(100 + i, f"{base} family {i % 3} shared run of words changed{i}")
+          for i in range(9)] + [(200, "fresh unique content q r s t u v w x y z")]
+    df2 = spark.createDataFrame(b2, "doc_id long, text string")
+
+    def run_inc():
+        st = spark.read.parquet(state_path)
+        return {
+            r.doc_id
+            for r in D.minhash_near_dedup_incremental(
+                df2, st, threshold=0.7, num_hashes=32, bands=8
+            ).collect()
+        }
+
+    kept_before = run_inc()
+    stats = D.compact_dedup_state(spark, state_path)
+    assert stats["rows_before"] == before
+    assert stats["rows_after"] == sets1.select("set_hash").distinct().count()
+    assert stats["rows_after"] < stats["rows_before"]
+    assert run_inc() == kept_before
+    # the swap leaves no staging dirs behind
+    import os
+
+    assert not os.path.exists(state_path + "__compacting")
+    assert not os.path.exists(state_path + "__old")
 
 
 def test_repetition_stats(spark):
