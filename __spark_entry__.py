@@ -1281,6 +1281,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_degree_stats"] = kg_degree_stats
 
+    def td_importance(spark, sf_dir):
+        # DSIR-style importance weights: raw model = documents, target
+        # model = the doc_id % 17 slice — both unigram models and the
+        # per-doc log-weight sum recomputed exactly by the SQL oracle
+        docs = load_table(spark, sf_dir, "documents")
+        target = docs.filter(F.col("doc_id") % 17 == 0)
+        return X.importance_weights(docs, target).orderBy("doc_id")
+
+    q["td_importance"] = td_importance
+
     # ---- r2-retired trio, resurrected so the local gate covers the exact
     # triples path / date-format / missing-flag operators again (their
     # driver rows were green in r1-r2; ADVICE r3 item 5) -------------------
@@ -2375,6 +2385,23 @@ SELECT CAST(SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_f
     o["agg_impute_knn"] = _impute_oracle(_G.KNN_2000)
     o["agg_impute_mice"] = _impute_oracle(_G.MICE_2000)
     o["agg_impute_svd"] = _impute_oracle(_G.SVD_2000)
+
+    o["td_importance"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS token
+  FROM documents
+), tt AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+rfreq AS (SELECT token, COUNT(*) AS cnt_r FROM tt GROUP BY token),
+rtot AS (SELECT SUM(cnt_r) AS total_r, COUNT(*) AS vocab_r FROM rfreq),
+tfreq AS (SELECT token, COUNT(*) AS cnt_t FROM tt WHERE doc_id % 17 = 0 GROUP BY token),
+ttot AS (SELECT SUM(cnt_t) AS total_t, COUNT(*) AS vocab_t FROM tfreq)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(ln((COALESCE(cnt_t, 0) + 1.0) / (ttot.total_t + ttot.vocab_t))
+               - ln((cnt_r + 1.0) / (rtot.total_r + rtot.vocab_r))), 6) AS log_weight
+FROM tt LEFT JOIN rfreq USING (token) LEFT JOIN tfreq USING (token), rtot, ttot
+GROUP BY doc_id ORDER BY doc_id
+"""
 
     o.update(_oracle_sql_r3())
     return o

@@ -425,6 +425,109 @@ def deterministic_stratified_sample(
     return df.filter(u < frac)
 
 
+def importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, log_weight): DSIR-style bag-of-words importance
+    weight per document — ``log p_target(doc) - log p_raw(doc)`` under two
+    add-one-smoothed unigram models (the raw model from ``df`` itself,
+    the target model from the small high-quality ``target`` corpus).
+    High log_weight = looks like the target distribution.  This is the
+    data-SELECTION twin of :func:`unigram_logprob_score`'s quality
+    filter, per Data Selection via Importance Resampling (Xie et al.,
+    2023) with unigram features.
+
+    Scale shape: two token hash-groupBys build the models (map-side
+    partials; the target one is tiny and broadcast); scoring joins each
+    doc's (doc_id, token) pairs against both frequency tables on the
+    token key (AQE splits hub-token skew) and sums per doc — the text
+    column itself never shuffles.
+    """
+    raw_toks = df.select(F.explode(_tokens_expr(text_col)).alias("token")).filter(
+        F.length("token") > 0
+    )
+    raw_freq = raw_toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt_r"))
+    raw_tot = raw_freq.agg(
+        F.sum("cnt_r").alias("_total_r"), F.count(F.lit(1)).alias("_vocab_r")
+    )
+    tgt_toks = target.select(
+        F.explode(_tokens_expr(target_text_col)).alias("token")
+    ).filter(F.length("token") > 0)
+    tgt_freq = tgt_toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt_t"))
+    tgt_tot = tgt_freq.agg(
+        F.sum("cnt_t").alias("_total_t"), F.count(F.lit(1)).alias("_vocab_t")
+    )
+    doc_toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens_expr(text_col)).alias("token")
+    ).filter(F.length("token") > 0)
+    scored = (
+        doc_toks.join(raw_freq, "token", "left")
+        .join(F.broadcast(tgt_freq), "token", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1.0)
+                    / (F.col("_total_t") + F.col("_vocab_t"))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cnt_r"), F.lit(0)) + 1.0)
+                    / (F.col("_total_r") + F.col("_vocab_r"))
+                )
+            ).alias("lw"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("lw"), 6).alias("log_weight"),
+    )
+
+
+def importance_sample(
+    df: DataFrame,
+    target: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sample-without-replacement of ``n`` docs by
+    DSIR importance weight: Gumbel-top-k over
+    ``log_weight + Gumbel(md5(id:seed))`` (Efraimidis–Spirakis via the
+    Gumbel-max trick).  The Gumbel noise is a pure function of (id, seed)
+    — like :func:`deterministic_stratified_sample`, membership is
+    rerun/partitioning/cluster-size invariant and SQL-recomputable.
+
+    Returns the selected rows of ``df``.  The only corpus-wide ordered
+    step is a top-``n`` (TakeOrderedAndProject) over (doc_id, key) pairs,
+    never the text.
+    """
+    w = importance_weights(df, target, text_col, id_col, target_text_col)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16**15)
+    )
+    gumbel = -F.log(-F.log(u + F.lit(1e-18)))
+    keyed = w.select("doc_id", (F.col("log_weight") + gumbel).alias("_key"))
+    chosen = keyed.orderBy(F.desc("_key"), F.asc("doc_id")).limit(n).select("doc_id")
+    return df.join(
+        F.broadcast(chosen.withColumnRenamed("doc_id", id_col)), id_col, "left_semi"
+    )
+
+
 def contamination_flags(
     df: DataFrame,
     benchmark: DataFrame,

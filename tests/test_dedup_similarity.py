@@ -751,6 +751,32 @@ def test_strip_paragraphs_is_map_only(spark):
     assert "Exchange" not in txt and "Join" not in txt, txt
 
 
+def test_importance_weights_and_sample(spark):
+    """DSIR-style selection: docs resembling the target corpus must get
+    higher log-weights and dominate the Gumbel-top-k sample; the sample is
+    a pure function of (id, seed) — rerun-invariant."""
+    sci = "quantum results experiment method data analysis model theory"
+    spam = "click here buy now free offer winner prize deal cash"
+    rows = [(i, sci if i % 2 == 0 else spam) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(900, f"{sci} study science")], "doc_id long, text string"
+    )
+    w = {r.doc_id: r.log_weight for r in X.importance_weights(df, target).collect()}
+    sci_w = [w[i] for i in range(40) if i % 2 == 0]
+    spam_w = [w[i] for i in range(40) if i % 2 == 1]
+    assert min(sci_w) > max(spam_w)
+    picked = sorted(
+        r.doc_id for r in X.importance_sample(df, target, n=10, seed=7).collect()
+    )
+    assert len(picked) == 10
+    assert sum(1 for d in picked if d % 2 == 0) >= 8  # target-like dominate
+    again = sorted(
+        r.doc_id for r in X.importance_sample(df, target, n=10, seed=7).collect()
+    )
+    assert picked == again  # deterministic
+
+
 def test_unigram_logprob_score(spark):
     import math
 
