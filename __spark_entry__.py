@@ -1291,6 +1291,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["td_importance"] = td_importance
 
+    def td_pack_shards(spark, sf_dir):
+        # token-budget shard packing: shard id = global ordered exclusive
+        # prefix sum (two-phase distributed scan, no single-task window);
+        # partitioning-invariant by construction, so the SQL window twin
+        # recomputes it exactly
+        docs = load_table(spark, sf_dir, "documents")
+        return X.pack_token_shards(docs, budget=512).orderBy("doc_id")
+
+    q["td_pack_shards"] = td_pack_shards
+
     # ---- r2-retired trio, resurrected so the local gate covers the exact
     # triples path / date-format / missing-flag operators again (their
     # driver rows were green in r1-r2; ADVICE r3 item 5) -------------------
@@ -2401,6 +2411,18 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
                - ln((cnt_r + 1.0) / (rtot.total_r + rtot.vocab_r))), 6) AS log_weight
 FROM tt LEFT JOIN rfreq USING (token) LEFT JOIN tfreq USING (token), rtot, ttot
 GROUP BY doc_id ORDER BY doc_id
+"""
+
+    o["td_pack_shards"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) END AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS shard_id
+FROM t ORDER BY doc_id
 """
 
     o.update(_oracle_sql_r3())

@@ -41,6 +41,94 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def pack_token_shards(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, shard_id): assign documents to contiguous
+    token-budget shards — the sequence-packing step of a training-data
+    pipeline (shard k holds the docs whose exclusive prefix token sum
+    lands in [k·budget, (k+1)·budget)).
+
+    The shard id is a pure function of the GLOBAL ordered (by ``id_col``)
+    exclusive prefix sum, so the result is independent of partitioning,
+    cluster size, and reruns — and SQL-recomputable.  But a global
+    ``Window.orderBy`` computes that prefix sum by pulling the whole
+    corpus through ONE task; instead this uses the classic two-phase
+    distributed scan:
+
+    1. range-repartition the (id, n_tokens) projection by ``id_col`` and
+       sort within partitions — each partition owns a contiguous id range;
+    2. per-partition local prefix sums (a window PARTITIONED by the
+       range-partition id — shuffle-grouped, never single-task);
+    3. per-partition totals (one tiny aggregate, #partitions rows) are
+       prefix-summed on the driver and joined back as broadcast offsets.
+
+    Docs longer than ``budget`` stay whole in the shard where their
+    prefix lands (standard approximate packing — the splitter is a
+    downstream tokenizer concern).
+    """
+    toks = _tokens_expr(text_col)
+    n_tok = (
+        F.when(
+            F.col(text_col).isNull() | (F.length(F.trim(F.col(text_col))) == 0),
+            F.lit(0),
+        )
+        .otherwise(F.size(toks))
+        .cast("long")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens"))
+    nparts = num_partitions or base.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ranged = (
+        base.repartitionByRange(int(nparts), F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_local_prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).persist()
+    try:
+        totals = {
+            r._pid: r.total
+            for r in local.groupBy("_pid")
+            .agg(F.sum("n_tokens").alias("total"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid]
+        off_expr = F.lit(0).cast("long")
+        for pid, off in sorted(offsets.items()):
+            off_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_expr)
+        out = local.select(
+            "doc_id",
+            "n_tokens",
+            F.floor((off_expr + F.col("_local_prefix")) / F.lit(float(budget)))
+            .cast("long")
+            .alias("shard_id"),
+        )
+        # materialization note: the caller consumes this plan while the
+        # `local` cache backs it; attach for release like the dedup ops
+        out._phenoqc_persisted = [local]  # type: ignore[attr-defined]
+        return out
+    except Exception:
+        local.unpersist()
+        raise
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds length / punctuation-ratio / stopword-ratio / mean-word-length
     features and a composite [0,1] quality score (training-data filtering

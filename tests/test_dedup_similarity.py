@@ -751,6 +751,35 @@ def test_strip_paragraphs_is_map_only(spark):
     assert "Exchange" not in txt and "Join" not in txt, txt
 
 
+def test_pack_token_shards_partition_invariant(spark):
+    """Shard assignment = global ordered exclusive prefix sum: identical
+    across partition counts and equal to a sequential twin."""
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 7) % 23 + 1))) for i in range(200)]
+    rows[50] = (50, None)  # null text → 0 tokens
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 40
+
+    def run(nparts):
+        return {
+            r.doc_id: (r.n_tokens, r.shard_id)
+            for r in X.pack_token_shards(df, budget, num_partitions=nparts).collect()
+        }
+
+    a, b, c = run(1), run(4), run(16)
+    assert a == b == c
+    # sequential twin
+    acc, want = 0, {}
+    for i in range(200):
+        n = 0 if rows[i][1] is None else len(rows[i][1].split())
+        want[i] = (n, acc // budget)
+        acc += n
+    assert a == want
+    # shards (except possibly the last) are filled to >= budget boundary:
+    # every shard k>0 starts exactly where the prefix crossed k*budget
+    shard_of = {i: a[i][1] for i in a}
+    assert max(shard_of.values()) > 1  # actually packed multiple shards
+
+
 def test_importance_weights_and_sample(spark):
     """DSIR-style selection: docs resembling the target corpus must get
     higher log-weights and dominate the Gumbel-top-k sample; the sample is
