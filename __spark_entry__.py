@@ -1301,6 +1301,33 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["td_pack_shards"] = td_pack_shards
 
+    def txt_url_canon(spark, sf_dir):
+        # adversarial URL surfaces (case, www, default/explicit ports,
+        # tracking params, fragments, trailing slashes) — the operator
+        # runs the real parse_url cascade; the oracle formats the expected
+        # canonical form analytically per branch
+        docs = load_table(spark, sf_dir, "documents")
+        h = (F.col("doc_id") % 37).cast("int")
+        d = F.col("doc_id")
+        url = (
+            F.when(d % 6 == 0, F.format_string(
+                "HTTP://WWW.Host%02d.EXAMPLE.org:80/Path/%d/?utm_source=x&b=2&a=1#f", h, d))
+            .when(d % 6 == 1, F.format_string("https://HOST%02d.example.org:443/", h))
+            .when(d % 6 == 2, F.format_string(
+                "https://host%02d.example.org:8443/x?gclid=abc", h))
+            .when(d % 6 == 3, F.format_string(
+                "http://www.host%02d.example.org/y/?fbclid=1&Z=9", h))
+            .when(d % 6 == 4, F.format_string("https://host%02d.example.org", h))
+            .otherwise(F.format_string("http://host%02d.example.org/p?b=1&a=0", h))
+        )
+        return (
+            X.canonicalize_urls(docs.select("doc_id", url.alias("url")))
+            .select("doc_id", "url_canonical")
+            .orderBy("doc_id")
+        )
+
+    q["txt_url_canon"] = txt_url_canon
+
     # ---- r2-retired trio, resurrected so the local gate covers the exact
     # triples path / date-format / missing-flag operators again (their
     # driver rows were green in r1-r2; ADVICE r3 item 5) -------------------
@@ -2423,6 +2450,19 @@ WITH t AS (
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS shard_id
 FROM t ORDER BY doc_id
+"""
+
+    o["txt_url_canon"] = """
+SELECT doc_id,
+  CASE CAST(doc_id % 6 AS INT)
+    WHEN 0 THEN printf('http://host%02d.example.org/Path/%d?a=1&b=2', CAST(doc_id % 37 AS INT), doc_id)
+    WHEN 1 THEN printf('https://host%02d.example.org/', CAST(doc_id % 37 AS INT))
+    WHEN 2 THEN printf('https://host%02d.example.org:8443/x', CAST(doc_id % 37 AS INT))
+    WHEN 3 THEN printf('http://host%02d.example.org/y?Z=9', CAST(doc_id % 37 AS INT))
+    WHEN 4 THEN printf('https://host%02d.example.org', CAST(doc_id % 37 AS INT))
+    ELSE printf('http://host%02d.example.org/p?a=0&b=1', CAST(doc_id % 37 AS INT))
+  END AS url_canonical
+FROM documents ORDER BY doc_id
 """
 
     o.update(_oracle_sql_r3())

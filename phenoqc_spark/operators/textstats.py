@@ -390,6 +390,73 @@ def tfidf_topk(
     )
 
 
+_TRACKING_PARAMS = (
+    "utm_source",
+    "utm_medium",
+    "utm_campaign",
+    "utm_term",
+    "utm_content",
+    "gclid",
+    "fbclid",
+    "msclkid",
+    "mc_cid",
+    "mc_eid",
+    "ref",
+    "referrer",
+)
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_canonical"
+) -> DataFrame:
+    """Map-only URL canonicalization — the crawl-side key for URL-level
+    dedup and host aggregation: lowercase scheme+host, strip a leading
+    ``www.``, drop default ports (:80 http / :443 https), drop the
+    fragment, remove tracking query params (utm_*, gclid, fbclid, …),
+    sort the surviving params by name, and trim a trailing slash from
+    non-root paths.  Everything is JVM expressions (parse_url + array
+    ops) — pure projection, no shuffle, no Python.
+
+    The canonical form is a KEY for grouping (dedup_exact on it, host
+    stats), not a replacement for the fetch URL — original casing of
+    path/query VALUES is preserved per RFC 3986 (only scheme/host are
+    case-insensitive)."""
+    u = F.col(url_col)
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.parse_url(u, F.lit("HOST"))), r"^www\.", ""
+    )
+    port = F.parse_url(u, F.lit("AUTHORITY"))
+    # strip default ports: authority may carry host:port; rebuild from host
+    # plus any NON-default explicit port
+    explicit_port = F.regexp_extract(port, r":(\d+)$", 1)
+    keep_port = F.when(
+        (explicit_port == "")
+        | ((scheme == "http") & (explicit_port == "80"))
+        | ((scheme == "https") & (explicit_port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), explicit_port))
+    raw_path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.when(
+        (F.length(raw_path) > 1) & raw_path.endswith("/"),
+        F.expr(f"substring(parse_url({url_col}, 'PATH'), 1, length(parse_url({url_col}, 'PATH')) - 1)"),
+    ).otherwise(raw_path)
+    query = F.parse_url(u, F.lit("QUERY"))
+    tracking = F.array(*[F.lit(t) for t in _TRACKING_PARAMS])
+    kept_params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda kv: (F.length(kv) > 0)
+            & ~F.array_contains(tracking, F.lower(F.split_part(kv, F.lit("="), F.lit(1)))),
+        )
+    )
+    qstr = F.when(
+        F.size(kept_params) > 0, F.concat(F.lit("?"), F.array_join(kept_params, "&"))
+    ).otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), host, keep_port, path, qstr)
+    return df.withColumn(out_col, canon)
+
+
 def url_host_stats(df: DataFrame, url_col: str = "url", text_col: str | None = "text") -> DataFrame:
     """Per-host curation roll-up over a web corpus: docs, distinct paths,
     corpus share, and (when ``text_col`` is present) exact-dup rate within

@@ -751,6 +751,30 @@ def test_strip_paragraphs_is_map_only(spark):
     assert "Exchange" not in txt and "Join" not in txt, txt
 
 
+def test_canonicalize_urls(spark):
+    cases = [
+        (0, "HTTP://WWW.Example.COM:80/Path/To/Page/?utm_source=x&b=2&a=1#frag",
+         "http://example.com/Path/To/Page?a=1&b=2"),
+        (1, "https://example.com:443/", "https://example.com/"),
+        (2, "https://example.com:8443/x?gclid=abc", "https://example.com:8443/x"),
+        (3, "http://sub.example.com/y/?fbclid=1&Z=9", "http://sub.example.com/y?Z=9"),
+        (4, "https://example.com", "https://example.com"),
+        (5, "http://example.com/p?a=1&a=0", "http://example.com/p?a=0&a=1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id long, url string"
+    )
+    got = {r.doc_id: r.url_canonical for r in X.canonicalize_urls(df).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+    # map-only: pure projection, no shuffle/join/Python
+    from tests.test_plan_shapes import plan_text
+
+    txt = plan_text(X.canonicalize_urls(df))
+    assert "Exchange" not in txt and "Join" not in txt, txt
+    assert "EvalPython" not in txt, txt
+
+
 def test_pack_token_shards_partition_invariant(spark):
     """Shard assignment = global ordered exclusive prefix sum: identical
     across partition counts and equal to a sequential twin."""
