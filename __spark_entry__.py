@@ -1328,6 +1328,33 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["txt_url_canon"] = txt_url_canon
 
+    def td_curate(spark, sf_dir):
+        # crawl-curation composition, one lazy plan: canonicalize URLs →
+        # URL-level dedup (keep min doc_id per canonical form; the
+        # doc_id ≥ 400 rows carry the SAME logical URL as doc_id % 400
+        # but in a noisy form — case, www, trailing slash, utm param — so
+        # the collapse only happens if canonicalization is correct) →
+        # token-budget shard packing of the survivors
+        docs = load_table(spark, sf_dir, "documents")
+        k = F.col("doc_id") % 400
+        url = F.when(
+            F.col("doc_id") < 400,
+            F.format_string("https://host%02d.example.org/p/%d", (k % 37).cast("int"), k),
+        ).otherwise(
+            F.format_string(
+                "HTTPS://WWW.Host%02d.EXAMPLE.ORG/p/%d/?utm_source=x",
+                (k % 37).cast("int"),
+                k,
+            )
+        )
+        canon = X.canonicalize_urls(
+            docs.select("doc_id", "text", url.alias("url"))
+        )
+        kept = D.dedup_exact(canon, text_col="url_canonical", id_col="doc_id")
+        return X.pack_token_shards(kept, budget=512).orderBy("doc_id")
+
+    q["td_curate"] = td_curate
+
     # ---- r2-retired trio, resurrected so the local gate covers the exact
     # triples path / date-format / missing-flag operators again (their
     # driver rows were green in r1-r2; ADVICE r3 item 5) -------------------
@@ -2463,6 +2490,20 @@ SELECT doc_id,
     ELSE printf('http://host%02d.example.org/p?a=0&b=1', CAST(doc_id % 37 AS INT))
   END AS url_canonical
 FROM documents ORDER BY doc_id
+"""
+
+    o["td_curate"] = r"""
+WITH kept AS (
+  -- canonical form of doc_id >= 400 equals that of doc_id % 400, so
+  -- keep-min-per-canonical-url == doc_id < 400 on this fixture
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) END AS n_tokens
+  FROM documents WHERE doc_id < 400
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS shard_id
+FROM kept ORDER BY doc_id
 """
 
     o.update(_oracle_sql_r3())
