@@ -523,6 +523,19 @@ def test_stream_dedup_docs_across_batches(spark, tmp_path):
     assert run_once() == [0, 1, 3]  # doc 2 suppressed by cross-batch state
 
 
+def test_fs_path_exists_resolves_uri_scheme(spark, tmp_path):
+    """The streaming state probe must go through the Hadoop FileSystem of
+    the path's own scheme (file://, hdfs://, s3a:// …), not the driver's
+    local os.path — exercised here with explicit file:// URIs."""
+    from phenoqc_spark.streaming.pipeline import _fs_path_exists
+
+    p = tmp_path / "state"
+    assert not _fs_path_exists(spark, f"file://{p}")
+    p.mkdir()
+    assert _fs_path_exists(spark, f"file://{p}")
+    assert _fs_path_exists(spark, str(p))  # scheme-less also resolves
+
+
 def test_stream_near_dedup_docs_across_batches(spark, tmp_path):
     """Streaming NEAR-dedup: micro-batches dedupe against the accumulated
     parquet signature state — a near-duplicate (not byte-equal) of a
