@@ -48,17 +48,35 @@ STRING_FIELDS = [
 
 
 def extract_records(
-    pages: DataFrame, lang: str = "en", keep: list[str] | None = None
+    pages: DataFrame,
+    lang: str = "en",
+    keep: list[str] | None = None,
+    jvm_extract: bool = False,
 ) -> DataFrame:
     """pages → typed record DataFrame (url, warc_ts, SampleID, …).
 
-    ``extract_text`` is the only Python step; parsing and casting stay in
-    whole-stage codegen.  ``keep`` carries extra input columns (e.g. a
-    resume ``part_key``) through the projection so callers never need a
-    fact-side re-join to recover them.
+    ``extract_text`` (Arrow UDF) is the only Python step; parsing and
+    casting stay in whole-stage codegen.  ``jvm_extract=True`` swaps in
+    the pure-JVM :func:`extract_text_expr` (differentially equal on 1M
+    generated pages) — use it when Python workers are unavailable or the
+    Arrow transfer of html bytes is the bottleneck.  MEASURED at 1M
+    pages, local[32]: the JVM expr wins an extract-only scan (0.60 vs
+    1.01 s) but loses ~5-10% inside THIS fused pipeline (5.5-5.7 vs
+    5.0-5.3 s end-to-end, even with the decode staged against
+    re-evaluation): the Python workers pipeline the decode in separate
+    processes while the JVM threads run parse/link, and pandas'
+    C-level decode+slice beats JVM String allocation at MB-scale rows —
+    so Arrow stays the default.  ``keep`` carries extra input columns
+    (e.g. a resume ``part_key``) through the projection so callers never
+    need a fact-side re-join to recover them.
     """
+    from .functions.text import extract_text_expr
+
     df = pages.filter(F.col("lang") == lang)
-    df = df.withColumn("extracted_text", extract_text(F.col("html")))
+    extractor = (
+        extract_text_expr(F.col("html")) if jvm_extract else extract_text(F.col("html"))
+    )
+    df = df.withColumn("extracted_text", extractor)
     df = parse_records(df, "extracted_text")
     cols = [F.col("url"), F.col("warc_ts"), F.col("extracted_text")]
     cols += [F.col(c) for c in (keep or [])]

@@ -36,6 +36,23 @@ def test_kg_path_single_exchange(spark, resolver):
     assert len(set(re.findall(r"MapInPandas \((\d+)\)", txt))) == 1, txt
 
 
+def test_kg_path_jvm_extract_variant(spark, resolver):
+    """The jvm_extract=True variant removes the extract Arrow hop
+    entirely (no html bytes cross the Python boundary) and produces the
+    identical triple set — kept as the option for environments without
+    Python workers; Arrow stays the default (see extract_records)."""
+    from phenoqc_spark import pages as PG
+    from phenoqc_spark.pipeline import build_triples, extract_records
+
+    pages = PG.generate_pages(spark, 500, partitions=4)
+    bc = spark.sparkContext.broadcast(resolver)
+    arrow = build_triples(extract_records(pages), bc)[0]
+    jvm = build_triples(extract_records(pages, jvm_extract=True), bc)[0]
+    txt = plan_text(jvm)
+    assert "ArrowEvalPython" not in txt, txt
+    assert sorted(map(tuple, arrow.collect())) == sorted(map(tuple, jvm.collect()))
+
+
 def test_scan_pushdown_and_pruning(spark, sf_dir):
     from phenoqc_spark.sources import load_table
 
