@@ -34,10 +34,17 @@ def main() -> None:
     ap.add_argument("--fuzzy-threshold", type=int, default=80)
     ap.add_argument("--custom-mappings", help="JSON file of term -> id overrides")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--log-file", default=None,
+                    help="driver log file under ./logs (auto-named when omitted; reference logging_module.py parity)")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--report", action="store_true",
                     help="write a Markdown QC report derived from the audit table")
     args = ap.parse_args()
+
+    from phenoqc_spark.logging_utils import log_activity, setup_logging
+
+    setup_logging(args.log_file)
+    log_activity(f"{__file__} started: {vars(args)}")
     if not args.pages and not args.generate_rows:
         ap.error("one of --pages or --generate-rows is required")
 

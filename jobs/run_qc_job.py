@@ -44,6 +44,8 @@ def main() -> None:
     ap.add_argument("--impute-diagnostics", choices=["on", "off"], default="off",
                     help="imputation stability diagnostics (I9)")
     ap.add_argument("--diag-repeats", type=int, default=5)
+    ap.add_argument("--log-file", default=None,
+                    help="driver log file under ./logs (auto-named when omitted; reference logging_module.py parity)")
     ap.add_argument("--diag-mask-fraction", type=float, default=0.10)
     ap.add_argument("--diag-scoring", choices=["MAE", "RMSE"], default="MAE")
     ap.add_argument("--mi-uncertainty", choices=["on", "off"], default="off",
@@ -74,6 +76,11 @@ def main() -> None:
                     help="coalesce each processed CSV to one part")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     args = ap.parse_args()
+
+    from phenoqc_spark.logging_utils import log_activity, setup_logging
+
+    setup_logging(args.log_file)
+    log_activity(f"{__file__} started: {vars(args)}")
 
     from pyspark.sql import functions as F
 

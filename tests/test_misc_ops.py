@@ -268,3 +268,50 @@ def test_driver_contract_invariants():
     # every oracle is non-trivial SQL over the registered views
     for k, sql in os_.items():
         assert "SELECT" in sql.upper() and len(sql) > 40, k
+
+
+def test_logging_utils(tmp_path, monkeypatch):
+    """Reference-parity logging (logging_module.py): auto-named file under
+    ./logs, handler reset on re-init, level dispatch."""
+    import logging
+
+    monkeypatch.chdir(tmp_path)
+    from phenoqc_spark.logging_utils import log_activity, setup_logging
+
+    path = setup_logging()
+    assert path.startswith(str(tmp_path)) and "phenoqc_" in path
+    log_activity("hello world")
+    log_activity("watch out", level="warning")
+    # re-init with an explicit name must not duplicate handlers
+    path2 = setup_logging("explicit.log")
+    log_activity("second file")
+    logging.shutdown()
+    first = open(path).read()
+    assert "hello world" in first and "WARNING:watch out" in first
+    assert "second file" not in first
+    assert "second file" in open(path2).read()
+
+
+def test_suggest_ontologies(spark):
+    """Reference-parity decision logic (utils/ontology_utils.py:4-80) over
+    a distributed distinct sample."""
+    from phenoqc_spark.ontology.suggest import suggest_ontologies
+
+    avail = {"HPO": {}, "DO": {}, "MPO": {}, "GO": {}}
+    # name pattern: 'phenotype' -> HPO+MPO (MONDO unavailable is dropped)
+    df = spark.createDataFrame(
+        [("Hypertension",), ("Asthma",)], "PrimaryPhenotype string"
+    )
+    assert suggest_ontologies(df, "PrimaryPhenotype", avail) == ["HPO", "MPO"]
+    # content: DOID ids in the data -> DO even with a neutral column name
+    df2 = spark.createDataFrame([("DOID:1612",), ("DOID:9351",)], "code string")
+    assert "DO" in suggest_ontologies(df2, "code", avail)
+    # content: term indicators ('disease') -> DO
+    df3 = spark.createDataFrame([("rare disease entry",)], "note string")
+    assert "DO" in suggest_ontologies(df3, "note", avail)
+    # string column with no signal -> HPO/DO default
+    df4 = spark.createDataFrame([("xyzzy",)], "blob string")
+    assert suggest_ontologies(df4, "blob", avail) == ["DO", "HPO"]
+    # numeric column with no signal -> no default
+    df5 = spark.createDataFrame([(1,)], "n long")
+    assert suggest_ontologies(df5, "n", avail) == []
