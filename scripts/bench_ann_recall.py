@@ -183,8 +183,18 @@ def main() -> None:
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "ANN.md"
     )
+    # Preserve hand-written sections: only the auto-generated head (title,
+    # protocol line, table, reading) is replaced; everything from the
+    # first "Encode throughput" or "## " section after it survives.
+    generated = "\n".join(lines)
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        for marker in ("\nEncode throughput (separate measurement", "\n## Round"):
+            if marker in old:
+                generated = generated.rstrip("\n") + "\n" + old[old.index(marker) :]
+                break
     with open(out_path, "w") as fh:
-        fh.write("\n".join(lines))
+        fh.write(generated)
     print(json.dumps({"results": results, "gt_sec": gt_sec, "out": out_path}))
     spark.stop()
 
