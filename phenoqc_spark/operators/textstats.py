@@ -449,11 +449,11 @@ def canonicalize_urls(
     path/query VALUES is preserved per RFC 3986 (only scheme/host are
     case-insensitive)."""
     u = F.col(url_col)
-    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
     host = F.regexp_replace(
-        F.lower(F.parse_url(u, F.lit("HOST"))), r"^www\.", ""
+        F.lower(F.try_parse_url(u, F.lit("HOST"))), r"^www\.", ""
     )
-    port = F.parse_url(u, F.lit("AUTHORITY"))
+    port = F.try_parse_url(u, F.lit("AUTHORITY"))
     # strip default ports: authority may carry host:port; rebuild from host
     # plus any NON-default explicit port
     explicit_port = F.regexp_extract(port, r":(\d+)$", 1)
@@ -463,12 +463,12 @@ def canonicalize_urls(
         | ((scheme == "https") & (explicit_port == "443")),
         F.lit(""),
     ).otherwise(F.concat(F.lit(":"), explicit_port))
-    raw_path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    raw_path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
     path = F.when(
         (F.length(raw_path) > 1) & raw_path.endswith("/"),
-        F.expr(f"substring(parse_url({url_col}, 'PATH'), 1, length(parse_url({url_col}, 'PATH')) - 1)"),
+        F.expr(f"substring(try_parse_url({url_col}, 'PATH'), 1, length(try_parse_url({url_col}, 'PATH')) - 1)"),
     ).otherwise(raw_path)
-    query = F.parse_url(u, F.lit("QUERY"))
+    query = F.try_parse_url(u, F.lit("QUERY"))
     tracking = F.array(*[F.lit(t) for t in _TRACKING_PARAMS])
     kept_params = F.array_sort(
         F.filter(
@@ -497,8 +497,8 @@ def url_host_stats(df: DataFrame, url_col: str = "url", text_col: str | None = "
     """
     has_text = text_col is not None and text_col in df.columns
     proj = [
-        F.parse_url(F.col(url_col), F.lit("HOST")).alias("host"),
-        F.parse_url(F.col(url_col), F.lit("PATH")).alias("_path"),
+        F.try_parse_url(F.col(url_col), F.lit("HOST")).alias("host"),
+        F.try_parse_url(F.col(url_col), F.lit("PATH")).alias("_path"),
     ]
     if has_text:
         proj.append(F.md5(F.col(text_col)).alias("_h"))

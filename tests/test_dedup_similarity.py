@@ -788,6 +788,31 @@ def test_canonicalize_urls(spark):
     assert "EvalPython" not in txt, txt
 
 
+def test_url_ops_survive_malformed_urls(spark):
+    """Web crawls guarantee malformed URLs; parse_url under ANSI throws on
+    them, which would kill a whole job on one bad row.  Both URL
+    operators must use try_parse_url: canonical form degrades to NULL and
+    host stats bucket bad rows under the NULL host instead of crashing."""
+    df = spark.createDataFrame(
+        [(0, None), (1, "not a url at all"), (2, "https://ok.example.com/x")],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r.url_canonical for r in X.canonicalize_urls(df).collect()}
+    assert got[0] is None and got[1] is None
+    assert got[2] == "https://ok.example.com/x"
+    hosts = X.url_host_stats(df.withColumn("text", F.lit("t")), "url").collect()
+    assert {r.host for r in hosts} == {None, "ok.example.com"}
+
+
+def test_round4_ops_empty_inputs(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert X.pack_token_shards(empty, 100).count() == 0
+    docs = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    # empty target corpus → weight undefined (null), not a crash
+    row = X.importance_weights(docs, empty).collect()[0]
+    assert row.log_weight is None
+
+
 def test_pack_token_shards_partition_invariant(spark):
     """Shard assignment = global ordered exclusive prefix sum: identical
     across partition counts and equal to a sequential twin."""
