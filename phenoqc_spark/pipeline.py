@@ -83,7 +83,10 @@ def extract_records(
     for name in STRING_FIELDS:
         cols.append(record_field(name).alias(name))
     for name in NUMERIC_FIELDS:
-        cols.append(record_field(name).cast("double").alias(name))
+        # try_cast, not cast: under ANSI a single malformed numeric field
+        # in web text would kill the whole job; the reference coerces to
+        # NaN (pd.to_numeric(errors='coerce'), batch_processing.py)
+        cols.append(record_field(name).try_cast("double").alias(name))
     cols.append(
         F.from_json(record_field("ObservedFeatures"), "array<string>").alias(
             "ObservedFeatures"

@@ -61,3 +61,20 @@ def test_mapping_stats_shape(spark, resolver):
     assert {r.column for r in stats} >= {"PrimaryPhenotype", "DiseaseCode"}
     for r in stats:
         assert 0 <= r.success_rate_pct <= 100
+
+
+def test_malformed_fields_coerce_not_crash(spark):
+    """One malformed numeric field (or URL) in web text must coerce to
+    NULL — reference pd.to_numeric(errors='coerce') semantics — not kill
+    the job with an ANSI CAST_INVALID_INPUT."""
+    html = (
+        "<html><body><p>SampleID: S1\nHeight_cm: NOT_A_NUMBER\n"
+        "PrimaryPhenotype: Asthma</p></body></html>"
+    ).encode()
+    pages = spark.createDataFrame(
+        [("u1", None, html, "x", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    r = extract_records(pages).collect()[0]
+    assert r["Height_cm"] is None
+    assert r["SampleID"] == "S1" and r["PrimaryPhenotype"] == "Asthma"
