@@ -80,8 +80,11 @@ def main() -> None:
         .save()
     )
 
+    # best-of-3 for the flagship: the driver samples this once per round,
+    # and host co-tenant noise makes single reps swing ±15% — a third rep
+    # costs ~7 s and halves the chance of recording a noisy best
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         out = run_pipeline(spark, spark.read.parquet(pages_dir), E._resolver())
         n_triples = out["triples"].count()

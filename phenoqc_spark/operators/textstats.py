@@ -441,7 +441,7 @@ def canonicalize_urls(
     ``www.``, drop default ports (:80 http / :443 https), drop the
     fragment, remove tracking query params (utm_*, gclid, fbclid, …),
     sort the surviving params by name, and trim a trailing slash from
-    non-root paths.  Everything is JVM expressions (parse_url + array
+    non-root paths.  Everything is JVM expressions (try_parse_url + array
     ops) — pure projection, no shuffle, no Python.
 
     The canonical form is a KEY for grouping (dedup_exact on it, host
@@ -490,7 +490,7 @@ def url_host_stats(df: DataFrame, url_col: str = "url", text_col: str | None = "
     the host — the table a crawl-curation pass uses to up/down-weight or
     block hosts.
 
-    JVM ``parse_url`` for host/path; one hash-groupBy (text contributes
+    JVM ``try_parse_url`` for host/path (malformed URLs bucket under the NULL host instead of raising); one hash-groupBy (text contributes
     only its md5, as in :func:`corpus_source_stats`).  Share-of-corpus
     comes from a window over the grouped result (host-count sized), not a
     second scan.
