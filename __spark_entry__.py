@@ -1355,6 +1355,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["td_curate"] = td_curate
 
+    def txt_chunks(spark, sf_dir):
+        # context-window chunking: 32-token windows, 8-token overlap —
+        # map-only slice+posexplode; oracle recomputes windows with
+        # DuckDB list slicing
+        docs = load_table(spark, sf_dir, "documents")
+        return X.chunk_documents(docs, chunk_tokens=32, overlap=8).orderBy(
+            "doc_id", "chunk_id"
+        )
+
+    q["txt_chunks"] = txt_chunks
+
     # ---- r2-retired trio, resurrected so the local gate covers the exact
     # triples path / date-format / missing-flag operators again (their
     # driver rows were green in r1-r2; ADVICE r3 item 5) -------------------
@@ -2504,6 +2515,24 @@ WITH kept AS (
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS shard_id
 FROM kept ORDER BY doc_id
+"""
+
+    o["txt_chunks"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+), st AS (
+  SELECT doc_id, toks,
+         UNNEST(range(0, greatest(0, len(toks) - 8 - 1) + 1, 24)) AS s
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(s / 24 AS BIGINT) AS chunk_id,
+       CAST(least(32, len(toks) - s) AS BIGINT) AS n_tokens,
+       array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text
+FROM st ORDER BY doc_id, chunk_id
 """
 
     o.update(_oracle_sql_r3())

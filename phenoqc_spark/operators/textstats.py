@@ -134,6 +134,57 @@ def pack_token_shards(
         raise
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text): split each document into
+    token windows of ``chunk_tokens`` with ``overlap`` tokens carried
+    between consecutive windows — the context-window chunking step that
+    feeds fixed-length training sequences.
+
+    Map-only JVM plan: one staged tokenize-split per row, a ``sequence``
+    of window starts (stride = chunk - overlap), ``slice`` + ``concat_ws``
+    per window, one ``posexplode``.  No shuffle; chunk ids are
+    deterministic (0-based per doc, windows in order).  Documents with no
+    tokens yield no chunks; the final window may be shorter than
+    ``chunk_tokens``.  Every emitted window contains at least one UNSEEN
+    token (starts run to ``n - overlap - 1``; the initial window always
+    emits) — no pure-overlap tail duplicates.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(
+            F.col(text_col).isNull() | (F.length(F.trim(F.col(text_col))) == 0),
+            F.array().cast("array<string>"),
+        )
+        .otherwise(_tokens_expr(text_col))
+        .alias("_toks"),
+    )
+    n = F.size("_toks")
+    last_start = F.greatest(F.lit(0), n - F.lit(overlap) - 1)
+    starts = F.when(n > 0, F.sequence(F.lit(0), last_start, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    windows = F.transform(
+        starts, lambda s: F.slice(F.col("_toks"), s + 1, F.lit(chunk_tokens))
+    )
+    return staged.select(
+        "doc_id", F.posexplode(windows).alias("chunk_id", "_w")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("_w").cast("long").alias("n_tokens"),
+        F.array_join("_w", " ").alias("chunk_text"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds length / punctuation-ratio / stopword-ratio / mean-word-length
     features and a composite [0,1] quality score (training-data filtering

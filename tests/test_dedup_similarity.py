@@ -804,6 +804,32 @@ def test_url_ops_survive_malformed_urls(spark):
     assert {r.host for r in hosts} == {None, "ok.example.com"}
 
 
+def test_chunk_documents(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "x y"), (2, ""), (3, None), (4, "solo")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in X.chunk_documents(df, 3, overlap=1).orderBy("doc_id", "chunk_id").collect()
+    ]
+    assert got == [
+        (0, 0, 3, "a b c"),
+        (0, 1, 3, "c d e"),
+        (0, 2, 3, "e f g"),  # no pure-overlap tail 'g'
+        (1, 0, 2, "x y"),
+        (4, 0, 1, "solo"),
+    ]
+    with pytest.raises(ValueError):
+        X.chunk_documents(df, 3, overlap=3)
+    # map-only: one Generate (posexplode), no Exchange/Join/Python
+    from tests.test_plan_shapes import plan_text
+
+    txt = plan_text(X.chunk_documents(df, 3, overlap=1))
+    assert "Exchange" not in txt and "Join" not in txt, txt
+    assert "EvalPython" not in txt, txt
+
+
 def test_round4_ops_empty_inputs(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert X.pack_token_shards(empty, 100).count() == 0
