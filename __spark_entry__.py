@@ -2563,10 +2563,10 @@ FROM st ORDER BY doc_id, chunk_id
 #   agg_sample_reservoir: unit-tested, driver-proven in r1-r3.
 #
 # Round-5 rotation candidates (currently in extras, all hash-green via the
-# local gate): the four r4 additions (td_importance, td_pack_shards,
-# txt_url_canon, td_curate) have never held a driver row — promote them
-# first; then cycle back v_required_missing / v_duplicates / txt_tokens /
-# agg_topk_terms etc. so no query goes two rounds unrecorded.
+# local gate): the five r4 additions (td_importance, td_pack_shards,
+# txt_url_canon, td_curate, txt_chunks) have never held a driver row —
+# promote them first; then cycle back v_required_missing / v_duplicates /
+# txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [
     # KG construction
     "kg_triples_full",
