@@ -804,6 +804,53 @@ def test_url_ops_survive_malformed_urls(spark):
     assert {r.host for r in hosts} == {None, "ok.example.com"}
 
 
+def test_chunk_documents_reconstruction_property(spark):
+    """Over a seeded random corpus: dropping each later chunk's first
+    ``overlap`` tokens and concatenating reproduces the tokenized doc
+    exactly — chunking loses nothing and duplicates only the overlap."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(0, 40))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunk, overlap = 7, 3
+    out = {}
+    for r in X.chunk_documents(df, chunk, overlap).collect():
+        out.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    for i, text in rows:
+        toks = text.split()
+        chunks = [t for _, t in sorted(out.get(i, []))]
+        if not toks:
+            assert chunks == []
+            continue
+        rebuilt = chunks[0].split()
+        for c in chunks[1:]:
+            rebuilt += c.split()[overlap:]
+        assert rebuilt == toks, (i, toks, chunks)
+
+
+def test_canonicalize_urls_idempotent(spark):
+    """canon(canon(u)) == canon(u) for every URL whose canonical form is
+    itself parseable — canonicalization is a projection, not a walk."""
+    rows = [
+        (0, "HTTP://WWW.Example.COM:80/Path/?utm_source=x&b=2&a=1#f"),
+        (1, "https://example.com:443/"),
+        (2, "https://example.com:8443/x?gclid=abc&keep=1"),
+        (3, "http://sub.example.com/y/?fbclid=1&Z=9"),
+        (4, "https://example.com"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    once = X.canonicalize_urls(df)
+    twice = X.canonicalize_urls(
+        once.select("doc_id", F.col("url_canonical").alias("url")), out_col="url_c2"
+    )
+    for r in twice.collect():
+        assert r.url_c2 == r.url, (r.doc_id, r.url, r.url_c2)
+
+
 def test_chunk_documents(spark):
     df = spark.createDataFrame(
         [(0, "a b c d e f g"), (1, "x y"), (2, ""), (3, None), (4, "solo")],
