@@ -157,3 +157,49 @@ def test_streaming_watermark_window(spark, tmp_path):
     )
     assert batch.count() == 5
     assert sum(r.cnt for r in batch.collect()) == 50
+
+
+def test_curate_corpus_end_to_end(spark):
+    """One-call curation: every stage active, per-stage accounting
+    monotone, final chunks carry redacted text."""
+    from phenoqc_spark.curation import curate_corpus
+
+    sci = "the experiment shows results and the data is good for the model"
+    rows = []
+    for i in range(40):
+        # duplicate URL variants per pair, duplicate text per triple
+        url = f"https://www.Host{i % 20}.example.org/p/{i % 20}/?utm_source=z"
+        text = f"{sci} version {i % 12} contact me mail{i % 12}@example.com"
+        rows.append((i, url, text))
+    rows.append((100, "https://clean.example.org/q", "short"))  # fails quality
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    # shares an 8-gram only with the "version 3" text variant
+    bench = spark.createDataFrame(
+        [(0, "good for the model version 3 contact me")], "doc_id long, text string"
+    )
+    out, report = curate_corpus(
+        df,
+        url_col="url",
+        exact_dedup=True,
+        min_quality=0.6,
+        languages=["en"],
+        decontaminate_against=bench,
+        redact_pii=True,
+        chunk_tokens=6,
+        chunk_overlap=2,
+    )
+    # stage accounting: monotone non-increasing until chunking
+    order = ["input", "url_dedup", "exact_dedup", "quality_filter", "decontaminated"]
+    for a, b in zip(order, order[1:]):
+        assert report[b] <= report[a], report
+    assert report["url_dedup"] == 21  # 20 canonical urls + the clean one
+    rows_out = out.collect()
+    assert report["chunked"] == len(rows_out) > 0
+    # emails were redacted before chunking
+    assert all("@" not in r.chunk_text for r in rows_out)
+    # lazy mode: no counts, same schema
+    lazy, lazy_report = curate_corpus(
+        df, url_col="url", min_quality=0.6, count_stages=False
+    )
+    assert all(v is None for v in lazy_report.values())
+    assert lazy.count() > 0
