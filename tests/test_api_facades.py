@@ -203,3 +203,18 @@ def test_curate_corpus_end_to_end(spark):
     )
     assert all(v is None for v in lazy_report.values())
     assert lazy.count() > 0
+    # near-dedup stage: a near-dup family collapses to one representative
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    nd = spark.createDataFrame(
+        [
+            (i, f"{base} family {i % 3} shared run of words "
+             + ("" if i % 4 else f"changed{i}"))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    _, nd_rep = curate_corpus(
+        nd, exact_dedup=True,
+        near_dedup={"threshold": 0.7, "num_hashes": 32, "bands": 8},
+    )
+    assert nd_rep["near_dedup"] < nd_rep["exact_dedup"]
