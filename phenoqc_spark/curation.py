@@ -45,6 +45,7 @@ def curate_corpus(
     importance_n: int | None = None,
     chunk_tokens: int | None = None,
     chunk_overlap: int = 0,
+    shard_budget: int | None = None,
     seed: int = 42,
     count_stages: bool = True,
 ):
@@ -132,5 +133,24 @@ def curate_corpus(
             X.chunk_documents(
                 out, chunk_tokens, chunk_overlap, text_col=text_col, id_col=id_col
             ),
+        )
+        if shard_budget:
+            # pack the CHUNKS into contiguous token-budget shards for the
+            # writer; the composite (doc_id, chunk_id) becomes one orderable
+            # key so the two-phase prefix scan applies unchanged
+            keyed = out.withColumn(
+                "_ck", F.col(id_col) * F.lit(1_000_000) + F.col("chunk_id")
+            )
+            shards = X.pack_token_shards(
+                keyed, shard_budget, text_col="chunk_text", id_col="_ck"
+            ).select(F.col("doc_id").alias("_ck2"), "shard_id")
+            out = record(
+                "sharded",
+                keyed.join(shards, keyed._ck == shards._ck2).drop("_ck", "_ck2"),
+            )
+    elif shard_budget:
+        out = record(
+            "sharded",
+            X.pack_token_shards(out, shard_budget, text_col=text_col, id_col=id_col),
         )
     return out, report

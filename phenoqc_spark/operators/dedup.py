@@ -889,6 +889,35 @@ def minhash_near_dedup(
     return _register_persisted(out, persisted)
 
 
+def dedup_exact_incremental(
+    new_df: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-dedup a NEW batch against the already-ingested corpus: keep
+    rows whose ``md5(text)`` appears neither in the ``seen_hashes`` state
+    (one ``content_hash`` column) nor earlier in the batch itself
+    (min-id representative, as :func:`dedup_exact`).
+
+    The batch-side cost is the batch, never the corpus: one left-anti
+    join against the state on the 16-byte hash (broadcast when the state
+    is small; at scale keep the state bucketed by hash and let the
+    anti-join co-locate) plus the intra-batch drop-list.  Append
+    ``SELECT md5(text), id`` of the KEPT rows to the state after each
+    batch; the state is value-distinct by construction so it needs no
+    compaction (unlike the near-dedup signature state).
+    """
+    if "content_hash" not in seen_hashes.columns:
+        raise ValueError("seen_hashes state needs a 'content_hash' column")
+    vs_state = new_df.join(
+        seen_hashes.select(F.col("content_hash").alias("_h")),
+        F.md5(F.col(text_col)) == F.col("_h"),
+        "left_anti",
+    )
+    return dedup_exact(vs_state, text_col, id_col)
+
+
 def compact_dedup_state(
     spark,
     state_path: str,

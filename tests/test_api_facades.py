@@ -218,3 +218,13 @@ def test_curate_corpus_end_to_end(spark):
         near_dedup={"threshold": 0.7, "num_hashes": 32, "bands": 8},
     )
     assert nd_rep["near_dedup"] < nd_rep["exact_dedup"]
+    # shard packing after chunking: every chunk row gains a shard_id
+    flat = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(20))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    sh_out, sh_rep = curate_corpus(
+        flat, exact_dedup=False, chunk_tokens=8, chunk_overlap=2, shard_budget=40
+    )
+    assert sh_rep["sharded"] == sh_rep["chunked"] == 90
+    assert "shard_id" in sh_out.columns and "chunk_text" in sh_out.columns

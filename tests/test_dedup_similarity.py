@@ -1042,3 +1042,28 @@ def test_contamination_flags(spark):
     hits = {r.doc_id: r.n_hits for r in X.contamination_flags(docs, bench, n=8).collect()}
     assert 0 in hits and hits[0] >= 1
     assert 1 not in hits
+
+
+def test_dedup_exact_incremental(spark):
+    """New-batch exact dedup vs a fingerprint state: rows whose content
+    was already ingested drop; fresh content dedups within the batch."""
+    state_docs = spark.createDataFrame(
+        [(0, "seen before"), (1, "also seen")], "doc_id long, text string"
+    )
+    state = state_docs.select(F.md5("text").alias("content_hash"))
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),   # drop: in state
+            (11, "brand new"),     # keep
+            (12, "brand new"),     # drop: intra-batch dup of 11
+            (13, "also seen"),     # drop: in state
+            (14, "another fresh"), # keep
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in D.dedup_exact_incremental(batch, state).collect()}
+    assert kept == {11, 14}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="content_hash"):
+        D.dedup_exact_incremental(batch, state.withColumnRenamed("content_hash", "x"))
