@@ -1366,6 +1366,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["txt_chunks"] = txt_chunks
 
+    def kg_triangles(spark, sf_dir):
+        # triangle counts over the same deterministic synthetic relation
+        # graph as kg_degree_stats; oracle = SQL wedge/closing self-joins
+        from phenoqc_spark.operators import canonicalize as C
+
+        docs = load_table(spark, sf_dir, "documents")
+        edges = docs.select(
+            (F.col("doc_id") % 40).alias("src"),
+            ((F.col("doc_id") * 7 + 3) % 45).alias("dst"),
+        )
+        return C.graph_triangles(edges).orderBy("node")
+
+    q["kg_triangles"] = kg_triangles
+
     # ---- r2-retired trio, resurrected so the local gate covers the exact
     # triples path / date-format / missing-flag operators again (their
     # driver rows were green in r1-r2; ADVICE r3 item 5) -------------------
@@ -2535,6 +2549,25 @@ SELECT doc_id,
 FROM st ORDER BY doc_id, chunk_id
 """
 
+    o["kg_triangles"] = """
+WITH raw AS (
+  SELECT doc_id % 40 AS a, (doc_id * 7 + 3) % 45 AS b FROM documents
+  WHERE doc_id % 40 <> (doc_id * 7 + 3) % 45
+), und AS (
+  SELECT a, b FROM raw UNION SELECT b, a FROM raw
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e1.b = e2.a AND e1.a < e1.b AND e2.a < e2.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), per AS (
+  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+), nodes AS (SELECT DISTINCT a AS node FROM und)
+SELECT n.node, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN (SELECT node, COUNT(*) AS cnt FROM per GROUP BY node) c
+  ON n.node = c.node
+ORDER BY n.node
+"""
+
     o.update(_oracle_sql_r3())
     return o
 
@@ -2563,8 +2596,8 @@ FROM st ORDER BY doc_id, chunk_id
 #   agg_sample_reservoir: unit-tested, driver-proven in r1-r3.
 #
 # Round-5 rotation candidates (currently in extras, all hash-green via the
-# local gate): the five r4 additions (td_importance, td_pack_shards,
-# txt_url_canon, td_curate, txt_chunks) have never held a driver row —
+# local gate): the six r4 additions (td_importance, td_pack_shards,
+# txt_url_canon, td_curate, txt_chunks, kg_triangles) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [
