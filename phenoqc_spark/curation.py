@@ -61,9 +61,19 @@ def curate_corpus(
         raise ValueError("choose stratified OR importance sampling, not both")
 
     report: dict[str, int | None] = {}
+    persisted: list[DataFrame] = []
 
     def record(stage: str, frame: DataFrame) -> DataFrame:
-        report[stage] = frame.count() if count_stages else None
+        # counted mode: persist each recorded stage so its count does not
+        # re-execute every upstream stage (O(stages²) otherwise); handles
+        # attach to the result for release_intermediates.  Lazy mode
+        # caches nothing — one plan, zero extra jobs.
+        if count_stages:
+            frame = frame.persist()
+            persisted.append(frame)
+            report[stage] = frame.count()
+        else:
+            report[stage] = None
         return frame
 
     out = record("input", df)
@@ -153,4 +163,10 @@ def curate_corpus(
             "sharded",
             X.pack_token_shards(out, shard_budget, text_col=text_col, id_col=id_col),
         )
+    if persisted:
+        # free every intermediate except the final frame the caller consumes
+        for p in persisted[:-1]:
+            if p is not out:
+                p.unpersist()
+        out._phenoqc_persisted = [persisted[-1]]  # type: ignore[attr-defined]
     return out, report
