@@ -221,6 +221,42 @@ def graph_triangles(
     return out
 
 
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, degree, n_triangles, clustering_coeff): local clustering
+    coefficient ``2·T / (d·(d-1))`` over the undirected simple graph —
+    the density diagnostic next to :func:`graph_triangles` (d ≤ 1 nodes
+    get coefficient 0.0).  One extra aggregate over the same oriented
+    plan; no new shuffle class."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    )
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    tri = graph_triangles(edges, src, dst)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") > 1,
+                F.round(
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -1102,3 +1102,20 @@ def test_graph_triangles_matches_bruteforce(spark):
             want[c] += 1
     assert all(got.get(n, 0) == want[n] for n in nodes if n in got or want[n])
     assert sum(got.values()) % 3 == 0 and sum(got.values()) > 0
+
+
+def test_clustering_coefficients(spark):
+    """Triangle K3 plus a pendant node: triangle corners have coeff 1.0
+    (all neighbor pairs connected... except where the pendant dilutes),
+    pendant has coeff 0."""
+    from phenoqc_spark.operators import canonicalize as C
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long"
+    )
+    got = {r.node: (r.degree, r.n_triangles, r.clustering_coeff)
+           for r in C.clustering_coefficients(edges).collect()}
+    assert got[0] == (2, 1, 1.0)
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (3, 1, round(2 * 1 / (3 * 2), 6))
+    assert got[3] == (1, 0, 0.0)
