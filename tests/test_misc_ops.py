@@ -285,11 +285,16 @@ def test_logging_utils(tmp_path, monkeypatch):
     # re-init with an explicit name must not duplicate handlers
     path2 = setup_logging("explicit.log")
     log_activity("second file")
+    # reference parity (tests/test_logging_module.py:33-44): re-init with
+    # mode='a' appends to the same file instead of truncating
+    setup_logging("explicit.log", mode="a")
+    log_activity("appended line")
     logging.shutdown()
     first = open(path).read()
     assert "hello world" in first and "WARNING:watch out" in first
     assert "second file" not in first
-    assert "second file" in open(path2).read()
+    second = open(path2).read()
+    assert "second file" in second and "appended line" in second
 
 
 def test_suggest_ontologies(spark):
