@@ -1380,6 +1380,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_triangles"] = kg_triangles
 
+    def sim_hash_embed(spark, sf_dir):
+        # feature-hashing text embedding (hashing trick) — DuckDB cannot
+        # reproduce Spark's seeded xxhash64, so the oracle is the pinned
+        # full-precision golden (scripts/gen_hash_embed_golden.py)
+        from phenoqc_spark.operators import similarity as SIM
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+        return (
+            SIM.hash_embedding(docs, dim=64, seed=42)
+            .select("vec_id", F.posexplode("embedding").alias("idx", "value"))
+            .select("vec_id", F.col("idx").cast("int").alias("idx"), F.round("value", 9).alias("value"))
+            .orderBy("vec_id", "idx")
+        )
+
+    q["sim_hash_embed"] = sim_hash_embed
+
     # ---- r2-retired trio, resurrected so the local gate covers the exact
     # triples path / date-format / missing-flag operators again (their
     # driver rows were green in r1-r2; ADVICE r3 item 5) -------------------
@@ -2568,6 +2584,16 @@ FROM nodes n LEFT JOIN (SELECT node, COUNT(*) AS cnt FROM per GROUP BY node) c
 ORDER BY n.node
 """
 
+    from phenoqc_spark.hash_embed_golden import HASH_EMBED_5x64 as _HE
+
+    _he_vals = ",\n  ".join(f"({v}, {i}, {round(x, 9)!r})" for (v, i, x) in _HE)
+    o["sim_hash_embed"] = (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(idx AS INT) AS idx,\n"
+        "       CAST(value AS DOUBLE) AS value\n"
+        "FROM (VALUES\n  " + _he_vals + "\n) AS t(vec_id, idx, value)\n"
+        "ORDER BY vec_id, idx"
+    )
+
     o.update(_oracle_sql_r3())
     return o
 
@@ -2596,8 +2622,9 @@ ORDER BY n.node
 #   agg_sample_reservoir: unit-tested, driver-proven in r1-r3.
 #
 # Round-5 rotation candidates (currently in extras, all hash-green via the
-# local gate): the six r4 additions (td_importance, td_pack_shards,
-# txt_url_canon, td_curate, txt_chunks, kg_triangles) have never held a driver row —
+# local gate): the r4 additions (td_importance, td_pack_shards,
+# txt_url_canon, td_curate, txt_chunks, kg_triangles, sim_hash_embed)
+# have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

@@ -92,6 +92,59 @@ def cosine_topk_bruteforce(
     )
 
 
+def hash_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """(vec_id, embedding array<double>): deterministic bag-of-words
+    feature-hashing embedding (the hashing trick, Weinberger et al. 2009)
+    — token t adds ``sign(h2(t))`` to bucket ``h1(t) mod dim``; the
+    vector is L2-normalized.  No model, no Python: a fully reproducible,
+    SQL-recomputable text representation that bridges the documents
+    table into the ANN/near-dup operators (hash_embedding →
+    cosine_topk_ivf / embedding_near_dups) when no learned embeddings
+    exist yet.
+
+    Plan shape: explode tokens → ONE hash-keyed (id, bucket) groupBy
+    (map-side partial sums collapse repeated tokens) → per-doc assembly
+    of the dense vector from the sparse (bucket, weight) pairs.  The
+    text column never shuffles; the shuffle carries 16-byte rows.
+    """
+    toks = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(
+            F.split(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h1 = F.pmod(F.xxhash64(F.col("tok"), F.lit(seed)), F.lit(dim)).cast("int")
+    h2 = F.when(
+        F.pmod(F.xxhash64(F.col("tok"), F.lit(seed + 1)), F.lit(2)) == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    sparse = (
+        toks.select("vec_id", h1.alias("bucket"), h2.alias("sign"))
+        .groupBy("vec_id", "bucket")
+        .agg(F.sum("sign").alias("w"))
+    )
+    assembled = sparse.groupBy("vec_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "w"))).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("int")), F.lit(0.0)),
+    )
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    staged = assembled.select("vec_id", vec.alias("_v"), norm.alias("_n"))
+    return staged.select(
+        "vec_id",
+        F.when(F.col("_n") == 0.0, F.col("_v"))
+        .otherwise(F.transform(F.col("_v"), lambda x: x / F.col("_n")))
+        .alias("embedding"),
+    )
+
+
 def probe_cosine_regime(
     df: DataFrame,
     vec_col: str = "embedding",

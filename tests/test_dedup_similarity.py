@@ -1119,3 +1119,32 @@ def test_clustering_coefficients(spark):
     assert got[1] == (2, 1, 1.0)
     assert got[2] == (3, 1, round(2 * 1 / (3 * 2), 6))
     assert got[3] == (1, 0, 0.0)
+
+
+def test_hash_embedding_semantics_and_ann_composition(spark):
+    """Feature-hashing embedding: identical texts → cosine 1.0, disjoint
+    vocab → 0.0, unit norms; composes into the ANN stack (text → embed →
+    brute-force top-k finds the exact duplicate first)."""
+    import numpy as np
+
+    rows = [
+        (0, "apple banana cherry"),
+        (1, "apple banana cherry"),
+        (2, "totally different words here"),
+        (3, "apple banana cherry date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = S.hash_embedding(df, dim=32)
+    E = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    assert abs(float(E[0] @ E[1]) - 1.0) < 1e-9
+    assert abs(float(E[0] @ E[2])) < 1e-9
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-9 for v in E.values())
+    # deterministic across recomputation
+    E2 = {r.vec_id: np.array(r.embedding) for r in S.hash_embedding(df, dim=32).collect()}
+    assert all((E[k] == E2[k]).all() for k in E)
+    # composition: hash-embed -> top-k; doc 1 retrieves doc 0 at cosine 1
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = S.cosine_topk_bruteforce(emb, q, k=2).collect()
+    assert {r.vec_id for r in top} == {0, 1} and all(abs(r.cosine - 1.0) < 1e-6 for r in top)
