@@ -39,6 +39,10 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--report", action="store_true",
                     help="write a Markdown QC report derived from the audit table")
+    ap.add_argument("--graph-stats", action="store_true",
+                    help="materialize graph diagnostics over the produced triples "
+                         "(degree stats, triangle counts, clustering coefficients) "
+                         "to <out>/graph_stats")
     args = ap.parse_args()
 
     from phenoqc_spark.logging_utils import log_activity, setup_logging
@@ -113,12 +117,32 @@ def main() -> None:
         generate_pdf_report(
             spark, triples_path, audit_path, os.path.join(args.out, "qc_report.pdf")
         )
+    graph_stats_path = None
+    if args.graph_stats:
+        from phenoqc_spark.operators.canonicalize import (
+            clustering_coefficients,
+            graph_degree_stats,
+        )
+
+        tri_df = spark.read.parquet(triples_path)
+        graph_stats_path = os.path.join(args.out, "graph_stats")
+        deg = graph_degree_stats(tri_df)
+        cc = clustering_coefficients(
+            tri_df.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        )
+        deg.join(cc.select("node", "n_triangles", "clustering_coeff"),
+                 deg.entity == cc.node, "left").drop("node").write.mode(
+            "overwrite"
+        ).parquet(graph_stats_path)
+        log_activity(f"graph stats -> {graph_stats_path}")
+
     print(json.dumps({
         "run_id": run_id,
         "sec": round(time.time() - t0, 2),
         "triples_total": n,
         "resumed": bool(args.resume),
         "report": report_path,
+        "graph_stats": graph_stats_path,
     }))
     spark.stop()
 
