@@ -34,11 +34,12 @@ def connected_components(
     the driver-side loop is inherent (fixpoints are not a single Catalyst
     plan, SURVEY.md §4.2).
     """
-    # undirected: keep each edge both ways, self-loops dropped
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
-        .distinct()
+    # undirected: keep each edge both ways, self-loops dropped.  One
+    # distinct over the symmetric union suffices — a pre-distinct on the
+    # raw edges would be a second full shuffle of the edge list for the
+    # same result.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
     )
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     # Persist the symmetric edge list: every iteration joins against it, and
