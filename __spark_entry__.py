@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 65 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 72 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
