@@ -101,22 +101,6 @@ def main() -> None:
     metrics = R.partition_metrics(records, trip_keyed)
     R.append_audit(spark, audit_path, run_id, metrics)
     n = spark.read.parquet(triples_path).count()
-    report_path = None
-    if args.report:
-        from phenoqc_spark.report import (
-            generate_html_report,
-            generate_pdf_report,
-            generate_report,
-        )
-
-        report_path = os.path.join(args.out, "qc_report.md")
-        generate_report(spark, triples_path, audit_path, report_path)
-        generate_html_report(
-            spark, triples_path, audit_path, os.path.join(args.out, "qc_report.html")
-        )
-        generate_pdf_report(
-            spark, triples_path, audit_path, os.path.join(args.out, "qc_report.pdf")
-        )
     graph_stats_path = None
     if args.graph_stats:
         from phenoqc_spark.operators.canonicalize import (
@@ -135,6 +119,26 @@ def main() -> None:
             "overwrite"
         ).parquet(graph_stats_path)
         log_activity(f"graph stats -> {graph_stats_path}")
+    report_path = None
+    if args.report:
+        from phenoqc_spark.report import (
+            generate_html_report,
+            generate_pdf_report,
+            generate_report,
+        )
+
+        # graph diagnostics flow into the report when both flags are on
+        gs = spark.read.parquet(graph_stats_path) if graph_stats_path else None
+        report_path = os.path.join(args.out, "qc_report.md")
+        generate_report(spark, triples_path, audit_path, report_path, graph_stats=gs)
+        generate_html_report(
+            spark, triples_path, audit_path,
+            os.path.join(args.out, "qc_report.html"), graph_stats=gs,
+        )
+        generate_pdf_report(
+            spark, triples_path, audit_path,
+            os.path.join(args.out, "qc_report.pdf"), graph_stats=gs,
+        )
 
     print(json.dumps({
         "run_id": run_id,

@@ -25,12 +25,49 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .operators.quality import quality_scores
 
 
+def _graph_summary(graph_stats: DataFrame, top_n: int = 10):
+    """Bounded driver-side summary of a graph-diagnostics frame
+    (``run_kg_job --graph-stats`` output: entity, out_degree, in_degree
+    [, n_triangles, clustering_coeff]).  Returns (summary_pairs,
+    top_hub_rows) — one aggregate + one top-N, both entity-sized inputs
+    already reduced by the graph operators, so collecting is safe."""
+    cols = set(graph_stats.columns)
+    total = (F.col("out_degree") + F.col("in_degree")).alias("total_degree")
+    aggs = [
+        F.count(F.lit(1)).alias("nodes"),
+        F.max(F.col("out_degree") + F.col("in_degree")).alias("max_degree"),
+        F.round(F.avg(F.col("out_degree") + F.col("in_degree")), 2).alias("avg_degree"),
+    ]
+    if "n_triangles" in cols:
+        aggs.append((F.sum("n_triangles") / 3).cast("long").alias("triangles"))
+    if "clustering_coeff" in cols:
+        aggs.append(F.round(F.avg("clustering_coeff"), 4).alias("avg_clustering"))
+    row = graph_stats.agg(*aggs).collect()[0]
+    summary = [
+        ("graph nodes", f"{row.nodes:,}"),
+        ("max degree", f"{row.max_degree:,}"),
+        ("mean degree", f"{row.avg_degree}"),
+    ]
+    if "n_triangles" in cols:
+        summary.append(("triangles", f"{row.triangles:,}"))
+    if "clustering_coeff" in cols:
+        summary.append(("mean clustering coeff", f"{row.avg_clustering}"))
+    top = (
+        graph_stats.select("entity", "out_degree", "in_degree", total)
+        .orderBy(F.desc("total_degree"), F.asc("entity"))
+        .limit(top_n)
+        .collect()
+    )
+    return summary, top
+
+
 def generate_report(
     spark: SparkSession,
     triples_path: str,
     audit_path: str,
     out_path: str,
     mapping_stats: DataFrame | None = None,
+    graph_stats: DataFrame | None = None,
 ) -> str:
     triples = spark.read.parquet(triples_path)
     audit = spark.read.parquet(audit_path)
@@ -65,6 +102,21 @@ def generate_report(
             lines.append(
                 f"| {r.column} | {r.ontology} | {r.total_terms} | {r.mapped_terms} | {r.success_rate_pct} |"
             )
+    if graph_stats is not None:
+        summary, top = _graph_summary(graph_stats)
+        lines += ["", "## Graph diagnostics", ""]
+        lines += [f"- {k}: **{v}**" for k, v in summary]
+        lines += [
+            "",
+            "### Hub entities (top 10 by degree)",
+            "",
+            "| entity | out | in | total |",
+            "|---|---|---|---|",
+        ]
+        lines += [
+            f"| {r.entity} | {r.out_degree:,} | {r.in_degree:,} | {r.total_degree:,} |"
+            for r in top
+        ]
     content = "\n".join(lines) + "\n"
     with open(out_path, "w") as fh:
         fh.write(content)
@@ -120,6 +172,7 @@ def generate_html_report(
     audit_path: str,
     out_path: str,
     mapping_stats: DataFrame | None = None,
+    graph_stats: DataFrame | None = None,
 ) -> str:
     """Self-contained HTML QC report (visual analogue of generate_report)."""
     triples = spark.read.parquet(triples_path)
@@ -172,6 +225,22 @@ def generate_html_report(
             f'cellpadding="6"><tr><th>column</th><th>ontology</th><th>total</th>'
             f"<th>mapped</th><th>rate</th></tr>{rows_html}</table>"
         )
+    if graph_stats is not None:
+        summary, top = _graph_summary(graph_stats)
+        g_tiles = "".join(
+            f'<div style="border:1px solid {_GRID};border-radius:8px;padding:12px 16px;">'
+            f'<div style="color:{_MUTED};font-size:12px;">{_html.escape(k)}</div>'
+            f'<div style="color:{_INK};font-size:22px;font-weight:600;">{v}</div></div>'
+            for k, v in summary
+        )
+        sections += [
+            f'<h2 style="margin-top:32px;">Graph diagnostics</h2>'
+            f'<div style="display:flex;gap:12px;flex-wrap:wrap;margin-bottom:24px;">{g_tiles}</div>',
+            _svg_hbar(
+                [(r.entity, r.total_degree) for r in top],
+                "Hub entities (top 10 by degree)",
+            ),
+        ]
     content = (
         "<!doctype html>\n<html><head><meta charset='utf-8'><title>QC Report</title></head>\n"
         f'<body style="font-family:system-ui,sans-serif;max-width:900px;margin:32px auto;'
@@ -231,6 +300,7 @@ def generate_pdf_report(
     audit_path: str,
     out_path: str,
     mapping_stats: DataFrame | None = None,
+    graph_stats: DataFrame | None = None,
 ) -> bytes:
     """PDF QC report — the reference's deliverable format (reporting.py:
     832-1081), same content as :func:`generate_html_report`.  Returns the
@@ -274,6 +344,26 @@ def generate_pdf_report(
             value_fmt="{:.1f}",
             max_value=100.0,
             unit="%",
+        )
+    if graph_stats is not None:
+        summary, top = _graph_summary(graph_stats)
+        from .pdfgen import PAGE_H
+
+        if y > PAGE_H - 180:
+            c.new_page()
+            y = 60
+        c.text(54, y, "Graph diagnostics", size=12, bold=True, color=_PDF_INK)
+        y += 18
+        for k, v in summary:
+            c.text(54, y, k, size=10, color=_PDF_MUTED)
+            c.text(200, y, v, size=10, bold=True, color=_PDF_INK)
+            y += 15
+        y += 14
+        y = _pdf_hbar(
+            c,
+            y,
+            [(r.entity, r.total_degree) for r in top],
+            "Hub entities (top 10 by degree)",
         )
     data = c.build()
     with open(out_path, "wb") as fh:

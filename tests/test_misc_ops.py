@@ -131,6 +131,49 @@ def test_report(spark, tmp_path, resolver):
     )
     assert pdf == pdf2
 
+    # graph-diagnostics section (degree/triangle/clustering over the
+    # produced triples — the run_kg_job --graph-stats frame) renders in
+    # all three formats
+    from phenoqc_spark.operators.canonicalize import (
+        clustering_coefficients,
+        graph_degree_stats,
+    )
+
+    deg = graph_degree_stats(trip)
+    cc = clustering_coefficients(
+        trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+    gs = deg.join(
+        cc.select("node", "n_triangles", "clustering_coeff"),
+        deg.entity == cc.node,
+        "left",
+    ).drop("node")
+    md_g = generate_report(
+        spark,
+        str(tmp_path / "triples"),
+        str(tmp_path / "audit"),
+        str(tmp_path / "report_g.md"),
+        graph_stats=gs,
+    )
+    assert "## Graph diagnostics" in md_g and "Hub entities" in md_g
+    assert "graph nodes" in md_g and "mean clustering coeff" in md_g
+    html_g = generate_html_report(
+        spark,
+        str(tmp_path / "triples"),
+        str(tmp_path / "audit"),
+        str(tmp_path / "report_g.html"),
+        graph_stats=gs,
+    )
+    assert "Graph diagnostics" in html_g and "Hub entities (top 10 by degree)" in html_g
+    pdf_g = generate_pdf_report(
+        spark,
+        str(tmp_path / "triples"),
+        str(tmp_path / "audit"),
+        str(tmp_path / "report_g.pdf"),
+        graph_stats=gs,
+    )
+    assert b"Graph diagnostics" in pdf_g and b"Hub entities" in pdf_g
+
 
 def test_salted_distinct(spark):
     from phenoqc_spark.operators.triples import salted_distinct
