@@ -42,6 +42,12 @@ def main() -> None:
     ap.add_argument("--chunk-overlap", type=int, default=0)
     ap.add_argument("--lazy", action="store_true",
                     help="skip per-stage counts: one lazy plan, counts from the write")
+    ap.add_argument("--report", action="store_true",
+                    help="write a Markdown curation report (stage funnel + "
+                         "per-source stats when --source-col is set) to <out>.report.md")
+    ap.add_argument("--source-col", default=None,
+                    help="with --report: input column naming the crawl source "
+                         "for the per-source roll-up")
     ap.add_argument("--master", default=None)
     ap.add_argument("--log-file", default=None)
     args = ap.parse_args()
@@ -75,9 +81,26 @@ def main() -> None:
     )
     out.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
+    report_path = None
+    if args.report:
+        from phenoqc_spark.operators.textstats import corpus_source_stats
+        from phenoqc_spark.report import generate_curation_report
+
+        stages = dict(report)
+        stages["written"] = n
+        src_stats = None
+        if args.source_col and args.source_col in docs.columns:
+            src_stats = corpus_source_stats(
+                docs, source_col=args.source_col, text_col=args.text_col
+            )
+        # sibling path — a stray .md inside the parquet dir would break
+        # later spark.read.parquet(out) scans
+        report_path = args.out.rstrip("/") + ".report.md"
+        generate_curation_report(stages, report_path, source_stats=src_stats)
+        log_activity(f"curation report -> {report_path}")
     line = json.dumps(
         {"out": args.out, "rows_out": n, "sec": round(time.time() - t0, 2),
-         "stages": report}
+         "stages": report, "report": report_path}
     )
     log_activity(line)
     print(line)

@@ -43,6 +43,9 @@ def main() -> None:
                     help="materialize graph diagnostics over the produced triples "
                          "(degree stats, triangle counts, clustering coefficients) "
                          "to <out>/graph_stats")
+    ap.add_argument("--pagerank-iters", type=int, default=0,
+                    help="with --graph-stats: also run N PageRank power "
+                         "iterations over the triple graph and add a rank column")
     args = ap.parse_args()
 
     from phenoqc_spark.logging_utils import log_activity, setup_logging
@@ -114,10 +117,21 @@ def main() -> None:
         cc = clustering_coefficients(
             tri_df.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
         )
-        deg.join(cc.select("node", "n_triangles", "clustering_coeff"),
-                 deg.entity == cc.node, "left").drop("node").write.mode(
-            "overwrite"
-        ).parquet(graph_stats_path)
+        stats = deg.join(
+            cc.select("node", "n_triangles", "clustering_coeff"),
+            deg.entity == cc.node, "left",
+        ).drop("node")
+        if args.pagerank_iters > 0:
+            from phenoqc_spark.operators.canonicalize import pagerank
+
+            pr = pagerank(
+                tri_df.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+                iters=args.pagerank_iters,
+            )
+            stats = stats.join(
+                pr.withColumnRenamed("node", "entity"), "entity", "left"
+            )
+        stats.write.mode("overwrite").parquet(graph_stats_path)
         log_activity(f"graph stats -> {graph_stats_path}")
     report_path = None
     if args.report:

@@ -28,9 +28,11 @@ from .operators.quality import quality_scores
 def _graph_summary(graph_stats: DataFrame, top_n: int = 10):
     """Bounded driver-side summary of a graph-diagnostics frame
     (``run_kg_job --graph-stats`` output: entity, out_degree, in_degree
-    [, n_triangles, clustering_coeff]).  Returns (summary_pairs,
-    top_hub_rows) — one aggregate + one top-N, both entity-sized inputs
-    already reduced by the graph operators, so collecting is safe."""
+    [, n_triangles, clustering_coeff, rank]).  Returns (summary_pairs,
+    top_hub_rows, top_rank_rows) — one aggregate + top-Ns, all
+    entity-sized inputs already reduced by the graph operators, so
+    collecting is safe.  ``top_rank_rows`` is empty unless a PageRank
+    ``rank`` column is present."""
     cols = set(graph_stats.columns)
     total = (F.col("out_degree") + F.col("in_degree")).alias("total_degree")
     aggs = [
@@ -58,7 +60,15 @@ def _graph_summary(graph_stats: DataFrame, top_n: int = 10):
         .limit(top_n)
         .collect()
     )
-    return summary, top
+    top_rank = []
+    if "rank" in cols:
+        top_rank = (
+            graph_stats.select("entity", "rank")
+            .orderBy(F.desc("rank"), F.asc("entity"))
+            .limit(top_n)
+            .collect()
+        )
+    return summary, top, top_rank
 
 
 def generate_report(
@@ -103,7 +113,7 @@ def generate_report(
                 f"| {r.column} | {r.ontology} | {r.total_terms} | {r.mapped_terms} | {r.success_rate_pct} |"
             )
     if graph_stats is not None:
-        summary, top = _graph_summary(graph_stats)
+        summary, top, top_rank = _graph_summary(graph_stats)
         lines += ["", "## Graph diagnostics", ""]
         lines += [f"- {k}: **{v}**" for k, v in summary]
         lines += [
@@ -117,6 +127,71 @@ def generate_report(
             f"| {r.entity} | {r.out_degree:,} | {r.in_degree:,} | {r.total_degree:,} |"
             for r in top
         ]
+        if top_rank:
+            lines += [
+                "",
+                "### Top entities by PageRank",
+                "",
+                "| entity | rank |",
+                "|---|---|",
+            ]
+            lines += [f"| {r.entity} | {r.rank:.6f} |" for r in top_rank]
+    content = "\n".join(lines) + "\n"
+    with open(out_path, "w") as fh:
+        fh.write(content)
+    return content
+
+
+def generate_curation_report(
+    stage_report: dict,
+    out_path: str,
+    source_stats: DataFrame | None = None,
+) -> str:
+    """Markdown funnel report for :func:`phenoqc_spark.curation.curate_corpus`:
+    per-stage survivor counts with drop rates (the dedup/filter audit a
+    curation run needs), plus the optional per-source roll-up from
+    :func:`phenoqc_spark.operators.textstats.corpus_source_stats`.
+
+    ``stage_report`` is the dict curate_corpus returns — insertion order
+    is stage order; ``None`` counts (lazy mode) render as em-dashes.
+    ``source_stats`` has bounded cardinality (one row per crawl source),
+    so collecting it is safe.
+    """
+    lines = [
+        "# Curation Report",
+        "",
+        "## Stage funnel",
+        "",
+        "| stage | rows | delta | delta % |",
+        "|---|---|---|---|",
+    ]
+    prev: int | None = None
+    for stage, n in stage_report.items():
+        if n is None:
+            lines.append(f"| {stage} | — | — | — |")
+            continue
+        if prev is None or prev == 0:
+            lines.append(f"| {stage} | {n:,} | — | — |")
+        else:
+            delta = n - prev
+            lines.append(
+                f"| {stage} | {n:,} | {delta:+,} | {100.0 * delta / prev:+.2f}% |"
+            )
+        prev = n
+    if source_stats is not None:
+        cols = [c for c in source_stats.columns if c != "source"]
+        lines += [
+            "",
+            "## Per-source stats",
+            "",
+            "| source | " + " | ".join(cols) + " |",
+            "|---|" + "---|" * len(cols),
+        ]
+        for r in source_stats.orderBy("source").collect():
+            vals = [
+                f"{r[c]:,}" if isinstance(r[c], int) else str(r[c]) for c in cols
+            ]
+            lines.append(f"| {r.source} | " + " | ".join(vals) + " |")
     content = "\n".join(lines) + "\n"
     with open(out_path, "w") as fh:
         fh.write(content)
@@ -226,7 +301,7 @@ def generate_html_report(
             f"<th>mapped</th><th>rate</th></tr>{rows_html}</table>"
         )
     if graph_stats is not None:
-        summary, top = _graph_summary(graph_stats)
+        summary, top, top_rank = _graph_summary(graph_stats)
         g_tiles = "".join(
             f'<div style="border:1px solid {_GRID};border-radius:8px;padding:12px 16px;">'
             f'<div style="color:{_MUTED};font-size:12px;">{_html.escape(k)}</div>'
@@ -241,6 +316,14 @@ def generate_html_report(
                 "Hub entities (top 10 by degree)",
             ),
         ]
+        if top_rank:
+            sections.append(
+                _svg_hbar(
+                    [(r.entity, r.rank) for r in top_rank],
+                    "Top entities by PageRank",
+                    value_fmt="{:.4f}",
+                )
+            )
     content = (
         "<!doctype html>\n<html><head><meta charset='utf-8'><title>QC Report</title></head>\n"
         f'<body style="font-family:system-ui,sans-serif;max-width:900px;margin:32px auto;'
@@ -346,7 +429,7 @@ def generate_pdf_report(
             unit="%",
         )
     if graph_stats is not None:
-        summary, top = _graph_summary(graph_stats)
+        summary, top, top_rank = _graph_summary(graph_stats)
         from .pdfgen import PAGE_H
 
         if y > PAGE_H - 180:
@@ -365,6 +448,14 @@ def generate_pdf_report(
             [(r.entity, r.total_degree) for r in top],
             "Hub entities (top 10 by degree)",
         )
+        if top_rank:
+            y = _pdf_hbar(
+                c,
+                y,
+                [(r.entity, r.rank) for r in top_rank],
+                "Top entities by PageRank",
+                value_fmt="{:.4f}",
+            )
     data = c.build()
     with open(out_path, "wb") as fh:
         fh.write(data)

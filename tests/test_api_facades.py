@@ -228,3 +228,28 @@ def test_curate_corpus_end_to_end(spark):
     )
     assert sh_rep["sharded"] == sh_rep["chunked"] == 90
     assert "shard_id" in sh_out.columns and "chunk_text" in sh_out.columns
+
+
+def test_curation_report(spark, tmp_path):
+    """Markdown funnel from the curate_corpus stage dict, plus the
+    per-source roll-up; lazy (None) counts render as dashes."""
+    from phenoqc_spark.curation import curate_corpus
+    from phenoqc_spark.operators.textstats import corpus_source_stats
+    from phenoqc_spark.report import generate_curation_report
+
+    rows = [
+        (i, f"src{i % 2}", f"the quick brown fox document number {i % 8} runs far")
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    _, rep = curate_corpus(df, exact_dedup=True)
+    stats = corpus_source_stats(df, source_col="source")
+    md = generate_curation_report(rep, str(tmp_path / "cur.md"), source_stats=stats)
+    assert "## Stage funnel" in md and "| input | 24 |" in md
+    # exact dedup keeps the 8 distinct texts: a -16 drop on the funnel row
+    assert "| exact_dedup | 8 | -16 | -66.67% |" in md
+    assert "## Per-source stats" in md and "| src0 |" in md and "dup_rate" in md
+    lazy_md = generate_curation_report(
+        {"input": None, "exact_dedup": None}, str(tmp_path / "lazy.md")
+    )
+    assert "| input | — | — | — |" in lazy_md

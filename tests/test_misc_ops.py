@@ -174,6 +174,39 @@ def test_report(spark, tmp_path, resolver):
     )
     assert b"Graph diagnostics" in pdf_g and b"Hub entities" in pdf_g
 
+    # with a PageRank rank column (run_kg_job --pagerank-iters) the
+    # reports add a top-entities-by-rank section
+    from phenoqc_spark.operators.canonicalize import pagerank
+
+    pr = pagerank(
+        trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst")), iters=2
+    )
+    gs_pr = gs.join(pr.withColumnRenamed("node", "entity"), "entity", "left")
+    md_pr = generate_report(
+        spark,
+        str(tmp_path / "triples"),
+        str(tmp_path / "audit"),
+        str(tmp_path / "report_pr.md"),
+        graph_stats=gs_pr,
+    )
+    assert "Top entities by PageRank" in md_pr
+    html_pr = generate_html_report(
+        spark,
+        str(tmp_path / "triples"),
+        str(tmp_path / "audit"),
+        str(tmp_path / "report_pr.html"),
+        graph_stats=gs_pr,
+    )
+    assert "Top entities by PageRank" in html_pr
+    pdf_pr = generate_pdf_report(
+        spark,
+        str(tmp_path / "triples"),
+        str(tmp_path / "audit"),
+        str(tmp_path / "report_pr.pdf"),
+        graph_stats=gs_pr,
+    )
+    assert b"Top entities by PageRank" in pdf_pr
+
 
 def test_salted_distinct(spark):
     from phenoqc_spark.operators.triples import salted_distinct
