@@ -264,7 +264,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 10,
     damping: float = 0.85,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(node, rank): fixed-iteration power-method PageRank over the
     directed edge list — entity importance on the materialized KG (e.g.
@@ -278,6 +278,14 @@ def pagerank(
     ``localCheckpoint`` truncating the iterative lineage.  The per-round
     dangling-mass scalar is a driver-side aggregate (one double), like the
     CC convergence check.  Deterministic for a fixed ``iters``.
+
+    ``checkpoint_every=1`` (the default) eagerly materializes every
+    round's ranks: each round is consumed by TWO actions (the next
+    round's dangling collect and its contribs join), so any
+    un-checkpointed round executes its join+agg twice.  Measured on the
+    1M-page triple graph (6.8M edges, 979k nodes, local[32], 10 iters):
+    45.8 s at every-2 vs 25.6 s at every-1 — the node-sized materialize
+    is far cheaper than recomputing the edge-sized join.
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
