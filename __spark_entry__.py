@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 72 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 73 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
@@ -120,6 +120,20 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KG_ORACLE_VALUES = ",\n        ".join(
     f"('{c}', {i}, '{o}', '{t}')" for (c, i, o, t) in _KG_EXPECTED
 )
+
+# kg_pagerank graph pieces — MUST stay in sync with
+# scripts/gen_pagerank_golden.py (which pins the numpy-twin golden)
+_PR_MAPPING = [
+    (1, "HP:0000822"), (1, "DOID:0050167"),
+    (2, "HP:0002090"), (2, "DOID:9352"), (2, "HP:0001627"), (2, "DOID:1612"),
+    (3, "HP:0000822"), (3, "DOID:1388"),
+]
+_PR_XREF = [
+    ("HP:0000822", "DOID:0050167"),
+    ("DOID:1612", "HP:0001627"),
+    ("HP:0002090", "DOID:9352"),
+    ("DOID:1388", "HP:0000822"),
+]
 
 # (column, pool_idx, ontology, term_id) for the FULL pools (fuzzy/prefix/
 # junk cascade surfaces, pages.py PHENO_POOLS) — pinned from the
@@ -1281,6 +1295,37 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_degree_stats"] = kg_degree_stats
 
+    def kg_pagerank(spark, sf_dir):
+        # fixed-iteration PageRank over the deterministic doc->term graph
+        # (kg_triples_array's 4-idx mapping, doc_id < 400) plus pinned
+        # term->term xref edges so rank propagates two hops.  Oracle =
+        # the pinned numpy-twin golden (phenoqc_spark/pagerank_golden.py,
+        # regenerated by scripts/gen_pagerank_golden.py) — an independent
+        # pure-Python power iteration; the 6-dp rounding step is ~1e8×
+        # the float-summation-order divergence, so the differential is a
+        # genuine implementation check, not a self-comparison.
+        from phenoqc_spark.operators.canonicalize import pagerank
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+        m = spark.createDataFrame(_PR_MAPPING, "idx int, tid string")
+        doc_edges = (
+            docs.select(
+                F.format_string(
+                    "https://example.org/doc/%08d#%d", F.col("doc_id"), F.col("doc_id")
+                ).alias("src"),
+                (F.col("doc_id") % 4).cast("int").alias("idx"),
+            )
+            .join(F.broadcast(m), "idx")
+            .select("src", F.col("tid").alias("dst"))
+        )
+        xref = spark.createDataFrame(_PR_XREF, "src string, dst string")
+        pr = pagerank(doc_edges.unionByName(xref), iters=10)
+        return pr.select(
+            "node", F.round("rank", 6).alias("rank")
+        ).orderBy("node")
+
+    q["kg_pagerank"] = kg_pagerank
+
     def td_importance(spark, sf_dir):
         # DSIR-style importance weights: raw model = documents, target
         # model = the doc_id % 17 slice — both unigram models and the
@@ -1620,6 +1665,17 @@ SELECT COALESCE(od.entity, idg.entity) AS entity,
 FROM od FULL OUTER JOIN idg ON od.entity = idg.entity
 ORDER BY entity
 """
+
+    from phenoqc_spark.pagerank_golden import PAGERANK_400
+
+    _pr_vals = ",\n  ".join(
+        f"('{n}', CAST({r} AS DOUBLE))" for n, r in PAGERANK_400
+    )
+    o["kg_pagerank"] = (
+        "SELECT * FROM (VALUES\n  "
+        + _pr_vals
+        + '\n) AS t(node, "rank") ORDER BY node'
+    )
     return o
 
 
@@ -2622,7 +2678,7 @@ ORDER BY n.node
 #   agg_sample_reservoir: unit-tested, driver-proven in r1-r3.
 #
 # Round-5 rotation candidates (currently in extras, all hash-green via the
-# local gate): the r4 additions (td_importance, td_pack_shards,
+# local gate): the r4 additions (kg_pagerank, td_importance, td_pack_shards,
 # txt_url_canon, td_curate, txt_chunks, kg_triangles, sim_hash_embed)
 # have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
