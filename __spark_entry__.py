@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 73 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 74 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
@@ -1425,6 +1425,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_triangles"] = kg_triangles
 
+    def kg_clustering(spark, sf_dir):
+        # local clustering coefficients (2T / d(d-1)) over the same
+        # deterministic relation graph; oracle extends the kg_triangles
+        # SQL with the per-node degree and the coefficient formula
+        from phenoqc_spark.operators import canonicalize as C
+
+        docs = load_table(spark, sf_dir, "documents")
+        edges = docs.select(
+            (F.col("doc_id") % 40).alias("src"),
+            ((F.col("doc_id") * 7 + 3) % 45).alias("dst"),
+        )
+        return C.clustering_coefficients(edges).orderBy("node")
+
+    q["kg_clustering"] = kg_clustering
+
     def sim_hash_embed(spark, sf_dir):
         # feature-hashing text embedding (hashing trick) — DuckDB cannot
         # reproduce Spark's seeded xxhash64, so the oracle is the pinned
@@ -2638,6 +2653,30 @@ SELECT n.node, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_triangles
 FROM nodes n LEFT JOIN (SELECT node, COUNT(*) AS cnt FROM per GROUP BY node) c
   ON n.node = c.node
 ORDER BY n.node
+"""
+
+    o["kg_clustering"] = """
+WITH raw AS (
+  SELECT doc_id % 40 AS a, (doc_id * 7 + 3) % 45 AS b FROM documents
+  WHERE doc_id % 40 <> (doc_id * 7 + 3) % 45
+), und AS (
+  SELECT a, b FROM raw UNION SELECT b, a FROM raw
+), deg AS (
+  SELECT a AS node, COUNT(*) AS degree FROM und GROUP BY a
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e1.b = e2.a AND e1.a < e1.b AND e2.a < e2.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), per AS (
+  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+), tc AS (SELECT node, COUNT(*) AS cnt FROM per GROUP BY node)
+SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(tc.cnt, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree > 1
+            THEN ROUND(2.0 * COALESCE(tc.cnt, 0) / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN tc ON d.node = tc.node
+ORDER BY d.node
 """
 
     from phenoqc_spark.hash_embed_golden import HASH_EMBED_5x64 as _HE
