@@ -176,14 +176,30 @@ def stream_near_dedup_docs(
     signature rows are corpus-sized (far beyond per-key streaming state)
     and the batch operators already know how to join against them — the
     standard foreachBatch + external-state pattern for large dedup state.
-    Exactly-once caveat: the two appends are not atomic; a crash between
-    them can re-emit a batch on restart — at the 100 TB tier make both
-    writes one transactional MERGE into the lakehouse table (the same
-    idempotence strategy as operators/resume.py).
+
+    Replay idempotence (exactly-once output): both tables are partitioned
+    by ``batch_id`` and written with DYNAMIC partition overwrite, so a
+    batch replayed after a crash (checkpoint commit lost between the two
+    writes) overwrites its own partitions instead of appending twice.  The
+    state read excludes the current batch's own partition
+    (``batch_id < current`` — partition-pruned), because on replay the
+    crashed attempt may already have appended this batch's signatures and
+    anchoring a batch against ITSELF would suppress every document in it.
+    foreachBatch batch ids are monotone and stable across restarts from
+    the same checkpoint, which is exactly the contract this leans on.
     """
     from pyspark.sql import functions as F
 
     from ..operators.dedup import minhash_doc_sets, minhash_near_dedup_incremental
+
+    def _write_partition(df: DataFrame, batch_id: int, path: str) -> None:
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
@@ -195,7 +211,9 @@ def stream_near_dedup_docs(
             # itself).
             have_state = _fs_path_exists(spark, state_path)
             if have_state:
-                state = spark.read.parquet(state_path)
+                state = spark.read.parquet(state_path).filter(
+                    F.col("batch_id") < F.lit(batch_id)
+                )
                 kept = minhash_near_dedup_incremental(
                     batch_df, state, threshold, num_hashes, bands, n
                 )
@@ -203,11 +221,13 @@ def stream_near_dedup_docs(
                 from ..operators.dedup import minhash_near_dedup
 
                 kept = minhash_near_dedup(batch_df, threshold, num_hashes, bands, n)
-            kept.write.mode("append").parquet(output_path)
-            minhash_doc_sets(batch_df, num_hashes, n).filter(
-                F.col("n_sh") > 0
-            ).select("set_hash", "sig", "n_sh", "sh_set").write.mode("append").parquet(
-                state_path
+            _write_partition(kept, batch_id, output_path)
+            _write_partition(
+                minhash_doc_sets(batch_df, num_hashes, n)
+                .filter(F.col("n_sh") > 0)
+                .select("set_hash", "sig", "n_sh", "sh_set"),
+                batch_id,
+                state_path,
             )
         finally:
             batch_df.unpersist()

@@ -566,6 +566,55 @@ def test_stream_near_dedup_docs_across_batches(spark, tmp_path):
     assert run_once() == [0, 1, 3]  # doc 2 near-matches state → suppressed
 
 
+def test_stream_near_dedup_docs_replay_idempotent(spark, tmp_path):
+    """Kill-and-resume: replaying a micro-batch whose checkpoint commit was
+    lost (crash after the output/state writes, before the commit) must not
+    duplicate output rows, must not grow the state, and — critically — must
+    not anchor the batch against its OWN partially-appended signatures
+    (which would suppress every document in the replayed batch)."""
+    import os
+    import shutil
+
+    from phenoqc_spark.streaming.pipeline import stream_near_dedup_docs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    src = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "kept")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [(0, f"{base} one"), (1, "totally different text with its own words here")]
+    spark.createDataFrame(b1, "doc_id long, text string").write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_near_dedup_docs(
+            spark, stream, out_dir, state, ckpt, threshold=0.7, num_hashes=32, bands=8
+        )
+        q.awaitTermination(120)
+        return sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+
+    assert run_once() == [0, 1]
+    # batch 2: near-dup of doc 0 plus a fresh doc
+    b2 = [(2, f"{base} two"), (3, "yet another unrelated document body entirely")]
+    spark.createDataFrame(b2, "doc_id long, text string").write.mode("append").parquet(src)
+    assert run_once() == [0, 1, 3]
+    state_rows = spark.read.parquet(state).count()
+
+    # Simulate the crash window: batch 1's output and state partitions are
+    # on disk but its checkpoint commit is gone → restart replays batch 1
+    # with the SAME batch_id over the SAME logged offsets.
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):  # local ChecksumFileSystem sidecar
+        os.remove(crc)
+    assert run_once() == [0, 1, 3]  # no dup rows, doc 3 not self-suppressed
+    assert spark.read.parquet(state).count() == state_rows  # state unchanged
+    shutil.rmtree(out_dir)
+
+
 def test_redact_pii(spark):
     rows = [
         (0, "contact me at jo.doe+x@example.org or 192.168.0.1 thanks"),
