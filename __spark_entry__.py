@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 74 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 75 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
@@ -761,6 +761,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.exact_duplicate_groups(docs).orderBy("content_hash")
 
     q["dd_exact_groups"] = dd_exact_groups
+
+    def dd_exact_bloom(spark, sf_dir):
+        # incremental exact dedup with the bucketed-bloom state prefilter:
+        # docs in the doc_id%7<2 slice are the "already ingested" hash
+        # state, the rest arrive as the new batch; shared-content rows
+        # (doc_id%10<3 → one of 6 strings) exercise state drops, the
+        # bloom-positive verify join AND intra-batch min-id collapse.
+        # Output must equal the plain anti-join (bloom has no false
+        # negatives; positives are exactly verified) — the oracle IS the
+        # plain-semantics SQL.
+        from phenoqc_spark.operators import bloom as B
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 < 3,
+                F.concat(F.lit("shared content "), (F.col("doc_id") % 6).cast("string")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        state = (
+            docs.filter(F.col("doc_id") % 7 < 2)
+            .select(F.md5("text").alias("content_hash"))
+            .distinct()
+        )
+        batch = docs.filter(F.col("doc_id") % 7 >= 2)
+        return B.dedup_exact_incremental_bloom(batch, state).orderBy("doc_id")
+
+    q["dd_exact_bloom"] = dd_exact_bloom
 
     def dd_ngram_jaccard(spark, sf_dir):
         # synthesize near-duplicates among doc_id<60 (natural trigram
@@ -1951,6 +1981,25 @@ WITH d AS (
 )
 SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keep_id
 FROM d GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY content_hash
+"""
+
+    o["dd_exact_bloom"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 3 THEN 'shared content ' || CAST(doc_id % 6 AS VARCHAR) ELSE text END AS text
+  FROM documents
+), state AS (
+  SELECT DISTINCT md5(text) AS h FROM d WHERE doc_id % 7 < 2
+), batch AS (
+  SELECT * FROM d WHERE doc_id % 7 >= 2
+), new AS (
+  SELECT b.* FROM batch b WHERE md5(b.text) NOT IN (SELECT h FROM state)
+), keep AS (
+  SELECT md5(text) AS h2, MIN(doc_id) AS keep_id FROM new GROUP BY md5(text)
+)
+SELECT n.doc_id, n.text FROM new n
+JOIN keep k ON md5(n.text) = k.h2 AND n.doc_id = k.keep_id
+ORDER BY n.doc_id
 """
 
     o["dd_ngram_jaccard"] = """

@@ -1,0 +1,193 @@
+"""Bucketed Bloom-filter membership for incremental exact dedup.
+
+The plain :func:`~phenoqc_spark.operators.dedup.dedup_exact_incremental`
+anti-joins every new batch against the FULL seen-content hash state — at
+the 100 TB tier that join touches a state table that grows with the
+corpus, even though the overwhelming majority of batch rows are new
+content that matches nothing.  A Bloom filter inverts the cost: a compact
+bitmap (≈ 1.2 bytes/item at 1 % fpp) answers "definitely unseen" for
+most rows map-side, and only the bloom-POSITIVE remainder (true dups +
+the fpp sliver) pays the exact anti-join.  Because Bloom filters have no
+false negatives and every positive is exactly verified, the operator's
+output is bit-identical to the plain anti-join — which is what the
+DuckDB oracle checks (``dd_exact_bloom``).
+
+Spark-first shape (nothing RDD-side, no row-at-a-time Python):
+
+- the 128-bit md5 every dedup operator already computes IS the hash
+  source: ``h1 = first 64 bits, h2 = last 64 bits``, probe positions by
+  Kirsch–Mitzenmacher double hashing ``(h1 + i·h2) mod m_bucket`` — no
+  extra hashing of document text anywhere;
+- the bitmap is built DISTRIBUTEDLY: state hashes group by
+  ``pmod(xxhash64(md5), n_buckets)`` (JVM-side), one
+  ``applyInPandas`` per bucket packs that bucket's positions into a
+  numpy bitmap — the shuffle carries 16-byte hashes, the result is
+  ``n_buckets`` rows of ``m_bucket/8`` bytes;
+- the probe is one Arrow ``pandas_udf`` over (md5, bucket) with the
+  bucket→bitmap dict in a spark broadcast — per-executor one copy of
+  the whole filter, never a per-row bitmap join (an equi-join on bucket
+  would replicate the bitmap onto every row of its Arrow batch).
+
+Driver/broadcast memory is the full bitmap (``m/8`` bytes), so
+:func:`bloom_from_state` takes a ``max_bytes`` guard (default 256 MB ≈
+2×10⁹ items at 1 % fpp) and raises past it; the documented scale-out
+past that point is sharding the state by hash prefix and running one
+bloom per shard (the same escape hatch as the paragraph-dedup literal
+guard).  Reference analogue: none — PhenoQC's chunked pandas loop
+re-reads its whole dedup index per chunk (batch_processing.py); this is
+the from-scratch 100 TB replacement, not a port.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BinaryType, BooleanType, IntegerType, StructField, StructType
+
+__all__ = ["bloom_from_state", "bloom_might_contain", "dedup_exact_incremental_bloom"]
+
+
+def _bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Classic sizing: m = -n·ln p / ln²2 bits, k = (m/n)·ln 2 probes."""
+    n = max(1, int(expected_items))
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _positions(hex_hashes: pd.Series, k: int, m_bucket: int) -> np.ndarray:
+    """(len, k) int64 probe positions from md5 hex strings — h1/h2 are the
+    two 64-bit halves of the md5 itself (already uniform; no re-hash)."""
+    raw = np.frombuffer(
+        b"".join(bytes.fromhex(s) for s in hex_hashes), dtype=">u8"
+    ).reshape(-1, 2)
+    h1 = raw[:, 0].astype(np.uint64)
+    h2 = raw[:, 1].astype(np.uint64) | np.uint64(1)  # odd → full-period stride
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bucket)).astype(
+        np.int64
+    )
+
+
+def bloom_from_state(
+    state: DataFrame,
+    value_col: str = "content_hash",
+    fpp: float = 0.01,
+    n_buckets: int = 64,
+    expected_items: "int | None" = None,
+    max_bytes: int = 256 * 1024 * 1024,
+) -> tuple[DataFrame, dict]:
+    """Build a bucketed Bloom filter over a hash-state column.
+
+    Returns ``(bloom_df, params)``: ``bloom_df`` has one
+    (bucket int, bitmap binary) row per bucket (size ``m/8/n_buckets``
+    bytes each), ``params`` carries (k, m_bucket, n_buckets) and must be
+    passed to the probe so build and probe agree bit-for-bit.
+
+    ``expected_items`` defaults to ``state.count()`` (one cheap
+    count-only job over the 16-byte hash column); pass it explicitly on
+    hot paths that already know the state size.
+    """
+    if value_col not in state.columns:
+        raise ValueError(f"state needs a '{value_col}' column")
+    if expected_items is None:
+        expected_items = state.count()
+    m_total, k = _bloom_params(expected_items, fpp)
+    if m_total // 8 > max_bytes:
+        raise ValueError(
+            f"bloom bitmap would be {m_total // 8 >> 20} MB > max_bytes; shard the "
+            "state by hash prefix and build one bloom per shard"
+        )
+    # round m_bucket up so total capacity never shrinks below m_total
+    m_bucket = max(8, int(math.ceil(m_total / n_buckets / 8)) * 8)
+    params = {"k": k, "m_bucket": m_bucket, "n_buckets": n_buckets}
+
+    schema = StructType(
+        [StructField("bucket", IntegerType()), StructField("bitmap", BinaryType())]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(m_bucket // 8, dtype=np.uint8)
+        pos = _positions(pdf["_h"], k, m_bucket).ravel()
+        np.bitwise_or.at(bm, pos >> 3, np.left_shift(1, pos & 7).astype(np.uint8))
+        return pd.DataFrame({"bucket": [int(pdf["_b"].iloc[0])], "bitmap": [bm.tobytes()]})
+
+    hashes = state.select(
+        F.col(value_col).alias("_h"),
+        F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_buckets)).cast("int").alias("_b"),
+    ).dropDuplicates(["_h"])
+    return hashes.groupBy("_b").applyInPandas(pack, schema), params
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    bloom_df: DataFrame,
+    params: dict,
+    hash_col: str,
+    out_col: str = "might_seen",
+) -> DataFrame:
+    """Add a boolean ``out_col``: False ⇒ the hash is DEFINITELY not in
+    the state (no false negatives); True ⇒ verify exactly.
+
+    The bloom table is collected (bounded: ``n_buckets × m_bucket/8``
+    bytes, guarded at build time) and spark-broadcast; the probe is one
+    Arrow batch udf — empty buckets (absent rows) answer False.
+    """
+    spark = df.sparkSession
+    k, m_bucket, n_buckets = params["k"], params["m_bucket"], params["n_buckets"]
+    local = {int(r.bucket): np.frombuffer(r.bitmap, dtype=np.uint8) for r in bloom_df.collect()}
+    bc = spark.sparkContext.broadcast(local)
+
+    @F.pandas_udf(BooleanType())
+    def probe(h: pd.Series, b: pd.Series) -> pd.Series:
+        maps = bc.value
+        out = np.zeros(len(h), dtype=bool)
+        for bucket in pd.unique(b):
+            bm = maps.get(int(bucket))
+            if bm is None:
+                continue
+            sel = (b == bucket).to_numpy()
+            pos = _positions(h[sel], k, m_bucket)
+            hits = (bm[pos >> 3] & np.left_shift(1, pos & 7).astype(np.uint8)) != 0
+            out[sel] = hits.all(axis=1)
+        return pd.Series(out)
+
+    bucket = F.pmod(F.xxhash64(F.col(hash_col)), F.lit(n_buckets)).cast("int")
+    return df.withColumn(out_col, probe(F.col(hash_col), bucket))
+
+
+def dedup_exact_incremental_bloom(
+    new_df: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fpp: float = 0.01,
+    n_buckets: int = 64,
+    expected_items: "int | None" = None,
+) -> DataFrame:
+    """Exact-dedup a new batch against the seen-content state, with the
+    state join prefiltered by a Bloom filter — output identical to
+    :func:`~phenoqc_spark.operators.dedup.dedup_exact_incremental`
+    (oracle-checked), cost proportional to the batch plus only its
+    bloom-positive sliver touching the state.
+    """
+    from .dedup import dedup_exact
+
+    if "content_hash" not in seen_hashes.columns:
+        raise ValueError("seen_hashes state needs a 'content_hash' column")
+    bloom_df, params = bloom_from_state(
+        seen_hashes, "content_hash", fpp, n_buckets, expected_items
+    )
+    hashed = new_df.withColumn("_ch", F.md5(F.col(text_col)))
+    flagged = bloom_might_contain(hashed, bloom_df, params, "_ch")
+    definite_new = flagged.filter(~F.col("might_seen"))
+    verified_new = flagged.filter(F.col("might_seen")).join(
+        seen_hashes.select(F.col("content_hash").alias("_h")),
+        F.col("_ch") == F.col("_h"),
+        "left_anti",
+    )
+    batch_new = definite_new.unionByName(verified_new).drop("_ch", "might_seen")
+    return dedup_exact(batch_new, text_col, id_col)

@@ -1118,6 +1118,51 @@ def test_dedup_exact_incremental(spark):
         D.dedup_exact_incremental(batch, state.withColumnRenamed("content_hash", "x"))
 
 
+def test_dedup_exact_incremental_bloom_equivalence(spark):
+    """The bloom-prefiltered incremental exact dedup must return exactly
+    the plain anti-join result (no false negatives; positives verified),
+    on a corpus large enough that both bloom branches are exercised."""
+    from phenoqc_spark.operators import bloom as B
+
+    state_docs = [(i, f"seen document number {i % 40}") for i in range(120)]
+    state = (
+        spark.createDataFrame(state_docs, "doc_id long, text string")
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    batch = spark.createDataFrame(
+        [
+            (1000 + i, f"seen document number {i}" if i % 3 == 0 else f"fresh {i} body")
+            for i in range(90)
+        ]
+        + [(2000, "fresh 7 body")],  # intra-batch dup of 1007
+        "doc_id long, text string",
+    )
+    want = {r.doc_id for r in D.dedup_exact_incremental(batch, state).collect()}
+    got = {r.doc_id for r in B.dedup_exact_incremental_bloom(batch, state).collect()}
+    assert got == want and 1007 in got and 2000 not in got
+    # seen i<40 drop via state; i%3==0 with i>=40 are fresh "seen document
+    # number i" texts that must survive the bloom's positive sliver
+    assert {1000 + i for i in range(40, 90, 3) if i % 3 == 0} <= got
+
+
+def test_bloom_no_false_negatives_and_fpp(spark):
+    """Every state member probes True (bloom guarantee); unseen values
+    probe True at roughly the configured fpp (loose bound)."""
+    from phenoqc_spark.operators import bloom as B
+
+    members = spark.range(500).select(F.md5(F.concat(F.lit("m"), "id")).alias("h"))
+    bloom_df, params = B.bloom_from_state(members, "h", fpp=0.01, n_buckets=8)
+    flagged = B.bloom_might_contain(members, bloom_df, params, "h")
+    assert flagged.filter(~F.col("might_seen")).count() == 0
+    outsiders = spark.range(2000).select(F.md5(F.concat(F.lit("x"), "id")).alias("h"))
+    fp = B.bloom_might_contain(outsiders, bloom_df, params, "h")
+    assert fp.filter(F.col("might_seen")).count() <= 2000 * 0.05
+
+    with pytest.raises(ValueError, match="shard the"):
+        B.bloom_from_state(members, "h", fpp=0.01, expected_items=10**12)
+
+
 def test_graph_triangles_matches_bruteforce(spark):
     """Degree-ordered triangle counting must equal the O(n^3) brute force
     on a random 25-node graph (every triangle found once, credited to all
