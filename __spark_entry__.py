@@ -2767,8 +2767,8 @@ ORDER BY d.node
 #
 # Round-5 rotation candidates (currently in extras, all hash-green via the
 # local gate): the r4 additions (kg_pagerank, td_importance, td_pack_shards,
-# txt_url_canon, td_curate, txt_chunks, kg_triangles, sim_hash_embed)
-# have never held a driver row —
+# txt_url_canon, td_curate, txt_chunks, kg_triangles, kg_clustering,
+# sim_hash_embed, dd_exact_bloom) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

@@ -62,7 +62,7 @@ def _positions(hex_hashes: pd.Series, k: int, m_bucket: int) -> np.ndarray:
     """(len, k) int64 probe positions from md5 hex strings — h1/h2 are the
     two 64-bit halves of the md5 itself (already uniform; no re-hash)."""
     raw = np.frombuffer(
-        b"".join(bytes.fromhex(s) for s in hex_hashes), dtype=">u8"
+        bytes.fromhex("".join(hex_hashes)), dtype=">u8"
     ).reshape(-1, 2)
     h1 = raw[:, 0].astype(np.uint64)
     h2 = raw[:, 1].astype(np.uint64) | np.uint64(1)  # odd → full-period stride
@@ -115,10 +115,13 @@ def bloom_from_state(
         np.bitwise_or.at(bm, pos >> 3, np.left_shift(1, pos & 7).astype(np.uint8))
         return pd.DataFrame({"bucket": [int(pdf["_b"].iloc[0])], "bitmap": [bm.tobytes()]})
 
+    # no dropDuplicates: re-setting a present hash's bits is idempotent,
+    # so duplicate state rows cost nothing and the build's only shuffle
+    # is the bucket grouping itself
     hashes = state.select(
         F.col(value_col).alias("_h"),
         F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_buckets)).cast("int").alias("_b"),
-    ).dropDuplicates(["_h"])
+    )
     return hashes.groupBy("_b").applyInPandas(pack, schema), params
 
 
@@ -138,22 +141,25 @@ def bloom_might_contain(
     """
     spark = df.sparkSession
     k, m_bucket, n_buckets = params["k"], params["m_bucket"], params["n_buckets"]
-    local = {int(r.bucket): np.frombuffer(r.bitmap, dtype=np.uint8) for r in bloom_df.collect()}
-    bc = spark.sparkContext.broadcast(local)
+    # flatten the per-bucket bitmaps into ONE contiguous array indexed by
+    # bucket·m_bucket + pos — the probe then vectorizes over the whole
+    # Arrow batch with no per-bucket slicing (empty buckets stay zero ⇒
+    # probe False, the correct definitely-unseen answer)
+    flat = np.zeros(n_buckets * (m_bucket // 8), dtype=np.uint8)
+    for r in bloom_df.collect():
+        bm = np.frombuffer(r.bitmap, dtype=np.uint8)
+        flat[int(r.bucket) * (m_bucket // 8) : (int(r.bucket) + 1) * (m_bucket // 8)] = bm
+    bc = spark.sparkContext.broadcast(flat)
 
     @F.pandas_udf(BooleanType())
     def probe(h: pd.Series, b: pd.Series) -> pd.Series:
-        maps = bc.value
-        out = np.zeros(len(h), dtype=bool)
-        for bucket in pd.unique(b):
-            bm = maps.get(int(bucket))
-            if bm is None:
-                continue
-            sel = (b == bucket).to_numpy()
-            pos = _positions(h[sel], k, m_bucket)
-            hits = (bm[pos >> 3] & np.left_shift(1, pos & 7).astype(np.uint8)) != 0
-            out[sel] = hits.all(axis=1)
-        return pd.Series(out)
+        bm = bc.value
+        if len(h) == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        pos = _positions(h, k, m_bucket)
+        gpos = b.to_numpy().astype(np.int64)[:, None] * np.int64(m_bucket) + pos
+        hits = (bm[gpos >> 3] & np.left_shift(1, gpos & 7).astype(np.uint8)) != 0
+        return pd.Series(hits.all(axis=1))
 
     bucket = F.pmod(F.xxhash64(F.col(hash_col)), F.lit(n_buckets)).cast("int")
     return df.withColumn(out_col, probe(F.col(hash_col), bucket))
@@ -167,27 +173,53 @@ def dedup_exact_incremental_bloom(
     fpp: float = 0.01,
     n_buckets: int = 64,
     expected_items: "int | None" = None,
+    bloom: "tuple[DataFrame, dict] | None" = None,
 ) -> DataFrame:
     """Exact-dedup a new batch against the seen-content state, with the
     state join prefiltered by a Bloom filter — output identical to
     :func:`~phenoqc_spark.operators.dedup.dedup_exact_incremental`
     (oracle-checked), cost proportional to the batch plus only its
     bloom-positive sliver touching the state.
+
+    Pass ``bloom=(bloom_df, params)`` from a prior :func:`bloom_from_state`
+    to amortize the build across an ingest loop — the filter only needs
+    rebuilding when the state epoch advances (a stale bloom that misses
+    the newest state rows is still CORRECT here only if the state passed
+    in matches it; the verify join runs against ``seen_hashes`` as given,
+    so keep the pair consistent).
     """
     from .dedup import dedup_exact
 
     if "content_hash" not in seen_hashes.columns:
         raise ValueError("seen_hashes state needs a 'content_hash' column")
-    bloom_df, params = bloom_from_state(
+    bloom_df, params = bloom or bloom_from_state(
         seen_hashes, "content_hash", fpp, n_buckets, expected_items
     )
     hashed = new_df.withColumn("_ch", F.md5(F.col(text_col)))
     flagged = bloom_might_contain(hashed, bloom_df, params, "_ch")
-    definite_new = flagged.filter(~F.col("might_seen"))
-    verified_new = flagged.filter(F.col("might_seen")).join(
-        seen_hashes.select(F.col("content_hash").alias("_h")),
-        F.col("_ch") == F.col("_h"),
-        "left_anti",
+    # the probed batch feeds BOTH the sliver branch and the final
+    # anti-join — persist it so the Arrow probe runs once, not per branch
+    # (release via dedup.release_intermediates, as for the LSH ops)
+    flagged = flagged.persist()
+    # Verify WITHOUT shuffling the state (a sliver-LEFT-ANTI-state join
+    # would shuffle the full state — the exact cost the bloom exists to
+    # avoid): the sliver's distinct hashes are batch-bounded, so
+    # broadcast them INTO a map-side scan of the state; the inner join
+    # yields the confirmed-dup hashes (≤ sliver), which broadcast back
+    # against the whole batch.  The state is scanned once map-side and
+    # never enters an Exchange; neither does the batch until
+    # ``dedup_exact``'s own (md5, id) projection.  A definite-new row can
+    # never carry a confirmed hash (state members always probe True), so
+    # one anti-join over the full batch replaces the two-branch union.
+    sliver = flagged.filter(F.col("might_seen")).select("_ch").distinct()
+    confirmed = seen_hashes.join(
+        F.broadcast(sliver),
+        F.col("content_hash") == F.col("_ch"),
+        "inner",
+    ).select("_ch")
+    batch_new = flagged.join(F.broadcast(confirmed), "_ch", "left_anti").drop(
+        "_ch", "might_seen"
     )
-    batch_new = definite_new.unionByName(verified_new).drop("_ch", "might_seen")
-    return dedup_exact(batch_new, text_col, id_col)
+    from .dedup import _register_persisted
+
+    return _register_persisted(dedup_exact(batch_new, text_col, id_col), [flagged])

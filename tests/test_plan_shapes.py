@@ -178,3 +178,31 @@ def test_ivf_partitioned_scan_prunes_cells(spark, tmp_path):
     got = {(r.query_id, r.vec_id, r.rank) for r in part.collect()}
     want = {(r.query_id, r.vec_id, r.rank) for r in base.collect()}
     assert got == want and len(got) > 0
+
+
+def test_bloom_dedup_state_never_shuffled(spark):
+    """The bloom-prefiltered incremental exact dedup must keep the state
+    table out of every shuffle Exchange: the state is scanned map-side
+    into a broadcast join with the sliver hashes, and the confirmed-dup
+    set broadcasts back against the batch.  The only shuffle in the plan
+    is dedup_exact's own (md5, id) projection."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators import bloom as B
+
+    state = spark.range(200).select(
+        F.md5(F.concat(F.lit("s"), F.col("id").cast("string"))).alias("content_hash")
+    )
+    batch = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    )
+    txt = plan_text(B.dedup_exact_incremental_bloom(batch, state))
+    blocks = re.split(r"\n(?=\(\d+\) )", txt)
+    shuffles = [b for b in blocks if re.match(r"\(\d+\) Exchange", b)]
+    assert shuffles, txt  # dedup_exact's own projection shuffle exists
+    for b in shuffles:
+        assert "content_hash#" not in b, f"state shuffled:\n{b}\n{txt}"
+    assert sum("BroadcastExchange" in b for b in blocks) >= 2, txt
