@@ -145,10 +145,15 @@ def bloom_might_contain(
     # bucket·m_bucket + pos — the probe then vectorizes over the whole
     # Arrow batch with no per-bucket slicing (empty buckets stay zero ⇒
     # probe False, the correct definitely-unseen answer)
-    flat = np.zeros(n_buckets * (m_bucket // 8), dtype=np.uint8)
-    for r in bloom_df.collect():
-        bm = np.frombuffer(r.bitmap, dtype=np.uint8)
-        flat[int(r.bucket) * (m_bucket // 8) : (int(r.bucket) + 1) * (m_bucket // 8)] = bm
+    flat = getattr(bloom_df, "_phenoqc_bloom_flat", None)
+    if flat is None:
+        flat = np.zeros(n_buckets * (m_bucket // 8), dtype=np.uint8)
+        for r in bloom_df.collect():
+            bm = np.frombuffer(r.bitmap, dtype=np.uint8)
+            flat[int(r.bucket) * (m_bucket // 8) : (int(r.bucket) + 1) * (m_bucket // 8)] = bm
+        # memoize on the DataFrame handle: an ingest loop passing the same
+        # bloom= across batches collects the bitmap once, not per batch
+        bloom_df._phenoqc_bloom_flat = flat  # type: ignore[attr-defined]
     bc = spark.sparkContext.broadcast(flat)
 
     @F.pandas_udf(BooleanType())
