@@ -948,6 +948,17 @@ def compact_dedup_state(
     lakehouse tier make the state an Iceberg/Delta table and express this
     same rewrite as a transactional overwrite instead.
 
+    Streaming states carry a ``batch_id`` partition column (the
+    exactly-once replay contract of ``stream_near_dedup_docs``); it is
+    preserved as MIN(batch_id) — the first-sighting batch — and the
+    rewrite stays partitioned by it.  That keeps the replay rule
+    ``batch_id < current`` correct after compaction: content first seen
+    in an older batch still anchors a replayed batch, while content
+    first seen IN the replayed batch is still excluded (no
+    self-suppression).  (Replay of the one batch whose commit was lost
+    is the only case compaction could disturb, which is why the swap
+    already requires a quiescent stream.)
+
     Returns ``{"rows_before", "rows_after"}``.
     """
     state = spark.read.parquet(state_path)
@@ -955,16 +966,28 @@ def compact_dedup_state(
         if c not in state.columns:
             raise ValueError(f"state at {state_path} lacks column {c!r}")
     before = state.count()
-    compacted = state.select("set_hash", "sig", "n_sh", "sh_set").dropDuplicates(
-        ["set_hash"]
-    )
+    has_batch = "batch_id" in state.columns
+    if has_batch:
+        compacted = state.groupBy("set_hash").agg(
+            F.min_by("sig", "batch_id").alias("sig"),
+            F.min_by("n_sh", "batch_id").alias("n_sh"),
+            F.min_by("sh_set", "batch_id").alias("sh_set"),
+            F.min("batch_id").alias("batch_id"),
+        )
+    else:
+        compacted = state.select("set_hash", "sig", "n_sh", "sh_set").dropDuplicates(
+            ["set_hash"]
+        )
     if retention_filter is not None:
         compacted = compacted.filter(retention_filter)
     if shuffle_partitions:
         compacted = compacted.coalesce(int(shuffle_partitions))
     base = state_path.rstrip("/")
     tmp, old = base + "__compacting", base + "__old"
-    compacted.write.mode("overwrite").parquet(tmp)
+    writer = compacted.write.mode("overwrite")
+    if has_batch:
+        writer = writer.partitionBy("batch_id")
+    writer.parquet(tmp)
     after = spark.read.parquet(tmp).count()
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()

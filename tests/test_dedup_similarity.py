@@ -615,6 +615,49 @@ def test_stream_near_dedup_docs_replay_idempotent(spark, tmp_path):
     shutil.rmtree(out_dir)
 
 
+def test_run_ingest_job_end_to_end(spark, tmp_path):
+    """The spark-submit ingest loop: each run processes only new landing
+    files (checkpoint offsets), anchors against the accumulated state,
+    is a no-op without new data, and keeps anchoring correctly after a
+    --compact-after state rewrite (batch_id preserved as first sighting)."""
+    import json
+    import subprocess
+    import sys
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    land = str(tmp_path / "landing")
+    out, state, ckpt = (str(tmp_path / d) for d in ("kept", "state", "ckpt"))
+
+    def run(*extra):
+        proc = subprocess.run(
+            [sys.executable, "jobs/run_ingest_job.py", "--in", land,
+             "--out", out, "--state", state, "--ckpt", ckpt,
+             "--threshold", "0.7", "--num-hashes", "32", "--bands", "8",
+             "--cpus", "2", *extra],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    def land_docs(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "append"
+        ).parquet(land)
+
+    land_docs([(0, f"{base} one"), (1, "totally different text with its own words here")])
+    assert run()["kept_total"] == 2
+    assert run()["kept_total"] == 2  # no new files → no-op resume
+    land_docs([(2, f"{base} two"), (3, "yet another unrelated document body entirely")])
+    s = run("--compact-after")
+    assert s["kept_total"] == 3  # doc 2 anchored to batch-1 content
+    assert s["compaction"]["rows_after"] <= s["compaction"]["rows_before"]
+    # post-compaction: anchoring must still work (batch_id survived)
+    land_docs([(4, f"{base} three"), (5, "a completely fresh fifth document text")])
+    assert run()["kept_total"] == 4  # doc 4 anchored, doc 5 kept
+    kept_ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept_ids == [0, 1, 3, 5]
+
+
 def test_redact_pii(spark):
     rows = [
         (0, "contact me at jo.doe+x@example.org or 192.168.0.1 thanks"),
