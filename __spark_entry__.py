@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 75 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 76 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
@@ -1470,6 +1470,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_clustering"] = kg_clustering
 
+    def kg_kcore(spark, sf_dir):
+        # k-core decomposition (distributed peeling) over the same
+        # deterministic relation graph as kg_triangles/kg_clustering;
+        # oracle = pinned sequential-peeling golden
+        # (phenoqc_spark/kcore_golden.py, scripts/gen_kcore_golden.py) —
+        # the k-core is unique, so the independent twin must match exactly
+        from phenoqc_spark.operators.canonicalize import coreness
+
+        docs = load_table(spark, sf_dir, "documents")
+        edges = docs.select(
+            (F.col("doc_id") % 40).alias("src"),
+            ((F.col("doc_id") * 7 + 3) % 45).alias("dst"),
+        )
+        return coreness(edges).orderBy("node")
+
+    q["kg_kcore"] = kg_kcore
+
     def sim_hash_embed(spark, sf_dir):
         # feature-hashing text embedding (hashing trick) — DuckDB cannot
         # reproduce Spark's seeded xxhash64, so the oracle is the pinned
@@ -2728,6 +2745,14 @@ FROM deg d LEFT JOIN tc ON d.node = tc.node
 ORDER BY d.node
 """
 
+    from phenoqc_spark.kcore_golden import KCORE_45 as _KC
+
+    _kc_vals = ",\n        ".join(f"({n}, {c})" for (n, c) in _KC)
+    o["kg_kcore"] = (
+        "SELECT CAST(node AS BIGINT) AS node, CAST(coreness AS BIGINT) AS coreness\n"
+        f"FROM (VALUES\n        {_kc_vals}) AS t(node, coreness)\nORDER BY node"
+    )
+
     from phenoqc_spark.hash_embed_golden import HASH_EMBED_5x64 as _HE
 
     _he_vals = ",\n  ".join(f"({v}, {i}, {round(x, 9)!r})" for (v, i, x) in _HE)
@@ -2768,7 +2793,7 @@ ORDER BY d.node
 # Round-5 rotation candidates (currently in extras, all hash-green via the
 # local gate): the r4 additions (kg_pagerank, td_importance, td_pack_shards,
 # txt_url_canon, td_curate, txt_chunks, kg_triangles, kg_clustering,
-# sim_hash_embed, dd_exact_bloom) have never held a driver row —
+# kg_kcore, sim_hash_embed, dd_exact_bloom) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

@@ -328,6 +328,74 @@ def pagerank(
     return ranks
 
 
+def coreness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """(node, coreness): k-core decomposition of the undirected simple
+    graph — coreness k means the node survives in the maximal subgraph
+    of minimum degree k but not k+1.  The KG robustness diagnostic
+    complementing :func:`graph_triangles` (dense nucleus extraction,
+    peel-layer pruning of weakly-attached entities before canonical-id
+    election).
+
+    Distributed peeling: phase k repeatedly removes every still-alive
+    node whose remaining degree is ≤ k (including nodes isolated by
+    earlier removals in the same phase) and assigns it coreness k; when
+    a sweep removes nothing, k advances.  The k-core is unique, so the
+    result is deterministic regardless of execution order.  Each sweep
+    is one degree aggregate over the remaining symmetric edge list + two
+    anti-joins — the :func:`connected_components` round shape, with
+    ``localCheckpoint`` truncating lineage per sweep and per-sweep
+    driver actions limited to an emptiness probe (one count).  Total
+    sweeps are bounded by degeneracy + number of distinct core levels,
+    both tiny for web-KG graphs (hub-heavy ⇒ shallow peel depth).
+    Reference analogue: none (graph materialize extra)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+    )
+    rem = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    rem = rem.localCheckpoint(eager=True)
+    alive = rem.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    out = spark.createDataFrame([], "node string, coreness long") if dict(
+        edges.dtypes
+    )[src] == "string" else spark.createDataFrame([], f"node {dict(edges.dtypes)[src]}, coreness long")
+    k = 0
+    for _ in range(max_rounds):
+        if alive.limit(1).count() == 0:
+            break
+        # alive nodes with remaining degree > k keep living; everything
+        # else (degree ≤ k, or 0 via isolation) peels at this k
+        high = (
+            rem.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") > k)
+            .select(F.col("a").alias("node"))
+        )
+        low = alive.join(high, "node", "left_anti").localCheckpoint(eager=True)
+        if low.limit(1).count() == 0:
+            k += 1
+            continue
+        out = out.union(
+            low.select("node", F.lit(k).cast("long").alias("coreness"))
+        ).localCheckpoint(eager=True)
+        alive = alive.join(low, "node", "left_anti").localCheckpoint(eager=True)
+        rem = (
+            rem.join(low.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(low.withColumnRenamed("node", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"coreness: did not converge in {max_rounds} sweeps")
+    return out
+
+
 def canonicalize_objects(triples: DataFrame, mapping: DataFrame) -> DataFrame:
     """Rewrite triple objects through the canonical mapping (broadcast join —
     the mapping is ontology-sized, ~10⁵ rows, never the fact side)."""

@@ -1161,6 +1161,41 @@ def test_dedup_exact_incremental(spark):
         D.dedup_exact_incremental(batch, state.withColumnRenamed("content_hash", "x"))
 
 
+def test_coreness_matches_bruteforce(spark):
+    """Distributed peeling must equal sequential peeling on a random
+    28-node graph (plus a pendant chain and an isolated-by-peeling star
+    to exercise the degree-0 assignment path)."""
+    import random
+
+    from phenoqc_spark.operators.canonicalize import coreness
+
+    rng = random.Random(11)
+    edges = {(a, b) for a in range(28) for b in range(a + 1, 28) if rng.random() < 0.18}
+    edges |= {(28, 29), (29, 30)}              # pendant chain → coreness 1
+    edges |= {(31, x) for x in (32, 33, 34)}   # star → all coreness 1
+
+    # sequential peeling twin
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want, k = {}, 0
+    while adj:
+        low = [n for n, nb in adj.items() if len(nb) <= k]
+        if not low:
+            k += 1
+            continue
+        for n in low:
+            want[n] = k
+            for m in adj.pop(n):
+                if m in adj:
+                    adj[m].discard(n)
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r.node: r.coreness for r in coreness(df).collect()}
+    assert got == want
+    assert got[29] == 1 and got[31] == 1 and max(got.values()) >= 2
+
+
 def test_dedup_exact_incremental_bloom_equivalence(spark):
     """The bloom-prefiltered incremental exact dedup must return exactly
     the plain anti-join result (no false negatives; positives verified),
