@@ -7,10 +7,14 @@ corpus, even though the overwhelming majority of batch rows are new
 content that matches nothing.  A Bloom filter inverts the cost: a compact
 bitmap (≈ 1.2 bytes/item at 1 % fpp) answers "definitely unseen" for
 most rows map-side, and only the bloom-POSITIVE remainder (true dups +
-the fpp sliver) pays the exact anti-join.  Because Bloom filters have no
-false negatives and every positive is exactly verified, the operator's
-output is bit-identical to the plain anti-join — which is what the
-DuckDB oracle checks (``dd_exact_bloom``).
+the fpp sliver) is exactly verified — by broadcasting its distinct
+hashes into a map-side scan of the state, so the state itself never
+enters an Exchange (measured: 518.9 MB vs <1 MB shuffled per 1M-doc
+batch at a 16M-hash state, BENCH/DEDUP.md; local wall-clock honestly
+still favors the plain join).  Because Bloom filters have no false
+negatives and every positive is exactly verified, the operator's output
+is bit-identical to the plain anti-join — which is what the DuckDB
+oracle checks (``dd_exact_bloom``).
 
 Spark-first shape (nothing RDD-side, no row-at-a-time Python):
 
