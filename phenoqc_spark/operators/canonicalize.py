@@ -348,10 +348,15 @@ def coreness(
     result is deterministic regardless of execution order.  Each sweep
     is one degree aggregate over the remaining symmetric edge list + two
     anti-joins — the :func:`connected_components` round shape, with
-    ``localCheckpoint`` truncating lineage per sweep and per-sweep
-    driver actions limited to an emptiness probe (one count).  Total
-    sweeps are bounded by degeneracy + number of distinct core levels,
-    both tiny for web-KG graphs (hub-heavy ⇒ shallow peel depth).
+    ``localCheckpoint`` truncating lineage per sweep and ONE driver
+    action per sweep (the peeled-count, which also advances the
+    remaining-alive counter arithmetically — no separate emptiness
+    probe).  Total sweeps are bounded by degeneracy + number of distinct
+    core levels, both tiny for web-KG graphs (hub-heavy ⇒ shallow peel
+    depth); measured 1M hub-skewed edges / 392k nodes / max core 6 in
+    ~90 s on local[32] (~30 sweeps at a ~3 s/sweep scheduling +
+    checkpoint floor — the edge set shrinks as phases peel, so sweep
+    cost falls off after the bulk layers; BENCH/DEDUP.md).
     Reference analogue: none (graph materialize extra)."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -365,9 +370,10 @@ def coreness(
     out = spark.createDataFrame([], "node string, coreness long") if dict(
         edges.dtypes
     )[src] == "string" else spark.createDataFrame([], f"node {dict(edges.dtypes)[src]}, coreness long")
+    n_alive = alive.count()
     k = 0
     for _ in range(max_rounds):
-        if alive.limit(1).count() == 0:
+        if n_alive == 0:
             break
         # alive nodes with remaining degree > k keep living; everything
         # else (degree ≤ k, or 0 via isolation) peels at this k
@@ -378,12 +384,14 @@ def coreness(
             .select(F.col("a").alias("node"))
         )
         low = alive.join(high, "node", "left_anti").localCheckpoint(eager=True)
-        if low.limit(1).count() == 0:
+        n_low = low.count()  # the sweep's single driver action
+        if n_low == 0:
             k += 1
             continue
-        out = out.union(
-            low.select("node", F.lit(k).cast("long").alias("coreness"))
-        ).localCheckpoint(eager=True)
+        n_alive -= n_low
+        # no checkpoint on `out`: its lineage is a flat union of already
+        # checkpointed `low` leaves, so it stays shallow by construction
+        out = out.union(low.select("node", F.lit(k).cast("long").alias("coreness")))
         alive = alive.join(low, "node", "left_anti").localCheckpoint(eager=True)
         rem = (
             rem.join(low.withColumnRenamed("node", "a"), "a", "left_anti")
