@@ -41,8 +41,11 @@ def main() -> None:
                     help="write a Markdown QC report derived from the audit table")
     ap.add_argument("--graph-stats", action="store_true",
                     help="materialize graph diagnostics over the produced triples "
-                         "(degree stats, triangle counts, clustering coefficients) "
+                         "(degree stats, triangle counts, clustering coefficients; --kcore adds coreness) "
                          "to <out>/graph_stats")
+    ap.add_argument("--kcore", action="store_true",
+                    help="with --graph-stats: also add a coreness column "
+                         "(k-core peel — iterative; costs extra passes)")
     ap.add_argument("--pagerank-iters", type=int, default=0,
                     help="with --graph-stats: also run N PageRank power "
                          "iterations over the triple graph and add a rank column")
@@ -121,6 +124,15 @@ def main() -> None:
             cc.select("node", "n_triangles", "clustering_coeff"),
             deg.entity == cc.node, "left",
         ).drop("node")
+        if args.kcore:
+            from phenoqc_spark.operators.canonicalize import coreness
+
+            kc = coreness(
+                tri_df.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            )
+            stats = stats.join(
+                kc.withColumnRenamed("node", "entity"), "entity", "left"
+            )
         if args.pagerank_iters > 0:
             from phenoqc_spark.operators.canonicalize import pagerank
 

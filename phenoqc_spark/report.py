@@ -44,6 +44,8 @@ def _graph_summary(graph_stats: DataFrame, top_n: int = 10):
         aggs.append((F.sum("n_triangles") / 3).cast("long").alias("triangles"))
     if "clustering_coeff" in cols:
         aggs.append(F.round(F.avg("clustering_coeff"), 4).alias("avg_clustering"))
+    if "coreness" in cols:
+        aggs.append(F.max("coreness").alias("max_coreness"))
     row = graph_stats.agg(*aggs).collect()[0]
     summary = [
         ("graph nodes", f"{row.nodes:,}"),
@@ -54,6 +56,8 @@ def _graph_summary(graph_stats: DataFrame, top_n: int = 10):
         summary.append(("triangles", f"{row.triangles:,}"))
     if "clustering_coeff" in cols:
         summary.append(("mean clustering coeff", f"{row.avg_clustering}"))
+    if "coreness" in cols:
+        summary.append(("max coreness (k-core depth)", f"{row.max_coreness}"))
     top = (
         graph_stats.select("entity", "out_degree", "in_degree", total)
         .orderBy(F.desc("total_degree"), F.asc("entity"))
