@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 76 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 78 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
@@ -681,6 +681,44 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["agg_time_window"] = agg_time_window
+
+    def agg_sessionize(spark, sf_dir):
+        # gap-based batch sessionization (lag → new-session flag → running
+        # sum → per-session aggregate); oracle = the identical window
+        # idiom in DuckDB SQL — deterministic under the event_id tiebreak
+        from phenoqc_spark.operators.sessions import sessionize
+
+        ev = load_table(spark, sf_dir, "events")
+        return sessionize(ev, gap_minutes=30).orderBy("user_id", "session_idx")
+
+    q["agg_sessionize"] = agg_sessionize
+
+    def agg_asof_join(spark, sf_dir):
+        # as-of join via the one-shuffle union-carry window (each click
+        # picks the latest error at-or-before it per user); oracle =
+        # DuckDB's native ASOF LEFT JOIN over the same tie-broken right
+        # side — two entirely different machineries must agree
+        from phenoqc_spark.operators.sessions import asof_join
+
+        ev = load_table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        errors = ev.filter(F.col("event_type") == "error")
+        out = asof_join(clicks, errors)
+        # no-match rows surface as sentinels (the gate's order-insensitive
+        # hash sorts row tuples, which a mixed None/datetime column breaks)
+        return out.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce(F.col("asof_ts"), F.to_timestamp(F.lit("1970-01-01"))).alias(
+                "asof_ts"
+            ),
+            F.coalesce(F.col("asof_value"), F.lit(-1.0)).alias("asof_value"),
+        ).orderBy("event_id")
+
+    q["agg_asof_join"] = agg_asof_join
 
     def v_cell_violations(spark, sf_dir):
         orders = load_table(spark, sf_dir, "orders").withColumn(
@@ -1951,6 +1989,40 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+    o["agg_sessionize"] = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR EXTRACT(EPOCH FROM ts - LAG(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM o
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+"""
+
+    o["agg_asof_join"] = """
+WITH r AS (
+  SELECT user_id, ts, MAX_BY(value, event_id) AS asof_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+), l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT l.event_id, l.user_id, l.ts,
+       COALESCE(r.ts, TIMESTAMP '1970-01-01') AS asof_ts,
+       COALESCE(r.asof_value, -1.0) AS asof_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
     o["v_cell_violations"] = """
 WITH d AS (
   SELECT o_orderkey, o_totalprice,
@@ -2793,7 +2865,8 @@ ORDER BY d.node
 # Round-5 rotation candidates (currently in extras, all hash-green via the
 # local gate): the r4 additions (kg_pagerank, td_importance, td_pack_shards,
 # txt_url_canon, td_curate, txt_chunks, kg_triangles, kg_clustering,
-# kg_kcore, sim_hash_embed, dd_exact_bloom) have never held a driver row —
+# kg_kcore, sim_hash_embed, dd_exact_bloom, agg_sessionize,
+# agg_asof_join) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

@@ -1,0 +1,109 @@
+"""Event-time batch operators: sessionization and as-of join.
+
+Spark has streaming ``session_window`` but no batch sessionizer, and no
+as-of join at all — both are staple event-analytics operators (crawl
+session QC, joining each event to the latest prior state snapshot).
+Each is expressed as ONE shuffle on the partition key plus per-key
+window functions — no range-explosion joins, no per-row Python:
+
+- :func:`sessionize` — gap-based sessions: lag → new-session flag →
+  running sum (the classic idiom), then one aggregate per session.
+- :func:`asof_join` — each left row picks the latest right row at or
+  before its timestamp via the union-carry trick: tag both sides, sort
+  per key by (ts, side), carry the right side's payload forward with
+  ``last(..., ignorenulls=True)``, keep left rows.  Cost is one shuffle
+  of left+right on the key — never a range join (a theta-join on
+  ``l.ts >= r.ts`` is quadratic per key before pruning).
+
+Skew posture: both operators put one user/key per window partition; a
+pathological hot key serializes into one task.  At 100 TB, range-bucket
+the window by coarse time slices and carry boundary state between
+slices (two passes); for the crawl-session workloads here, per-key
+event counts are bounded and the single-shuffle shape is right.
+Reference analogue: none (event-analytics extras); the streaming twin is
+``streaming/pipeline.py::sessionized_page_counts``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["sessionize", "asof_join"]
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """(user, session_idx, session_start, session_end, n_events): gap-based
+    sessions per user — a new session starts when the gap to the previous
+    event exceeds ``gap_minutes``.  ``order_tiebreak`` makes same-timestamp
+    ordering deterministic (rerun-stable session indices)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    # epoch seconds with fractional micros; the intermediate cast lifts
+    # TIMESTAMP_NTZ (what parquet scans produce) to TIMESTAMP — gap
+    # DIFFERENCES are invariant under the session-tz interpretation, and
+    # for plain TIMESTAMP the cast is a no-op
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    prev = F.lag(sec).over(w)
+    new_s = F.when(
+        prev.isNull() | ((sec - prev) > gap_minutes * 60.0), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tagged = events.withColumn("session_idx", F.sum(new_s).over(run))
+    return tagged.groupBy(user_col, "session_idx").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    right_value: str = "value",
+    right_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Left rows + the latest right row at or before each left timestamp
+    (inclusive), per ``on`` key: left columns plus ``asof_ts`` /
+    ``asof_value`` (null when no right row precedes).
+
+    The right side is first collapsed to one row per (key, ts) — the
+    ``right_tiebreak``-max row — so equal-timestamp right duplicates
+    resolve deterministically (the same rule a DuckDB ASOF JOIN needs to
+    be well-defined).  Then one union + per-key ordered window carries
+    the right payload forward; right rows sort before left rows at equal
+    timestamps, giving the inclusive (``>=``) semantics."""
+    r1 = (
+        right.groupBy(on, ts_col)
+        .agg(F.max_by(right_value, right_tiebreak).alias("_rv"))
+        .select(on, ts_col, F.lit(0).alias("_side"), "_rv")
+    )
+    lcols = left.columns
+    l1 = left.select(*lcols, F.lit(1).alias("_side"), F.lit(None).cast(r1.schema["_rv"].dataType).alias("_rv"))
+    u = l1.unionByName(r1, allowMissingColumns=True)
+    w = Window.partitionBy(on).orderBy(ts_col, "_side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = u.withColumn(
+        "_asof",
+        F.last(
+            F.when(F.col("_side") == 0, F.struct(F.col(ts_col).alias("t"), F.col("_rv").alias("v"))),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(
+            *lcols,
+            F.col("_asof.t").alias("asof_ts"),
+            F.col("_asof.v").alias("asof_value"),
+        )
+    )

@@ -208,6 +208,73 @@ def test_report(spark, tmp_path, resolver):
     assert b"Top entities by PageRank" in pdf_pr
 
 
+def test_sessionize_gap_semantics(spark):
+    """Gap-based sessions: events within the gap chain into one session,
+    a gap strictly greater than the threshold opens a new one; equal
+    timestamps order deterministically by the tiebreak column."""
+    from datetime import datetime as dt
+
+    from phenoqc_spark.operators.sessions import sessionize
+
+    rows = [
+        # user 1: two sessions (45-min gap between e2 and e3)
+        (0, dt(2024, 1, 1, 10, 0), 1),
+        (1, dt(2024, 1, 1, 10, 20), 1),
+        (2, dt(2024, 1, 1, 10, 40), 1),
+        (3, dt(2024, 1, 1, 11, 25), 1),
+        (4, dt(2024, 1, 1, 11, 30), 1),
+        # user 2: one event, one session
+        (5, dt(2024, 1, 1, 9, 0), 2),
+        # user 3: gap of exactly 30 min does NOT split (strict >)
+        (6, dt(2024, 1, 1, 8, 0), 3),
+        (7, dt(2024, 1, 1, 8, 30), 3),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = {
+        (r.user_id, r.session_idx): (r.session_start, r.session_end, r.n_events)
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert len(got) == 4
+    assert got[(1, 1)] == (dt(2024, 1, 1, 10, 0), dt(2024, 1, 1, 10, 40), 3)
+    assert got[(1, 2)] == (dt(2024, 1, 1, 11, 25), dt(2024, 1, 1, 11, 30), 2)
+    assert got[(2, 1)][2] == 1
+    assert got[(3, 1)][2] == 2  # 30-min gap inclusive
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """Union-carry as-of join must equal the brute-force 'latest right at
+    or before left.ts per key' on random data, including equal-ts
+    inclusivity and the deterministic equal-ts right tiebreak."""
+    import random
+    from datetime import datetime as dt, timedelta as td
+
+    from phenoqc_spark.operators.sessions import asof_join
+
+    rng = random.Random(5)
+    base = dt(2024, 1, 1)
+    lefts = [(i, base + td(minutes=rng.randrange(0, 500)), rng.randrange(4))
+             for i in range(60)]
+    rights = [(100 + i, base + td(minutes=rng.randrange(0, 500)), rng.randrange(4),
+               float(i)) for i in range(40)]
+    # force an equal-ts collision pair on the same key (tiebreak: max event_id)
+    rights += [(200, lefts[0][1], lefts[0][2], 77.0), (201, lefts[0][1], lefts[0][2], 88.0)]
+
+    ldf = spark.createDataFrame(lefts, "event_id long, ts timestamp, user_id long")
+    rdf = spark.createDataFrame(rights, "event_id long, ts timestamp, user_id long, value double")
+    got = {r.event_id: (r.asof_ts, r.asof_value)
+           for r in asof_join(ldf, rdf).collect()}
+
+    for eid, lts, key in lefts:
+        cand = [(ts, v, rid) for rid, ts, k, v in rights if k == key and ts <= lts]
+        if not cand:
+            assert got[eid] == (None, None)
+        else:
+            best_ts = max(ts for ts, _, _ in cand)
+            best = max((rid, v) for ts, v, rid in cand if ts == best_ts)[1]
+            assert got[eid] == (best_ts, best), eid
+    assert got[lefts[0][0]][1] == 88.0  # the max-event_id row wins the tie
+
+
 def test_salted_distinct(spark):
     from phenoqc_spark.operators.triples import salted_distinct
 
