@@ -206,3 +206,32 @@ def test_bloom_dedup_state_never_shuffled(spark):
     for b in shuffles:
         assert "content_hash#" not in b, f"state shuffled:\n{b}\n{txt}"
     assert sum("BroadcastExchange" in b for b in blocks) >= 2, txt
+
+
+def test_sessionize_and_asof_single_user_shuffle(spark):
+    """Both event-time operators must shuffle exactly once on the user
+    key: sessionize = window + partial-aggregatable groupBy on the same
+    partitioning; asof_join = one union-carry window (plus the right
+    side's per-(key,ts) collapse) — and NEVER a cartesian/range join."""
+    import re
+    from datetime import datetime as dt
+
+    from phenoqc_spark.operators.sessions import asof_join, sessionize
+
+    rows = [(i, dt(2024, 1, 1, 10, i % 60), i % 5) for i in range(100)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    def exchange_blocks(txt):
+        blocks = re.split(r"\n(?=\(\d+\) )", txt)
+        return [b for b in blocks if re.match(r"\(\d+\) \w*Exchange", b)]
+
+    txt = plan_text(sessionize(ev))
+    ex = exchange_blocks(txt)
+    assert ex and all("user_id" in b for b in ex), txt
+    assert "CartesianProduct" not in txt and "BroadcastNestedLoop" not in txt, txt
+
+    rv = ev.withColumn("value", F.col("event_id").cast("double"))
+    txt2 = plan_text(asof_join(ev, rv))
+    ex2 = exchange_blocks(txt2)
+    assert ex2 and all("user_id" in b for b in ex2), txt2
+    assert "CartesianProduct" not in txt2 and "BroadcastNestedLoop" not in txt2, txt2
+    assert "Join" not in txt2, txt2  # union-carry, not a join at all
