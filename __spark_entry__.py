@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 78 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 79 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
@@ -719,6 +719,38 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("event_id")
 
     q["agg_asof_join"] = agg_asof_join
+
+    def agg_range_join(spark, sf_dir):
+        # slice-bucketed range join (clicks inside each error's 30-minute
+        # incident window, per user) aggregated to a per-window count;
+        # zero-click windows restored with a left join against the
+        # (entity-sized) interval list.  Oracle = DuckDB's plain theta
+        # join — the quadratic plan this operator exists to avoid, which
+        # is exactly why it is the right independent check
+        from phenoqc_spark.operators.sessions import range_join
+
+        ev = load_table(spark, sf_dir, "events")
+        errors = ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+        pairs = range_join(clicks, errors)
+        counts = pairs.groupBy("err_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+        return (
+            errors.join(counts, "err_id", "left")
+            .select(
+                "err_id",
+                "user_id",
+                "w_start",
+                F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            )
+            .orderBy("err_id")
+        )
+
+    q["agg_range_join"] = agg_range_join
 
     def v_cell_violations(spark, sf_dir):
         orders = load_table(spark, sf_dir, "orders").withColumn(
@@ -2023,6 +2055,22 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id
 """
 
+    o["agg_range_join"] = """
+WITH e AS (
+  SELECT event_id AS err_id, user_id, ts AS w_start,
+         ts + INTERVAL 30 MINUTE AS w_end
+  FROM events WHERE event_type = 'error'
+), c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT e.err_id, e.user_id, e.w_start,
+       CAST(COUNT(c.ts) AS BIGINT) AS n_clicks
+FROM e LEFT JOIN c
+  ON c.user_id = e.user_id AND c.ts >= e.w_start AND c.ts <= e.w_end
+GROUP BY e.err_id, e.user_id, e.w_start
+ORDER BY e.err_id
+"""
+
     o["v_cell_violations"] = """
 WITH d AS (
   SELECT o_orderkey, o_totalprice,
@@ -2866,7 +2914,7 @@ ORDER BY d.node
 # local gate): the r4 additions (kg_pagerank, td_importance, td_pack_shards,
 # txt_url_canon, td_curate, txt_chunks, kg_triangles, kg_clustering,
 # kg_kcore, sim_hash_embed, dd_exact_bloom, agg_sessionize,
-# agg_asof_join) have never held a driver row —
+# agg_asof_join, agg_range_join) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

@@ -1,8 +1,9 @@
-"""Event-time batch operators: sessionization and as-of join.
+"""Event-time batch operators: sessionization, as-of join, range join.
 
 Spark has streaming ``session_window`` but no batch sessionizer, and no
-as-of join at all — both are staple event-analytics operators (crawl
-session QC, joining each event to the latest prior state snapshot).
+as-of or range join at all — all three are staple event-analytics
+operators (crawl session QC, joining each event to the latest prior
+state snapshot, counting events inside incident windows).
 Each is expressed as ONE shuffle on the partition key plus per-key
 window functions — no range-explosion joins, no per-row Python:
 
@@ -28,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["sessionize", "asof_join"]
+__all__ = ["sessionize", "asof_join", "range_join"]
 
 
 def sessionize(
@@ -60,6 +61,45 @@ def sessionize(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    slice_minutes: float = 30.0,
+) -> DataFrame:
+    """Inner join of point rows to interval rows with
+    ``start ≤ ts ≤ end`` on the same key — WITHOUT the quadratic theta
+    join Catalyst would otherwise plan (BroadcastNestedLoop / per-key
+    cartesian before filtering).
+
+    Slice-bucketing: intervals explode over the coarse time slices they
+    cover (``sequence(floor(start/slice), floor(end/slice))``), points
+    carry their single slice, and the join is a plain equi-join on
+    (key, slice) + an exact containment filter.  Each matching pair
+    meets in exactly ONE slice (the point's), so no post-join dedup is
+    needed.  Replication factor is interval_duration/slice + 1 — pick
+    ``slice_minutes`` near the typical interval length (factor ≈ 2).
+    Point and interval column names must not collide (rename before
+    calling); both frames' other columns pass through."""
+    sec_per_slice = slice_minutes * 60.0
+
+    def _slice(c):
+        return F.floor(F.col(c).cast("timestamp").cast("double") / sec_per_slice)
+
+    iv = intervals.withColumn(
+        "_slice", F.explode(F.sequence(_slice(start_col), _slice(end_col)))
+    )
+    pt = points.withColumn("_slice", _slice(ts_col))
+    return (
+        pt.join(iv, [on, "_slice"])
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("_slice")
     )
 
 

@@ -275,6 +275,42 @@ def test_asof_join_matches_bruteforce(spark):
     assert got[lefts[0][0]][1] == 88.0  # the max-event_id row wins the tie
 
 
+def test_range_join_matches_bruteforce(spark):
+    """Slice-bucketed range join must equal the brute-force containment
+    join, including intervals spanning 0, 1 and 3+ slices, exact
+    boundary inclusivity, and no duplicate pairs."""
+    import random
+    from datetime import datetime as dt, timedelta as td
+
+    from phenoqc_spark.operators.sessions import range_join
+
+    rng = random.Random(9)
+    base = dt(2024, 1, 1)
+    pts = [(i, base + td(minutes=rng.randrange(0, 600)), rng.randrange(3))
+           for i in range(80)]
+    ivs = []
+    for i in range(30):
+        s = base + td(minutes=rng.randrange(0, 600))
+        ivs.append((100 + i, s, s + td(minutes=rng.choice([0, 10, 30, 95])),
+                    rng.randrange(3)))
+    # boundary case: interval ending exactly on a point's ts
+    ivs.append((200, pts[0][1] - td(minutes=5), pts[0][1], pts[0][2]))
+
+    pdf = spark.createDataFrame(pts, "event_id long, ts timestamp, user_id long")
+    idf = spark.createDataFrame(
+        ivs, "iv_id long, w_start timestamp, w_end timestamp, user_id long"
+    )
+    got = sorted((r.event_id, r.iv_id) for r in range_join(pdf, idf).collect())
+    want = sorted(
+        (pid, ivid)
+        for pid, pts_, pk in pts
+        for ivid, s, e, ik in ivs
+        if pk == ik and s <= pts_ <= e
+    )
+    assert got == want and len(got) == len(set(got)) and want
+    assert (pts[0][0], 200) in got  # inclusive upper boundary
+
+
 def test_salted_distinct(spark):
     from phenoqc_spark.operators.triples import salted_distinct
 

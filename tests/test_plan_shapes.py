@@ -235,3 +235,16 @@ def test_sessionize_and_asof_single_user_shuffle(spark):
     assert ex2 and all("user_id" in b for b in ex2), txt2
     assert "CartesianProduct" not in txt2 and "BroadcastNestedLoop" not in txt2, txt2
     assert "Join" not in txt2, txt2  # union-carry, not a join at all
+
+    from phenoqc_spark.operators.sessions import range_join
+
+    iv = ev.select(
+        F.col("event_id").alias("iv_id"), "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    txt3 = plan_text(range_join(ev.select("user_id", "ts", "event_id"), iv))
+    # the whole point: an equi-(hash)join on (key, slice), never the
+    # nested-loop/cartesian plan Catalyst gives a raw theta join
+    assert "BroadcastNestedLoop" not in txt3 and "CartesianProduct" not in txt3, txt3
+    assert "HashJoin" in txt3 or "SortMergeJoin" in txt3, txt3
