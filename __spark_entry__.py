@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 79 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 82 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
@@ -751,6 +751,62 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["agg_range_join"] = agg_range_join
+
+    def agg_percentiles(spark, sf_dir):
+        # exact interpolated percentiles per group (Spark `percentile`,
+        # NOT approx_percentile — approx sketches differ across engines
+        # by design and can never hash-match; the exact form is the
+        # oracle-checkable one and the per-group sort is bounded by
+        # group size)
+        ev = load_table(spark, sf_dir, "events")
+        return (
+            ev.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+                F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            )
+            .orderBy("event_type")
+        )
+
+    q["agg_percentiles"] = agg_percentiles
+
+    def agg_pivot(spark, sf_dir):
+        # wide pivot (groupBy().pivot().count()) with the value set given
+        # explicitly — at scale an unlisted pivot forces a distinct scan
+        # to discover columns; listing them keeps the plan one pass
+        ev = load_table(spark, sf_dir, "events")
+        types = ["click", "error", "purchase", "signup", "view"]
+        out = (
+            ev.groupBy((F.col("user_id") % 10).alias("bucket"))
+            .pivot("event_type", types)
+            .count()
+        )
+        return out.select(
+            "bucket", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+        ).orderBy("bucket")
+
+    q["agg_pivot"] = agg_pivot
+
+    def agg_rollup(spark, sf_dir):
+        # rollup grouping sets (per-type-and-parity, per-type, grand
+        # total) — subtotal indicator rows surfaced via coalesce
+        # sentinels so the differential hash stays single-typed
+        ev = load_table(spark, sf_dir, "events")
+        return (
+            ev.rollup("event_type", (F.col("user_id") % 2).alias("parity"))
+            .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(
+                F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+                F.coalesce(F.col("parity").cast("string"), F.lit("<all>")).alias("parity"),
+                "cnt",
+                "sum_value",
+            )
+            .orderBy("event_type", "parity")
+        )
+
+    q["agg_rollup"] = agg_rollup
 
     def v_cell_violations(spark, sf_dir):
         orders = load_table(spark, sf_dir, "orders").withColumn(
@@ -2071,6 +2127,32 @@ GROUP BY e.err_id, e.user_id, e.w_start
 ORDER BY e.err_id
 """
 
+    o["agg_percentiles"] = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+    o["agg_pivot"] = """
+SELECT user_id % 10 AS bucket,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+    o["agg_rollup"] = """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(CAST(user_id % 2 AS VARCHAR), '<all>') AS parity,
+       CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY ROLLUP(event_type, user_id % 2)
+ORDER BY 1, 2
+"""
+
     o["v_cell_violations"] = """
 WITH d AS (
   SELECT o_orderkey, o_totalprice,
@@ -2914,7 +2996,8 @@ ORDER BY d.node
 # local gate): the r4 additions (kg_pagerank, td_importance, td_pack_shards,
 # txt_url_canon, td_curate, txt_chunks, kg_triangles, kg_clustering,
 # kg_kcore, sim_hash_embed, dd_exact_bloom, agg_sessionize,
-# agg_asof_join, agg_range_join) have never held a driver row —
+# agg_asof_join, agg_range_join, agg_percentiles, agg_pivot,
+# agg_rollup) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [
