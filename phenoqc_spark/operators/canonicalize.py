@@ -404,6 +404,52 @@ def coreness(
     return out
 
 
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 50,
+) -> DataFrame:
+    """(node, distance): unweighted shortest-path distance from the
+    ``sources`` node set (a DataFrame with a ``node`` column, distance 0)
+    over the undirected simple graph — KG reachability/radius diagnostic
+    (how far is every entity from the canonical seed set; unreachable
+    nodes are absent from the result).
+
+    Level-synchronous frontier expansion: each round joins the current
+    frontier against the symmetric edge list, anti-joins already-visited
+    nodes, and appends the new level — one join + one anti-join per
+    level, ``localCheckpoint`` per round (the
+    :func:`connected_components` lineage discipline).  Rounds = graph
+    diameter from the seed set, which is small on hub-heavy KGs (hubs
+    compress distances).  Deterministic: BFS level sets are unique.
+    Reference analogue: none (graph materialize extra)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    )
+    rem = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    rem = rem.localCheckpoint(eager=True)
+    visited = sources.select("node").distinct().localCheckpoint(eager=True)
+    frontier = visited
+    out = visited.select("node", F.lit(0).cast("long").alias("distance"))
+    for d in range(1, max_depth + 1):
+        nxt = (
+            rem.join(frontier.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        out = out.union(nxt.select("node", F.lit(d).cast("long").alias("distance")))
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return out
+
+
 def canonicalize_objects(triples: DataFrame, mapping: DataFrame) -> DataFrame:
     """Rewrite triple objects through the canonical mapping (broadcast join —
     the mapping is ontology-sized, ~10⁵ rows, never the fact side)."""

@@ -1161,6 +1161,37 @@ def test_dedup_exact_incremental(spark):
         D.dedup_exact_incremental(batch, state.withColumnRenamed("content_hash", "x"))
 
 
+def test_bfs_distances_matches_bruteforce(spark):
+    """Level-synchronous BFS must equal sequential BFS from the same seed
+    set, with unreachable nodes absent from the result."""
+    import random
+    from collections import deque
+
+    from phenoqc_spark.operators.canonicalize import bfs_distances
+
+    rng = random.Random(7)
+    edges = {(a, b) for a in range(30) for b in range(a + 1, 30) if rng.random() < 0.08}
+    edges |= {(40, 41)}  # island, unreachable from the seeds
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = [0, 5]
+    want, dq = {s: 0 for s in seeds}, deque(seeds)
+    while dq:
+        n = dq.popleft()
+        for m in adj.get(n, ()):  # noqa: B905
+            if m not in want:
+                want[m] = want[n] + 1
+                dq.append(m)
+
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r.node: r.distance for r in bfs_distances(df, sdf).collect()}
+    assert got == want
+    assert 40 not in got and max(got.values()) >= 2
+
+
 def test_coreness_matches_bruteforce(spark):
     """Distributed peeling must equal sequential peeling on a random
     28-node graph (plus a pendant chain and an isolated-by-peeling star
