@@ -978,6 +978,40 @@ def test_round4_ops_empty_inputs(spark):
     assert row.log_weight is None
 
 
+def test_late_r4_ops_empty_inputs(spark):
+    """The late-round-4 operators must handle empty inputs without
+    crashing: empty graphs, empty event frames, empty batches/states."""
+    from phenoqc_spark.operators import bloom as B
+    from phenoqc_spark.operators.canonicalize import bfs_distances, coreness
+    from phenoqc_spark.operators.sessions import asof_join, range_join, sessionize
+
+    eg = spark.createDataFrame([], "src long, dst long")
+    assert coreness(eg).count() == 0
+    seeds = spark.createDataFrame([(1,)], "node long")
+    assert {r.node: r.distance for r in bfs_distances(eg, seeds).collect()} == {1: 0}
+
+    ee = spark.createDataFrame([], "event_id long, ts timestamp, user_id long")
+    assert sessionize(ee).count() == 0
+    ev = spark.createDataFrame([], "event_id long, ts timestamp, user_id long, value double")
+    assert asof_join(ee, ev).count() == 0
+    one = spark.createDataFrame(
+        [(0, __import__("datetime").datetime(2024, 1, 1), 1)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    got = asof_join(one, ev).collect()  # empty right → null carry
+    assert len(got) == 1 and got[0].asof_ts is None
+    iv = spark.createDataFrame([], "iv_id long, w_start timestamp, w_end timestamp, user_id long")
+    assert range_join(one, iv).count() == 0
+
+    docs = spark.createDataFrame([(0, "some text")], "doc_id long, text string")
+    empty_state = spark.createDataFrame([], "content_hash string")
+    # empty state → bloom never matches, batch passes through intact
+    assert B.dedup_exact_incremental_bloom(docs, empty_state).count() == 1
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    state = docs.select(F.md5("text").alias("content_hash"))
+    assert B.dedup_exact_incremental_bloom(empty_docs, state).count() == 0
+
+
 def test_pack_token_shards_partition_invariant(spark):
     """Shard assignment = global ordered exclusive prefix sum: identical
     across partition counts and equal to a sequential twin."""
