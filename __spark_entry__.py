@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 84 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 85 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
@@ -825,6 +825,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["f_json_extract"] = f_json_extract
+
+    def u_snapshot_diff(spark, sf_dir):
+        # crawl-to-crawl snapshot diff: old = doc_id%5≠0 slice, new =
+        # doc_id%7≠0 slice with every 11th text perturbed — exercises
+        # all three change classes.  The operator compares md5
+        # fingerprints; the oracle compares the text DIRECTLY (hash
+        # equality ≡ content equality), so the check is independent
+        from phenoqc_spark.operators.diff import snapshot_diff
+
+        docs = load_table(spark, sf_dir, "documents")
+        old = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+        new = docs.filter(F.col("doc_id") % 7 != 0).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return snapshot_diff(old, new, "doc_id").orderBy("doc_id")
+
+    q["u_snapshot_diff"] = u_snapshot_diff
 
     def v_cell_violations(spark, sf_dir):
         orders = load_table(spark, sf_dir, "orders").withColumn(
@@ -2170,6 +2192,23 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+    o["u_snapshot_diff"] = """
+WITH o AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+), n AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+), d AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text <> n.text THEN 'changed' END AS change
+  FROM o FULL JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, change FROM d WHERE change IS NOT NULL ORDER BY doc_id
+"""
+
     o["agg_pivot"] = """
 SELECT user_id % 10 AS bucket,
        CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
@@ -3058,7 +3097,8 @@ FROM reach GROUP BY node ORDER BY node
 # txt_url_canon, td_curate, txt_chunks, kg_triangles, kg_clustering,
 # kg_kcore, sim_hash_embed, dd_exact_bloom, agg_sessionize,
 # agg_asof_join, agg_range_join, agg_percentiles, agg_pivot,
-# agg_rollup, kg_bfs, f_json_extract) have never held a driver row —
+# agg_rollup, kg_bfs, f_json_extract, u_snapshot_diff) have never held
+# a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

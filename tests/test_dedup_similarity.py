@@ -1012,6 +1012,29 @@ def test_late_r4_ops_empty_inputs(spark):
     assert B.dedup_exact_incremental_bloom(empty_docs, state).count() == 0
 
 
+def test_snapshot_diff(spark):
+    """Full-outer fingerprint diff: added/removed/changed classified
+    correctly, unchanged rows omitted, nulls distinguished from the
+    string 'None' and from empty (sentinel separator)."""
+    from phenoqc_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "c", "z"), (4, "d", "w")],
+        "doc_id long, text string, meta string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "None"), (3, "c", "z"), (4, "D", "w"), (5, "e", "v")],
+        "doc_id long, text string, meta string",
+    )
+    got = {r.doc_id: r.change for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "changed", 4: "changed", 5: "added"}
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="no shared content"):
+        snapshot_diff(old.select("doc_id"), new.select("doc_id"))
+
+
 def test_pack_token_shards_partition_invariant(spark):
     """Shard assignment = global ordered exclusive prefix sum: identical
     across partition counts and equal to a sequential twin."""
