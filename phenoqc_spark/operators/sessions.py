@@ -38,11 +38,17 @@ def sessionize(
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
     order_tiebreak: str = "event_id",
+    assign: bool = False,
 ) -> DataFrame:
-    """(user, session_idx, session_start, session_end, n_events): gap-based
-    sessions per user — a new session starts when the gap to the previous
-    event exceeds ``gap_minutes``.  ``order_tiebreak`` makes same-timestamp
-    ordering deterministic (rerun-stable session indices)."""
+    """Gap-based sessions per user — a new session starts when the gap to
+    the previous event exceeds ``gap_minutes``.  ``order_tiebreak`` makes
+    same-timestamp ordering deterministic (rerun-stable session indices).
+
+    Default output: one row per session (user, session_idx,
+    session_start, session_end, n_events).  With ``assign=True``: the
+    input rows with a ``session_idx`` column appended (the per-event
+    assignment downstream per-session joins need) — same single shuffle,
+    the aggregate is simply skipped."""
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     # epoch seconds with fractional micros; the intermediate cast lifts
     # TIMESTAMP_NTZ (what parquet scans produce) to TIMESTAMP — gap
@@ -57,6 +63,8 @@ def sessionize(
         Window.unboundedPreceding, Window.currentRow
     )
     tagged = events.withColumn("session_idx", F.sum(new_s).over(run))
+    if assign:
+        return tagged
     return tagged.groupBy(user_col, "session_idx").agg(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
@@ -108,12 +116,14 @@ def asof_join(
     right: DataFrame,
     on: str = "user_id",
     ts_col: str = "ts",
-    right_value: str = "value",
+    right_value: "str | list[str]" = "value",
     right_tiebreak: str = "event_id",
 ) -> DataFrame:
     """Left rows + the latest right row at or before each left timestamp
-    (inclusive), per ``on`` key: left columns plus ``asof_ts`` /
-    ``asof_value`` (null when no right row precedes).
+    (inclusive), per ``on`` key: left columns plus ``asof_ts`` and one
+    ``asof_<col>`` per carried right column (null when no right row
+    precedes).  ``right_value`` may be a single column name or a list —
+    all carried columns come from the SAME winning right row.
 
     The right side is first collapsed to one row per (key, ts) — the
     ``right_tiebreak``-max row — so equal-timestamp right duplicates
@@ -121,13 +131,20 @@ def asof_join(
     be well-defined).  Then one union + per-key ordered window carries
     the right payload forward; right rows sort before left rows at equal
     timestamps, giving the inclusive (``>=``) semantics."""
+    vcols = [right_value] if isinstance(right_value, str) else list(right_value)
     r1 = (
         right.groupBy(on, ts_col)
-        .agg(F.max_by(right_value, right_tiebreak).alias("_rv"))
+        .agg(
+            F.max_by(F.struct(*vcols), right_tiebreak).alias("_rv")
+        )
         .select(on, ts_col, F.lit(0).alias("_side"), "_rv")
     )
     lcols = left.columns
-    l1 = left.select(*lcols, F.lit(1).alias("_side"), F.lit(None).cast(r1.schema["_rv"].dataType).alias("_rv"))
+    l1 = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r1.schema["_rv"].dataType).alias("_rv"),
+    )
     u = l1.unionByName(r1, allowMissingColumns=True)
     w = Window.partitionBy(on).orderBy(ts_col, "_side").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -139,11 +156,13 @@ def asof_join(
             ignorenulls=True,
         ).over(w),
     )
+    single = isinstance(right_value, str)
+    val_cols = (
+        [F.col("_asof.v." + vcols[0]).alias("asof_value")]
+        if single
+        else [F.col("_asof.v." + c).alias(f"asof_{c}") for c in vcols]
+    )
     return (
         carried.filter(F.col("_side") == 1)
-        .select(
-            *lcols,
-            F.col("_asof.t").alias("asof_ts"),
-            F.col("_asof.v").alias("asof_value"),
-        )
+        .select(*lcols, F.col("_asof.t").alias("asof_ts"), *val_cols)
     )

@@ -240,6 +240,12 @@ def test_sessionize_gap_semantics(spark):
     assert got[(2, 1)][2] == 1
     assert got[(3, 1)][2] == 2  # 30-min gap inclusive
 
+    # assign=True: per-event session indices consistent with the aggregate
+    assigned = {r.event_id: (r.user_id, r.session_idx)
+                for r in sessionize(ev, gap_minutes=30, assign=True).collect()}
+    assert assigned[0] == (1, 1) and assigned[2] == (1, 1)
+    assert assigned[3] == (1, 2) and assigned[7] == (3, 1)
+
 
 def test_asof_join_matches_bruteforce(spark):
     """Union-carry as-of join must equal the brute-force 'latest right at
@@ -273,6 +279,14 @@ def test_asof_join_matches_bruteforce(spark):
             best = max((rid, v) for ts, v, rid in cand if ts == best_ts)[1]
             assert got[eid] == (best_ts, best), eid
     assert got[lefts[0][0]][1] == 88.0  # the max-event_id row wins the tie
+
+    # multi-column carry: both columns come from the same winning row
+    rdf2 = rdf.withColumn("label", F.concat(F.lit("r"), F.col("event_id")))
+    multi = {r.event_id: (r.asof_ts, r.asof_value, r.asof_label)
+             for r in asof_join(ldf, rdf2, right_value=["value", "label"]).collect()}
+    assert multi[lefts[0][0]][1] == 88.0 and multi[lefts[0][0]][2] == "r201"
+    for eid in multi:
+        assert multi[eid][:2] == got[eid]  # same winner as the single-column path
 
 
 def test_range_join_matches_bruteforce(spark):
