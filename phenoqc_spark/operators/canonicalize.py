@@ -424,7 +424,12 @@ def bfs_distances(
     :func:`connected_components` lineage discipline).  Rounds = graph
     diameter from the seed set, which is small on hub-heavy KGs (hubs
     compress distances).  Deterministic: BFS level sets are unique.
-    Reference analogue: none (graph materialize extra)."""
+
+    ``max_depth`` caps the rounds: nodes farther than it are ABSENT from
+    the result, indistinguishable from unreachable — raise it when the
+    graph's diameter from the seeds could exceed the default (50 is far
+    beyond any hub-heavy KG's diameter, which is what the default is
+    sized for).  Reference analogue: none (graph materialize extra)."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))

@@ -31,7 +31,12 @@ def snapshot_diff(
 
     ``content_cols`` defaults to every non-key column the frames share;
     the fingerprint is md5 over the null-sentineled concatenation in
-    that column order (deterministic and engine-portable)."""
+    that column order (deterministic and engine-portable).
+
+    Contract: ``key_col`` must be unique within each snapshot — a
+    duplicated key fans out through the full-outer join and yields one
+    classification row per pairing.  Run ``dedup_exact`` (or an
+    explicit aggregation) first if the snapshots may carry dup keys."""
     if content_cols is None:
         content_cols = sorted(
             (set(old.columns) & set(new.columns)) - {key_col}
