@@ -265,6 +265,7 @@ def pagerank(
     iters: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 1,
+    weight: "str | None" = None,
 ) -> DataFrame:
     """(node, rank): fixed-iteration power-method PageRank over the
     directed edge list — entity importance on the materialized KG (e.g.
@@ -286,19 +287,40 @@ def pagerank(
     1M-page triple graph (6.8M edges, 979k nodes, local[32], 10 iters):
     45.8 s at every-2 vs 25.6 s at every-1 — the node-sized materialize
     is far cheaper than recomputing the edge-sized join.
+
+    ``weight`` names an edge-weight column (e.g. the triple confidence
+    score): contributions become rank·w/Σw(out), parallel edges collapse
+    by SUMMING weights, and a source whose total out-weight is 0 is
+    treated as dangling.  ``weight=None`` is exactly the unweighted
+    formulation above (w ≡ 1 ⇒ Σw(out) = out-degree).
     """
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-    )
+    if weight is None:
+        e = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+            .distinct()
+            .withColumn("_w", F.lit(1.0))
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("a"),
+                F.col(dst).alias("b"),
+                F.col(weight).cast("double").alias("_w"),
+            )
+            .filter(
+                F.col("a").isNotNull() & F.col("b").isNotNull() & F.col("_w").isNotNull()
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("_w").alias("_w"))
+        )
     nodes = e.select(F.col("a").alias("node")).union(
         e.select(F.col("b").alias("node"))
     ).distinct().persist()
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = e.groupBy("a").agg(F.sum("_w").alias("deg")).filter(F.col("deg") > 0)
     links = e.join(out_deg, "a").persist()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     dangling_nodes = nodes.join(
@@ -307,7 +329,10 @@ def pagerank(
     for i in range(iters):
         contribs = (
             links.join(ranks.withColumnRenamed("node", "a"), "a")
-            .select(F.col("b").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                F.col("b").alias("node"),
+                (F.col("rank") * F.col("_w") / F.col("deg")).alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
