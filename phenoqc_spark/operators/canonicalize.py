@@ -353,6 +353,73 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+) -> DataFrame:
+    """(node, hub, authority): Kleinberg HITS over the directed edge
+    list — the natural web-KG dual of PageRank (pages are hubs, ontology
+    terms are authorities; a good hub cites good authorities and vice
+    versa).  Mutual power iteration with L2 normalization each half-step:
+    ``auth = Aᵀ·hub / ‖·‖₂`` then ``hub = A·auth / ‖·‖₂``.
+
+    Round shape: per half-step one join of the persisted edge list
+    against the node-sized score frame + one groupBy sum, then a
+    driver-side scalar for the norm (the same bounded-collect tier as
+    PageRank's dangling mass); ``localCheckpoint`` per iteration.  Nodes
+    with no out-edges have hub 0, no in-edges authority 0 — both still
+    appear.  Deterministic for fixed ``iters`` up to float summation
+    order (oracle rounds to 6 dp, ~1e8× the divergence)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn("authority", F.lit(0.0))
+    hub = nodes.select("node", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(iters):
+        raw_a = (
+            e.join(hub.withColumnRenamed("node", "a").withColumnRenamed("h", "_s"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum("_s").alias("s"))
+        )
+        auth = nodes.join(raw_a, "node", "left").select(
+            "node", F.coalesce("s", F.lit(0.0)).alias("x")
+        )
+        norm = float(auth.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).collect()[0][0])
+        auth = auth.select("node", (F.col("x") / F.lit(norm)).alias("x"))
+        raw_h = (
+            e.join(auth.withColumnRenamed("node", "b").withColumnRenamed("x", "_s"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.sum("_s").alias("s"))
+        )
+        hub = nodes.join(raw_h, "node", "left").select(
+            "node", F.coalesce("s", F.lit(0.0)).alias("h")
+        )
+        norm_h = float(hub.agg(F.sqrt(F.sum(F.col("h") * F.col("h")))).collect()[0][0])
+        hub = hub.select("node", (F.col("h") / F.lit(norm_h)).alias("h")).localCheckpoint(
+            eager=True
+        )
+    out = hub.join(auth.withColumnRenamed("x", "authority"), "node").select(
+        "node", F.col("h").alias("hub"), "authority"
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
 def coreness(
     edges: DataFrame,
     src: str = "src",

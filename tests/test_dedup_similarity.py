@@ -1218,6 +1218,39 @@ def test_dedup_exact_incremental(spark):
         D.dedup_exact_incremental(batch, state.withColumnRenamed("content_hash", "x"))
 
 
+def test_hits_matches_numpy(spark):
+    """HITS must match an independent numpy power iteration (same
+    update order: auth from hub, normalize, hub from auth, normalize)
+    to float tolerance on a random directed graph."""
+    import random
+
+    import numpy as np
+
+    from phenoqc_spark.operators.canonicalize import hits
+
+    rng = random.Random(3)
+    edges = sorted({(rng.randrange(12), rng.randrange(12)) for _ in range(40)})
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for a, b in edges:
+        A[idx[a], idx[b]] = 1.0
+    h = np.ones(len(nodes))
+    for _ in range(10):
+        a_vec = A.T @ h
+        a_vec = a_vec / np.linalg.norm(a_vec)
+        h = A @ a_vec
+        h = h / np.linalg.norm(h)
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub, r.authority) for r in hits(df, iters=10).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v][0] - h[idx[v]]) < 1e-9, v
+        assert abs(got[v][1] - a_vec[idx[v]]) < 1e-9, v
+
+
 def test_bfs_distances_matches_bruteforce(spark):
     """Level-synchronous BFS must equal sequential BFS from the same seed
     set, with unreachable nodes absent from the result."""
