@@ -289,6 +289,46 @@ def test_asof_join_matches_bruteforce(spark):
         assert multi[eid][:2] == got[eid]  # same winner as the single-column path
 
 
+def test_event_ops_partitioning_invariant(spark):
+    """Sessionize / asof_join / snapshot_diff results must not depend on
+    input row order or partitioning (rerun-stable under repartition)."""
+    import random
+    from datetime import datetime as dt, timedelta as td
+
+    from phenoqc_spark.operators.diff import snapshot_diff
+    from phenoqc_spark.operators.sessions import asof_join, sessionize
+
+    rng = random.Random(13)
+    base = dt(2024, 1, 1)
+    rows = [(i, base + td(minutes=rng.randrange(0, 2000)), rng.randrange(5))
+            for i in range(120)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    scrambled = ev.repartition(7, "event_id").sortWithinPartitions(F.desc("ts"))
+
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(sessionize(ev)) == key(sessionize(scrambled))
+
+    rv = ev.withColumn("value", (F.col("event_id") % 9).cast("double"))
+    rv_s = scrambled.withColumn("value", (F.col("event_id") % 9).cast("double"))
+    assert key(asof_join(ev, rv)) == key(asof_join(scrambled, rv_s))
+
+    old = ev.withColumn("text", F.concat(F.lit("t"), (F.col("event_id") % 13)))
+    new = scrambled.filter(F.col("event_id") % 4 != 0).withColumn(
+        "text", F.concat(F.lit("t"), (F.col("event_id") % 11))
+    )
+    d1 = key(snapshot_diff(old.select("event_id", "text"), new.select("event_id", "text"), "event_id"))
+    d2 = key(snapshot_diff(old.repartition(3).select("event_id", "text"),
+                           new.repartition(11).select("event_id", "text"), "event_id"))
+    assert d1 == d2 and d1
+    # diff symmetry: swapping snapshots maps added <-> removed, changed fixed
+    fwd = {r[0]: r[1] for r in d1}
+    rev = {r.event_id: r.change
+           for r in snapshot_diff(new.select("event_id", "text"),
+                                  old.select("event_id", "text"), "event_id").collect()}
+    swap = {"added": "removed", "removed": "added", "changed": "changed"}
+    assert rev == {k: swap[v] for k, v in fwd.items()}
+
+
 def test_range_join_matches_bruteforce(spark):
     """Slice-bucketed range join must equal the brute-force containment
     join, including intervals spanning 0, 1 and 3+ slices, exact
