@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 87 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 88 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
@@ -825,6 +825,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["f_json_extract"] = f_json_extract
+
+    def agg_drift_psi(spark, sf_dir):
+        # distributed PSI (click-vs-error value distributions, fixed
+        # decile-ish edges) — gives the F11 drift-metric family a
+        # hash-checked differential instead of unit-only coverage; the
+        # oracle recomputes bucket fractions and the Σ(a−e)·ln(a/e)
+        # directly in SQL
+        from phenoqc_spark.operators.diagnostics import psi_distributed
+
+        ev = load_table(spark, sf_dir, "events")
+        edges = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0]
+        return psi_distributed(ev, "value", "event_type", "click", "error", edges)
+
+    q["agg_drift_psi"] = agg_drift_psi
 
     def u_snapshot_diff(spark, sf_dir):
         # crawl-to-crawl snapshot diff: old = doc_id%5≠0 slice, new =
@@ -2293,6 +2307,33 @@ WITH o AS (
 SELECT doc_id, change FROM d WHERE change IS NOT NULL ORDER BY doc_id
 """
 
+    o["agg_drift_psi"] = """
+WITH b AS (
+  SELECT event_type AS g,
+         CAST(value >= 10 AS INT) + CAST(value >= 20 AS INT) + CAST(value >= 30 AS INT)
+         + CAST(value >= 40 AS INT) + CAST(value >= 50 AS INT) + CAST(value >= 60 AS INT)
+         + CAST(value >= 70 AS INT) + CAST(value >= 80 AS INT) + CAST(value >= 90 AS INT)
+           AS bucket
+  FROM events WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+), c AS (
+  SELECT g, bucket, COUNT(*) AS n FROM b GROUP BY g, bucket
+), t AS (
+  SELECT g, SUM(n) AS tot FROM c GROUP BY g
+), f AS (
+  SELECT c.g, c.bucket, CAST(c.n AS DOUBLE) / t.tot AS fr, t.tot
+  FROM c JOIN t ON c.g = t.g
+), e AS (SELECT bucket, fr AS fe, tot AS te FROM f WHERE g = 'click'),
+   a AS (SELECT bucket, fr AS fa, tot AS ta FROM f WHERE g = 'error'),
+   j AS (
+  SELECT GREATEST(COALESCE(e.fe, 0.0), 1e-6) AS fe,
+         GREATEST(COALESCE(a.fa, 0.0), 1e-6) AS fa, e.te, a.ta
+  FROM e FULL JOIN a ON e.bucket = a.bucket
+)
+SELECT ROUND(SUM((fa - fe) * LN(fa / fe)), 6) AS psi,
+       MAX(te) AS n_expected, MAX(ta) AS n_actual
+FROM j
+"""
+
     o["agg_pivot"] = """
 SELECT user_id % 10 AS bucket,
        CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
@@ -3182,7 +3223,8 @@ FROM reach GROUP BY node ORDER BY node
 # kg_kcore, sim_hash_embed, dd_exact_bloom, agg_sessionize,
 # agg_asof_join, agg_range_join, agg_percentiles, agg_pivot,
 # agg_rollup, kg_bfs, f_json_extract, u_snapshot_diff,
-# kg_pagerank_weighted, kg_hits) have never held a driver row —
+# kg_pagerank_weighted, kg_hits, agg_drift_psi) have never held a
+# driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

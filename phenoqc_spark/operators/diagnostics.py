@@ -330,3 +330,62 @@ def mi_uncertainty(
                 }
             )
     return pd.DataFrame(rows)
+
+
+def psi_distributed(
+    df,
+    value_col: str,
+    group_col: str,
+    expected_label: str,
+    actual_label: str,
+    edges: "list[float]",
+    eps: float = 1e-6,
+):
+    """Distributed Population Stability Index between two labeled
+    populations of one frame, with EXPLICIT bucket edges — the
+    scale-out twin of :func:`psi` (whose quantile-derived edges need a
+    driver-side sample; at 100 TB pass edges from a prior
+    ``approx_quantile`` probe or domain knowledge and the whole
+    computation stays one groupBy).
+
+    Bucket index = number of edges ≤ value (so len(edges)+1 buckets,
+    open-ended at both extremes, matching numpy's histogram on
+    ±inf-padded edges); per-group fractions clip at ``eps`` exactly as
+    the numpy twin does, and a bucket absent from one population
+    contributes via the clipped zero.  Returns one row:
+    (psi, n_expected, n_actual).  Null values are excluded (the numpy
+    twin drops NaN)."""
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col)
+    bucket = sum(
+        (v >= F.lit(float(e))).cast("int") for e in edges
+    ).alias("_bucket")
+    counts = (
+        df.filter(F.col(group_col).isin([expected_label, actual_label]))
+        .filter(v.isNotNull())
+        .select(F.col(group_col).alias("_g"), bucket)
+        .groupBy("_g", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    totals = counts.groupBy("_g").agg(F.sum("_n").alias("_tot"))
+    fracs = counts.join(totals, "_g").select(
+        "_g", "_bucket", (F.col("_n") / F.col("_tot")).alias("_f"), "_tot"
+    )
+    e = fracs.filter(F.col("_g") == expected_label).select(
+        "_bucket", F.col("_f").alias("_fe"), F.col("_tot").alias("_te")
+    )
+    a = fracs.filter(F.col("_g") == actual_label).select(
+        "_bucket", F.col("_f").alias("_fa"), F.col("_tot").alias("_ta")
+    )
+    j = e.join(a, "_bucket", "full").select(
+        F.greatest(F.coalesce("_fe", F.lit(0.0)), F.lit(eps)).alias("fe"),
+        F.greatest(F.coalesce("_fa", F.lit(0.0)), F.lit(eps)).alias("fa"),
+        "_te",
+        "_ta",
+    )
+    return j.agg(
+        F.round(F.sum((F.col("fa") - F.col("fe")) * F.log(F.col("fa") / F.col("fe"))), 6).alias("psi"),
+        F.max("_te").alias("n_expected"),
+        F.max("_ta").alias("n_actual"),
+    )

@@ -289,6 +289,32 @@ def test_asof_join_matches_bruteforce(spark):
         assert multi[eid][:2] == got[eid]  # same winner as the single-column path
 
 
+def test_psi_distributed_matches_numpy(spark):
+    """Distributed PSI with explicit edges must match a numpy histogram
+    twin (same ±inf-padded edges, same eps clipping), including a bucket
+    empty on one side."""
+    import numpy as np
+
+    from phenoqc_spark.operators.diagnostics import psi_distributed
+
+    rng = np.random.RandomState(4)
+    exp_vals = rng.normal(50, 15, 400)
+    act_vals = rng.normal(62, 10, 300)  # shifted → buckets differ
+    act_vals = act_vals[act_vals > 30]  # low buckets empty on actual side
+    rows = [("e", float(x)) for x in exp_vals] + [("a", float(x)) for x in act_vals]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    edges = [20.0, 35.0, 50.0, 65.0, 80.0]
+
+    got = psi_distributed(df, "value", "grp", "e", "a", edges).collect()[0]
+    full = np.array([-np.inf] + edges + [np.inf])
+    fe = np.histogram(exp_vals, full)[0] / exp_vals.size
+    fa = np.histogram(act_vals, full)[0] / act_vals.size
+    fe, fa = np.clip(fe, 1e-6, None), np.clip(fa, 1e-6, None)
+    want = float(np.sum((fa - fe) * np.log(fa / fe)))
+    assert abs(got.psi - round(want, 6)) < 2e-6
+    assert got.n_expected == exp_vals.size and got.n_actual == act_vals.size
+
+
 def test_event_ops_partitioning_invariant(spark):
     """Sessionize / asof_join / snapshot_diff results must not depend on
     input row order or partitioning (rerun-stable under repartition)."""
