@@ -840,6 +840,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_drift_psi"] = agg_drift_psi
 
+    def agg_drift_panel(spark, sf_dir):
+        # one-row drift panel (exact two-sample KS + SMD + variance
+        # ratio) between the click and error value distributions — the
+        # distributed twins of the F11 driver-side drift metrics; the
+        # oracle recomputes the cumulative-fraction KS and the moment
+        # statistics directly in SQL
+        from phenoqc_spark.operators.diagnostics import drift_panel_distributed
+
+        ev = load_table(spark, sf_dir, "events")
+        return drift_panel_distributed(ev, "value", "event_type", "click", "error")
+
+    q["agg_drift_panel"] = agg_drift_panel
+
     def u_snapshot_diff(spark, sf_dir):
         # crawl-to-crawl snapshot diff: old = doc_id%5≠0 slice, new =
         # doc_id%7≠0 slice with every 11th text perturbed — exercises
@@ -2334,6 +2347,36 @@ SELECT ROUND(SUM((fa - fe) * LN(fa / fe)), 6) AS psi,
 FROM j
 """
 
+    o["agg_drift_panel"] = """
+WITH base AS (
+  SELECT value AS v, event_type AS g FROM events
+  WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+), per_val AS (
+  SELECT v,
+         SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN g = 'error' THEN 1 ELSE 0 END) AS n2
+  FROM base GROUP BY v
+), tot AS (
+  SELECT CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+         CAST(SUM(CASE WHEN g = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+         AVG(CASE WHEN g = 'click' THEN v END) AS m1,
+         AVG(CASE WHEN g = 'error' THEN v END) AS m2,
+         STDDEV_SAMP(CASE WHEN g = 'click' THEN v END) AS s1,
+         STDDEV_SAMP(CASE WHEN g = 'error' THEN v END) AS s2
+  FROM base
+), cum AS (
+  SELECT SUM(n1) OVER (ORDER BY v) AS c1,
+         SUM(n2) OVER (ORDER BY v) AS c2
+  FROM per_val
+)
+SELECT ROUND(MAX(ABS(CAST(c1 AS DOUBLE) / t1 - CAST(c2 AS DOUBLE) / t2)), 6) AS ks,
+       ROUND((m1 - m2) / SQRT((s1 * s1 + s2 * s2) / 2.0), 6) AS smd,
+       ROUND((s1 * s1) / (s2 * s2), 6) AS var_ratio,
+       t1 AS n_expected, t2 AS n_actual
+FROM cum CROSS JOIN tot
+GROUP BY t1, t2, m1, m2, s1, s2
+"""
+
     o["agg_pivot"] = """
 SELECT user_id % 10 AS bucket,
        CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
@@ -3223,8 +3266,8 @@ FROM reach GROUP BY node ORDER BY node
 # kg_kcore, sim_hash_embed, dd_exact_bloom, agg_sessionize,
 # agg_asof_join, agg_range_join, agg_percentiles, agg_pivot,
 # agg_rollup, kg_bfs, f_json_extract, u_snapshot_diff,
-# kg_pagerank_weighted, kg_hits, agg_drift_psi) have never held a
-# driver row —
+# kg_pagerank_weighted, kg_hits, agg_drift_psi, agg_drift_panel) have
+# never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

@@ -389,3 +389,65 @@ def psi_distributed(
         F.max("_te").alias("n_expected"),
         F.max("_ta").alias("n_actual"),
     )
+
+
+def drift_panel_distributed(
+    df,
+    value_col: str,
+    group_col: str,
+    expected_label: str,
+    actual_label: str,
+):
+    """One-row drift panel between two labeled populations: exact
+    two-sample KS statistic, standardized mean difference, and variance
+    ratio — the distributed twins of :func:`ks_statistic` /
+    :func:`standardized_mean_diff` / :func:`variance_ratio`.
+
+    KS shape: counts aggregate per DISTINCT value (the only shuffle on
+    data), then cumulative fractions via a window over the ordered
+    distinct values — that window is single-partition, but its input is
+    value-cardinality-sized, not row-sized; for continuous ultra-high-
+    cardinality columns at the 100 TB tier quantize first (the PSI
+    operator's explicit-edge bucketing) or accept the distinct-sized
+    sort.  SMD/variance ratio are plain aggregates.  Unlike the numpy
+    twins, SMD is SIGNED (expected − actual) and the variance ratio is
+    DIRECTIONAL (s²_expected / s²_actual) — the symmetric forms are
+    ``abs(smd)`` / ``greatest(var_ratio, 1/var_ratio)``.  Nulls excluded,
+    6-dp rounding (~1e8× above float summation-order divergence)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    g, v = F.col(group_col), F.col(value_col)
+    base = df.filter(g.isin([expected_label, actual_label]) & v.isNotNull())
+    per_val = base.groupBy(v.alias("_v")).agg(
+        F.sum((g == expected_label).cast("long")).alias("_n1"),
+        F.sum((g == actual_label).cast("long")).alias("_n2"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = base.agg(
+        F.sum((g == expected_label).cast("long")).alias("t1"),
+        F.sum((g == actual_label).cast("long")).alias("t2"),
+        F.avg(F.when(g == expected_label, v)).alias("m1"),
+        F.avg(F.when(g == actual_label, v)).alias("m2"),
+        F.stddev_samp(F.when(g == expected_label, v)).alias("s1"),
+        F.stddev_samp(F.when(g == actual_label, v)).alias("s2"),
+    )
+    cum = per_val.select(
+        (F.sum("_n1").over(w)).alias("c1"), (F.sum("_n2").over(w)).alias("c2")
+    )
+    ks = cum.crossJoin(F.broadcast(tot)).agg(
+        F.round(F.max(F.abs(F.col("c1") / F.col("t1") - F.col("c2") / F.col("t2"))), 6).alias("ks")
+    )
+    return ks.crossJoin(F.broadcast(tot)).select(
+        "ks",
+        F.round(
+            (F.col("m1") - F.col("m2"))
+            / F.sqrt((F.col("s1") * F.col("s1") + F.col("s2") * F.col("s2")) / 2.0),
+            6,
+        ).alias("smd"),
+        F.round((F.col("s1") * F.col("s1")) / (F.col("s2") * F.col("s2")), 6).alias(
+            "var_ratio"
+        ),
+        F.col("t1").alias("n_expected"),
+        F.col("t2").alias("n_actual"),
+    )

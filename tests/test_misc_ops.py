@@ -315,6 +315,35 @@ def test_psi_distributed_matches_numpy(spark):
     assert got.n_expected == exp_vals.size and got.n_actual == act_vals.size
 
 
+def test_drift_panel_distributed_matches_numpy(spark):
+    """Distributed KS/SMD/variance-ratio panel must match the driver-side
+    numpy twins (exact two-sample KS over distinct values; signed SMD →
+    abs; directional var ratio → max/min), with ties and one-sided
+    values in the mix."""
+    import numpy as np
+
+    from phenoqc_spark.operators.diagnostics import (
+        drift_panel_distributed,
+        ks_statistic,
+        smd,
+        variance_ratio,
+    )
+
+    rng = np.random.RandomState(7)
+    exp_vals = np.round(rng.normal(50, 15, 400), 1)  # rounding → ties
+    act_vals = np.round(rng.normal(58, 9, 300), 1)
+    rows = [("e", float(x)) for x in exp_vals] + [("a", float(x)) for x in act_vals]
+    rows += [("other", 1.0), ("e", None)]  # excluded group + null
+    df = spark.createDataFrame(rows, "grp string, value double").repartition(7)
+
+    got = drift_panel_distributed(df, "value", "grp", "e", "a").collect()[0]
+    assert abs(got.ks - round(ks_statistic(exp_vals, act_vals), 6)) < 2e-6
+    assert abs(abs(got.smd) - round(smd(exp_vals, act_vals), 6)) < 2e-6
+    sym_vr = max(got.var_ratio, 1.0 / got.var_ratio)
+    assert abs(sym_vr - variance_ratio(exp_vals, act_vals)) < 1e-5
+    assert got.n_expected == exp_vals.size and got.n_actual == act_vals.size
+
+
 def test_event_ops_partitioning_invariant(spark):
     """Sessionize / asof_join / snapshot_diff results must not depend on
     input row order or partitioning (rerun-stable under repartition)."""
