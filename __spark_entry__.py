@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 88 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 90 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
@@ -184,6 +184,16 @@ _KG_FULL_EXPECTED = [
 _KG_FULL_ORACLE_VALUES = ",\n        ".join(
     f"('{c}', {i}, '{o}', '{t}')" for (c, i, o, t) in _KG_FULL_EXPECTED
 )
+
+# Pinned linear-classifier model for td_classifier_filter: deterministic
+# weights (a fixed affine-mod ramp over the 64 embedding dims, range
+# [-0.50, 0.50]) and bias — the same literals feed the Spark plan and the
+# DuckDB oracle.  Margin audit at sf0.001/sf0.01: min |score − 0.5| ≥
+# 4.8e-5 and ≥1.4e-9 to any 6-dp rounding boundary, so the keep/drop set
+# and the rounded hashes are numerically stable.
+_CLS_W = [(((i * 37 + 11) % 101) - 50) / 100.0 for i in range(64)]
+_CLS_B = 0.05
+_CLS_W_SQL = "[" + ", ".join(f"{w!r}" for w in _CLS_W) + "]"
 
 # Unicode-noise cascade surfaces: full-width compatibility forms, zero-width
 # chars, NBSP whitespace, combining accents, mixed case — the adversarial
@@ -1498,6 +1508,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["td_mix_sample"] = td_mix_sample
 
+    def td_classifier_filter(spark, sf_dir):
+        # model-based quality gate: broadcast linear classifier over the
+        # embedding column — weights are a pinned deterministic artifact
+        # baked into the plan as literals (map-only: no join, no
+        # shuffle, no Python); oracle recomputes the same sigmoid dot
+        # product via DuckDB's list_dot_product
+        from phenoqc_spark.operators.classify import classifier_filter
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = classifier_filter(emb, _CLS_W, bias=_CLS_B, threshold=0.5)
+        return out.select(
+            "vec_id", "label", F.round("score", 6).alias("score")
+        ).orderBy("vec_id")
+
+    q["td_classifier_filter"] = td_classifier_filter
+
     def txt_unigram_nll(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
         return X.unigram_logprob_score(docs).orderBy("doc_id")
@@ -1970,6 +1996,15 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15)) AS BIG
       < CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
                     WHEN 'src2' THEN 1.0 ELSE 0.0 END
 ORDER BY doc_id
+"""
+
+    o["td_classifier_filter"] = f"""
+SELECT vec_id, label, ROUND(score, 6) AS score FROM (
+  SELECT vec_id, label,
+         1.0 / (1.0 + EXP(-(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             {_CLS_W_SQL}) + 0.05))) AS score
+  FROM embeddings
+) WHERE score >= 0.5 ORDER BY vec_id
 """
 
     o["txt_unigram_nll"] = """
@@ -3266,8 +3301,8 @@ FROM reach GROUP BY node ORDER BY node
 # kg_kcore, sim_hash_embed, dd_exact_bloom, agg_sessionize,
 # agg_asof_join, agg_range_join, agg_percentiles, agg_pivot,
 # agg_rollup, kg_bfs, f_json_extract, u_snapshot_diff,
-# kg_pagerank_weighted, kg_hits, agg_drift_psi, agg_drift_panel) have
-# never held a driver row —
+# kg_pagerank_weighted, kg_hits, agg_drift_psi, agg_drift_panel,
+# td_classifier_filter) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

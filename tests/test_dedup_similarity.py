@@ -774,6 +774,47 @@ def test_repetition_stats(spark):
     assert got[3].dup_word_frac == round(1 - 2 / 6, 6)
 
 
+def test_linear_classifier_matches_numpy_and_is_map_only(spark):
+    """Broadcast linear-model scoring must match the numpy sigmoid dot
+    to double precision, drop null/wrong-dimension vectors at the filter
+    (never silently pass an unscorable row), and stay one map-only
+    codegen stage (no Exchange/Join/Python in the plan)."""
+    import numpy as np
+
+    from phenoqc_spark.operators.classify import classifier_filter, linear_score
+    from tests.test_plan_shapes import plan_text
+
+    rng = np.random.RandomState(3)
+    X_ = rng.normal(0, 1, (50, 8))
+    w = rng.normal(0, 0.5, 8)
+    rows = [(i, [float(x) for x in X_[i]]) for i in range(50)]
+    rows += [(50, None), (51, [1.0, 2.0])]  # null + wrong-dim vectors
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(5)
+
+    scored = {r.vec_id: r.score for r in linear_score(df, w, bias=0.2).collect()}
+    want = 1.0 / (1.0 + np.exp(-(X_.astype(np.float32).astype(np.float64) @ w + 0.2)))
+    for i in range(50):
+        assert abs(scored[i] - want[i]) < 1e-12
+    assert scored[50] is None and scored[51] is None
+
+    kept = classifier_filter(df, w, bias=0.2, threshold=0.5)
+    kept_ids = {r.vec_id for r in kept.collect()}
+    assert kept_ids == {i for i in range(50) if want[i] >= 0.5}
+
+    # plan shape on the raw (un-repartitioned) input: the operator itself
+    # must add no Exchange/Join/Python — one codegen'd map stage
+    plain = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    txt = plan_text(classifier_filter(plain, w, bias=0.2, threshold=0.5))
+    assert "Exchange" not in txt and "Join" not in txt, txt
+    # pure JVM codegen, no Arrow/Python eval nodes (the scan's RDD name
+    # mentions Python because the fixture comes from createDataFrame)
+    assert "ArrowEvalPython" not in txt and "BatchEvalPython" not in txt, txt
+
+    raw = {r.vec_id: r.score for r in
+           linear_score(df, w, bias=0.2, link="identity").collect()}
+    assert abs(raw[0] - (np.log(want[0]) - np.log1p(-want[0]))) < 1e-9
+
+
 def test_repetition_stats_is_map_only(spark):
     from tests.test_plan_shapes import plan_text
 
