@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--no-exact-dedup", action="store_true")
     ap.add_argument("--near-dedup", action="store_true")
     ap.add_argument("--near-threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--near-keep-by",
+        default=None,
+        help="numeric column whose max picks the near-dup survivor "
+        "(default: min doc id)",
+    )
     ap.add_argument("--min-quality", type=float, default=None)
     ap.add_argument("--lang", action="append", default=None,
                     help="repeatable: keep only these predicted languages")
@@ -70,7 +76,12 @@ def main() -> None:
         id_col=args.id_col,
         url_col=args.url_col,
         exact_dedup=not args.no_exact_dedup,
-        near_dedup={"threshold": args.near_threshold} if args.near_dedup else False,
+        near_dedup=(
+            {"threshold": args.near_threshold}
+            | ({"keep_by": args.near_keep_by} if args.near_keep_by else {})
+            if args.near_dedup
+            else False
+        ),
         min_quality=args.min_quality,
         languages=args.lang,
         decontaminate_against=bench,

@@ -37,6 +37,7 @@ def curate_corpus(
     near_dedup: bool | dict = False,
     min_quality: float | None = None,
     languages: list | None = None,
+    classifier: dict | None = None,
     decontaminate_against: DataFrame | None = None,
     redact_pii: bool = False,
     sample_fractions: dict | None = None,
@@ -52,7 +53,11 @@ def curate_corpus(
     """Run the configured curation stages in order; see module docstring.
 
     ``near_dedup`` may be ``True`` (defaults) or a kwargs dict for
-    :func:`phenoqc_spark.operators.dedup.minhash_near_dedup`.
+    :func:`phenoqc_spark.operators.dedup.minhash_near_dedup` (e.g.
+    ``{"keep_by": "quality"}`` for max-quality survivors).
+    ``classifier`` is a kwargs dict for
+    :func:`phenoqc_spark.operators.classify.classifier_filter` — the
+    model-based quality gate (needs an embedding column on ``df``).
     ``sample_fractions`` + ``strata_col`` selects deterministic stratified
     sampling; ``importance_target`` + ``importance_n`` selects DSIR
     Gumbel-top-k sampling (mutually exclusive).
@@ -104,6 +109,12 @@ def curate_corpus(
         if languages:
             cond = cond & F.col("lang_pred").isin(list(languages))
         out = record("quality_filter", out.filter(cond))
+    if classifier is not None:
+        # model-based quality gate: kwargs for classifier_filter (at
+        # minimum {'weights': [...]}); requires an embedding column on df
+        from .operators.classify import classifier_filter
+
+        out = record("classifier_filter", classifier_filter(out, **classifier))
     if decontaminate_against is not None:
         flags = X.contamination_flags(
             out, decontaminate_against, text_col=text_col, id_col=id_col

@@ -228,6 +228,19 @@ def test_curate_corpus_end_to_end(spark):
     )
     assert sh_rep["sharded"] == sh_rep["chunked"] == 90
     assert "shard_id" in sh_out.columns and "chunk_text" in sh_out.columns
+    # classifier stage: model-based gate keeps exactly the positive-margin
+    # docs (w = [1, -1], threshold 0.5 ⇔ dot > 0)
+    emb = spark.createDataFrame(
+        [(0, "keep a", [2.0, 1.0]), (1, "drop a", [1.0, 2.0]),
+         (2, "keep b", [3.0, 0.0]), (3, "drop null", None)],
+        "doc_id long, text string, embedding array<float>",
+    )
+    cls_out, cls_rep = curate_corpus(
+        emb, exact_dedup=False,
+        classifier={"weights": [1.0, -1.0], "threshold": 0.5},
+    )
+    assert cls_rep["classifier_filter"] == 2
+    assert {r.doc_id for r in cls_out.collect()} == {0, 2}
 
 
 def test_curation_report(spark, tmp_path):

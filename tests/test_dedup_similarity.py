@@ -486,6 +486,28 @@ def test_minhash_near_dedup_keeplist(spark):
     assert kept == [0, 3, 4]
 
 
+def test_minhash_near_dedup_keep_by_quality(spark):
+    """keep_by policy: the cluster survivor is the argmax of the score
+    column (min-id tiebreak), and null scores never win over non-null."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", 1.0),
+        (1, "the quick brown fox jumps over the lazy dog", 5.0),   # best
+        (2, "the quick brown fox jumps over the lazy cat", 3.0),
+        (3, "completely different text about spark engines", None),
+        (4, "entirely unrelated words concerning database tuning", 2.0),
+        (5, "the quick brown fox jumps over the lazy rat", 5.0),   # ties 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality double")
+    kept_df = D.minhash_near_dedup(
+        df, threshold=0.5, num_hashes=32, bands=16, keep_by="quality"
+    )
+    kept = sorted(r.doc_id for r in kept_df.collect())
+    D.release_intermediates(kept_df)
+    # cluster {0,1,2,5}: max quality 5.0 held by 1 and 5 -> min-id tiebreak
+    # keeps 1; singleton 3 survives despite null score; 4 survives
+    assert kept == [1, 3, 4]
+
+
 def test_stream_dedup_docs_across_batches(spark, tmp_path):
     """Streaming exact dedup suppresses duplicates across micro-batches via
     the state store (second run from the same checkpoint sees batch-1
