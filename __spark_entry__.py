@@ -1085,6 +1085,33 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dd_near_dedup_best"] = dd_near_dedup_best
 
+    def dd_span_winnow(spark, sf_dir):
+        # substring-level duplicate detection: winnowing fingerprints
+        # (MOSS) pair docs sharing verbatim token runs >= k+window-1 that
+        # doc-level minhash misses; 20% of docs get an injected copied
+        # sentence (5 variants -> 5 cliques) on top of the corpus's
+        # natural span sharing.  md5 hash path so DuckDB recomputes the
+        # identical fingerprints
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 < 2,
+                F.concat(
+                    F.lit("copied span sentence alpha beta gamma delta epsilon variant "),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit(" tail marker "),
+                    F.col("doc_id").cast("string"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return D.shared_span_pairs(
+            docs, k=5, window=3, min_shared=2, hash_fn="md5"
+        ).orderBy("doc_a", "doc_b")
+
+    q["dd_span_winnow"] = dd_span_winnow
+
     def dd_simhash(spark, sf_dir):
         # md5-derived token hash -> the fingerprint and therefore the exact
         # hamming pairs are recomputable in SQL: oracle does brute-force
@@ -3027,6 +3054,35 @@ pairs0 AS (
 SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
+    o["dd_span_winnow"] = """
+WITH docs AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(
+           CASE WHEN doc_id % 10 < 2
+                THEN 'copied span sentence alpha beta gamma delta epsilon variant '
+                     || CAST(doc_id % 5 AS VARCHAR) || ' tail marker '
+                     || CAST(doc_id AS VARCHAR)
+                ELSE text END)), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 2, 15)) AS BIGINT) AS h
+  FROM docs, range(1, 100000) t(i) WHERE i + 4 <= len(w)
+), wins AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS L
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE i <= L - 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY doc_a, doc_b
+"""
+
     o["dd_simhash"] = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -3368,7 +3424,8 @@ FROM reach GROUP BY node ORDER BY node
 # agg_asof_join, agg_range_join, agg_percentiles, agg_pivot,
 # agg_rollup, kg_bfs, f_json_extract, u_snapshot_diff,
 # kg_pagerank_weighted, kg_hits, agg_drift_psi, agg_drift_panel,
-# td_classifier_filter, dd_near_dedup_best) have never held a driver row —
+# td_classifier_filter, dd_near_dedup_best, dd_span_winnow) have never
+# held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

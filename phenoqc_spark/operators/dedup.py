@@ -1155,3 +1155,117 @@ def minhash_near_dedup_incremental(
     )
     out = new_df.join(dropped, id_col, "left_anti")
     return _register_persisted(out, persisted)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing span fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): per document the DISTINCT set of window-min k-gram
+    hashes, exploded to (doc_id, fp) rows.
+
+    Pigeonhole guarantee: two documents sharing any VERBATIM token run of
+    length ≥ k + window − 1 share at least one fingerprint — the
+    substring-level dup signal (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better") that doc-level minhash misses when the
+    copied span is a small fraction of each document.  Documents shorter
+    than k + window − 1 tokens emit no fingerprints (exact dedup owns
+    that regime).
+
+    Spark shape: ONE map-only stage — tokenize, k-gram hash array via a
+    ``transform`` over positions, window-min selection via a second
+    ``transform`` + ``array_min``, ``array_distinct``, explode.  The gram
+    array is materialized as a real column between two adjacent Projects
+    (no Filter in between) so the window lambda references it instead of
+    re-inlining the gram construction per window position — the measured
+    Catalyst pitfall documented at :func:`ngram_jaccard_pairs`.
+    Fingerprint density is ~2/(window+1) per token, independent of
+    document count — storage scales linearly with corpus tokens.
+
+    ``hash_fn='xxhash64'`` is the fast path; ``'md5'`` derives a 60-bit
+    hash from the md5 hex digest so any SQL engine can recompute the
+    fingerprints (the differential-oracle path, same rationale as
+    :func:`simhash`).
+    """
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be ≥ 1")
+    toks = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " "
+    )
+
+    def gram_hash(i):
+        g = F.concat_ws(" ", F.slice(toks, i, F.lit(k)))
+        if hash_fn == "xxhash64":
+            return F.xxhash64(g)
+        if hash_fn == "md5":
+            return F.conv(F.substring(F.md5(g), 2, 15), 16, 10).cast("long")
+        raise ValueError(f"unknown hash_fn '{hash_fn}'")
+
+    # sequence(1, 0) is [1, 0] in Spark (inferred negative step), not empty
+    # — short docs must be guarded explicitly (see word_shingles)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - k + 1), gram_hash),
+    ).otherwise(F.array().cast("array<bigint>"))
+    with_grams = df.select(F.col(id_col).alias("doc_id"), grams.alias("_grams"))
+    fps = with_grams.select(
+        "doc_id",
+        F.when(
+            F.size(F.col("_grams")) >= window,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.col("_grams")) - window + 1),
+                    lambda j: F.array_min(F.slice(F.col("_grams"), j, F.lit(window))),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("_fps"),
+    )
+    return fps.select("doc_id", F.explode("_fps").alias("fp"))
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: "int | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing ≥ ``min_shared``
+    winnowing fingerprints — candidate verbatim-span copies, ordered
+    doc_a < doc_b.
+
+    Scale shape: fingerprints bucket-join on the 8-byte fp (the only
+    shuffle carries (fp, doc_id) — text never leaves the map side), then
+    one pair-count aggregate.  A fingerprint held by D documents emits
+    D·(D−1)/2 pairs, so corpus-wide boilerplate spans are quadratic
+    poison: ``max_df`` drops fingerprints whose doc-frequency exceeds it
+    (those spans are :func:`paragraph_dedup`'s job — a span in thousands
+    of docs is template text, not a copy worth pairing).  The df-cut is
+    one extra hash aggregate on fp, the same bound-the-bucket move as
+    ``ngram_jaccard_pairs(max_df=...)``.
+    """
+    fps = winnow_fingerprints(df, k, window, text_col, id_col, hash_fn)
+    if max_df is not None:
+        keep_fp = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
+            F.col("_df") <= max_df
+        )
+        fps = fps.join(keep_fp.select("fp"), "fp")
+    a = fps.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = fps.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

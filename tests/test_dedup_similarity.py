@@ -486,6 +486,75 @@ def test_minhash_near_dedup_keeplist(spark):
     assert kept == [0, 3, 4]
 
 
+def _py_winnow(text, k, w):
+    """Driver-side winnowing twin (md5 60-bit hash path)."""
+    import hashlib
+    import re
+
+    toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    if len(toks) < k:
+        return set()
+    grams = [
+        int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[1:16], 16)
+        for i in range(len(toks) - k + 1)
+    ]
+    if len(grams) < w:
+        return set()
+    return {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+
+
+def test_winnow_fingerprints_match_python_twin(spark):
+    """Winnowing fingerprint sets must equal the sequential twin exactly
+    (md5 hash path), including the short-doc empty cases, and the plan
+    must stay map-only."""
+    import random
+
+    from tests.test_plan_shapes import plan_text
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40))))
+            for i in range(25)]
+    rows += [(100, ""), (101, "one two three")]  # empty + shorter than k
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w = 4, 3
+    got = {}
+    fps = D.winnow_fingerprints(df, k=k, window=w, hash_fn="md5")
+    for r in fps.collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == _py_winnow(text, k, w), doc_id
+    txt = plan_text(fps)
+    assert "Exchange" not in txt and "Join" not in txt, txt
+
+
+def test_shared_span_pairs_detects_copied_run(spark):
+    """Docs sharing a verbatim run of >= k+window-1 tokens must pair
+    (pigeonhole guarantee); unrelated docs must not; max_df drops
+    boilerplate fingerprints held by too many docs."""
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, f"intro words here {span} and then something else entirely"),
+        (1, f"totally different start {span} closing remarks done now"),
+        (2, "no overlap at all just independent content words everywhere"),
+    ]
+    # 10 docs all sharing a boilerplate footer span
+    boiler = "subscribe to our newsletter for updates and offers today friends"
+    rows += [(10 + i, f"unique lead {i} text piece {boiler}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in
+             D.shared_span_pairs(df, k=5, window=3, min_shared=1).collect()}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+    # footer clique present without max_df...
+    assert (10, 11) in pairs
+    # ...and cut by max_df=5 (the span sits in 10 docs), while the real
+    # 2-doc copy survives
+    cut = {(r.doc_a, r.doc_b) for r in
+           D.shared_span_pairs(df, k=5, window=3, min_shared=1, max_df=5).collect()}
+    assert (0, 1) in cut and (10, 11) not in cut
+
+
 def test_minhash_near_dedup_keep_by_quality(spark):
     """keep_by policy: the cluster survivor is the argmax of the score
     column (min-id tiebreak), and null scores never win over non-null."""
