@@ -1838,6 +1838,54 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_bfs"] = kg_bfs
 
+    def _term_dag(docs):
+        # deterministic 60-term multi-inheritance subsumption DAG derived
+        # from the documents scan: term n has parent n div 2 (n ≥ 2) and,
+        # for n % 4 == 0, a second parent n div 3 — parents are strictly
+        # smaller, so the graph is acyclic with depth ~6
+        nodes = docs.select((F.col("doc_id") % 60).alias("n")).distinct()
+        e1 = nodes.filter(F.col("n") >= 2).select(
+            F.col("n").alias("c"), F.expr("n div 2").alias("p")
+        )
+        e2 = nodes.filter((F.col("n") >= 3) & (F.col("n") % 4 == 0)).select(
+            F.col("n").alias("c"), F.expr("n div 3").alias("p")
+        )
+        return e1.union(e2).select(
+            F.format_string("T%02d", F.col("c")).alias("child"),
+            F.format_string("T%02d", F.col("p")).alias("parent"),
+        )
+
+    def kg_ancestor_closure(spark, sf_dir):
+        # transitive is_a closure with min-hop depth; oracle = DuckDB
+        # recursive CTE (set-semantics UNION + MIN(depth) per pair)
+        from phenoqc_spark.operators.canonicalize import ancestor_closure
+
+        docs = load_table(spark, sf_dir, "documents")
+        return ancestor_closure(_term_dag(docs)).orderBy("node", "ancestor")
+
+    q["kg_ancestor_closure"] = kg_ancestor_closure
+
+    def kg_term_rollup(spark, sf_dir):
+        # HPO-style annotation rollup: each document's term counts toward
+        # itself and every ancestor, DISTINCT on a coarse record key so
+        # records annotated with two terms in one subtree count once
+        from phenoqc_spark.operators.canonicalize import (
+            ancestor_closure,
+            rollup_counts,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        closure = ancestor_closure(_term_dag(docs))
+        facts = docs.select(
+            F.format_string("T%02d", F.col("doc_id") % 60).alias("term"),
+            (F.col("doc_id") % 500).alias("rec"),
+        )
+        return rollup_counts(
+            facts, closure, term_col="term", distinct_col="rec"
+        ).orderBy("ancestor")
+
+    q["kg_term_rollup"] = kg_term_rollup
+
     def sim_hash_embed(spark, sf_dir):
         # feature-hashing text embedding (hashing trick) — DuckDB cannot
         # reproduce Spark's seeded xxhash64, so the oracle is the pinned
@@ -3372,6 +3420,44 @@ SELECT node, CAST(MIN(d) AS BIGINT) AS distance
 FROM reach GROUP BY node ORDER BY node
 """
 
+    _DAG_SQL = """nodes AS (SELECT DISTINCT doc_id % 60 AS n FROM documents),
+edges AS (
+  SELECT n AS c, n // 2 AS p FROM nodes WHERE n >= 2
+  UNION
+  SELECT n AS c, n // 3 AS p FROM nodes WHERE n >= 3 AND n % 4 = 0
+)"""
+
+    o["kg_ancestor_closure"] = f"""
+WITH RECURSIVE {_DAG_SQL},
+reach(node, ancestor, depth) AS (
+  SELECT c, p, 1 FROM edges
+  UNION
+  SELECT r.node, e.p, r.depth + 1
+  FROM reach r JOIN edges e ON r.ancestor = e.c WHERE r.depth < 30
+)
+SELECT printf('T%02d', node) AS node, printf('T%02d', ancestor) AS ancestor,
+       CAST(MIN(depth) AS INTEGER) AS depth
+FROM reach WHERE node <> ancestor GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+    o["kg_term_rollup"] = f"""
+WITH RECURSIVE {_DAG_SQL},
+reach(node, ancestor) AS (
+  SELECT c, p FROM edges
+  UNION
+  SELECT r.node, e.p FROM reach r JOIN edges e ON r.ancestor = e.c
+),
+facts AS (SELECT doc_id % 60 AS term, doc_id % 500 AS rec FROM documents),
+contrib AS (
+  SELECT r.ancestor, f.rec FROM facts f JOIN reach r ON f.term = r.node
+  UNION ALL
+  SELECT f.term AS ancestor, f.rec FROM facts f
+)
+SELECT printf('T%02d', ancestor) AS ancestor,
+       CAST(COUNT(DISTINCT rec) AS BIGINT) AS n
+FROM contrib GROUP BY 1 ORDER BY 1
+"""
+
     from phenoqc_spark.kcore_golden import KCORE_45 as _KC
 
     _kc_vals = ",\n        ".join(f"({n}, {c})" for (n, c) in _KC)
@@ -3424,8 +3510,8 @@ FROM reach GROUP BY node ORDER BY node
 # agg_asof_join, agg_range_join, agg_percentiles, agg_pivot,
 # agg_rollup, kg_bfs, f_json_extract, u_snapshot_diff,
 # kg_pagerank_weighted, kg_hits, agg_drift_psi, agg_drift_panel,
-# td_classifier_filter, dd_near_dedup_best, dd_span_winnow) have never
-# held a driver row —
+# td_classifier_filter, dd_near_dedup_best, dd_span_winnow,
+# kg_ancestor_closure, kg_term_rollup) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

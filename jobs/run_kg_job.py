@@ -43,6 +43,10 @@ def main() -> None:
                     help="materialize graph diagnostics over the produced triples "
                          "(degree stats, triangle counts, clustering coefficients; --kcore adds coreness) "
                          "to <out>/graph_stats")
+    ap.add_argument("--isa-rollup", action="store_true",
+                    help="roll triple counts up the ontologies' is_a hierarchy "
+                         "(distinct subjects per ancestor term) to <out>/term_rollup; "
+                         "flows into the report's subsumption section")
     ap.add_argument("--kcore", action="store_true",
                     help="with --graph-stats: also add a coreness column "
                          "(k-core peel — iterative; costs extra passes)")
@@ -145,6 +149,44 @@ def main() -> None:
             )
         stats.write.mode("overwrite").parquet(graph_stats_path)
         log_activity(f"graph stats -> {graph_stats_path}")
+    rollup_path = None
+    if args.isa_rollup:
+        from phenoqc_spark.ontology.obo import build_isa_edges
+        from phenoqc_spark.operators.canonicalize import (
+            ancestor_closure,
+            rollup_counts,
+        )
+
+        isa_edges = []
+        for fn in sorted(os.listdir(args.onto_dir)):
+            if fn.lower().endswith((".obo", ".json", ".owl")):
+                isa_edges += build_isa_edges(os.path.join(args.onto_dir, fn))
+        if isa_edges:
+            edf = spark.createDataFrame(isa_edges, "child string, parent string")
+            closure = ancestor_closure(edf)
+            # hierarchy members only (broadcast semi-join): the rollup is a
+            # subsumption view, so objects outside any is_a DAG — unlinked
+            # surfaces, flat-ontology ids — stay out of it; leaf self-counts
+            # come from include_self.  Record key = subj, so a subject
+            # linked to two terms in one subtree counts once per ancestor.
+            members = (
+                closure.select(F.col("node").alias("term"))
+                .union(closure.select(F.col("ancestor").alias("term")))
+                .distinct()
+            )
+            facts = (
+                spark.read.parquet(triples_path)
+                .select(F.col("obj").alias("term"), F.col("subj").alias("rec"))
+                .join(F.broadcast(members), "term", "left_semi")
+            )
+            rollup = rollup_counts(
+                facts, closure, term_col="term", distinct_col="rec"
+            )
+            rollup_path = os.path.join(args.out, "term_rollup")
+            rollup.write.mode("overwrite").parquet(rollup_path)
+            log_activity(f"is_a rollup -> {rollup_path}")
+        else:
+            log_activity("is_a rollup skipped: no is_a edges in ontologies")
     report_path = None
     if args.report:
         from phenoqc_spark.report import (
@@ -153,17 +195,24 @@ def main() -> None:
             generate_report,
         )
 
-        # graph diagnostics flow into the report when both flags are on
+        # graph/subsumption diagnostics flow into the report when the
+        # respective flags are on
         gs = spark.read.parquet(graph_stats_path) if graph_stats_path else None
+        tr = spark.read.parquet(rollup_path) if rollup_path else None
         report_path = os.path.join(args.out, "qc_report.md")
-        generate_report(spark, triples_path, audit_path, report_path, graph_stats=gs)
+        generate_report(
+            spark, triples_path, audit_path, report_path,
+            graph_stats=gs, term_rollup=tr,
+        )
         generate_html_report(
             spark, triples_path, audit_path,
-            os.path.join(args.out, "qc_report.html"), graph_stats=gs,
+            os.path.join(args.out, "qc_report.html"),
+            graph_stats=gs, term_rollup=tr,
         )
         generate_pdf_report(
             spark, triples_path, audit_path,
-            os.path.join(args.out, "qc_report.pdf"), graph_stats=gs,
+            os.path.join(args.out, "qc_report.pdf"),
+            graph_stats=gs, term_rollup=tr,
         )
 
     print(json.dumps({
@@ -173,6 +222,7 @@ def main() -> None:
         "resumed": bool(args.resume),
         "report": report_path,
         "graph_stats": graph_stats_path,
+        "term_rollup": rollup_path,
     }))
     spark.stop()
 

@@ -4,6 +4,11 @@ Mini-OBO content mirrors the reference's own unit-test fixtures
 (reference: tests/test_mapping.py:18-72) plus the MPO terms, small enough
 to hand-verify and rich enough to exercise every resolution tier
 (exact / synonym / id / alt_id / xref / fuzzy / prefix fallback).
+
+The HPO fixture additionally carries an ``is_a`` hierarchy (leaf terms →
+category terms → HP:0000118) feeding the subsumption-rollup path; the
+category [Term] blocks are id-only, so the surface-form dict gains only
+their id keys — no name/synonym keys that could perturb the fuzzy tier.
 """
 
 from __future__ import annotations
@@ -20,16 +25,31 @@ id: HP:0000822
 name: Hypertension
 synonym: "High blood pressure" EXACT []
 alt_id: HP:0999999
+is_a: HP:0011025 ! Abnormal cardiovascular system physiology
 
 [Term]
 id: HP:0001627
 name: Diabetes
 synonym: "Sugar diabetes" EXACT []
+is_a: HP:0001939 ! Abnormality of metabolism/homeostasis
 
 [Term]
 id: HP:0002090
 name: Asthma
 synonym: "Reactive airway disease" EXACT []
+is_a: HP:0002086 ! Abnormality of the respiratory system
+
+[Term]
+id: HP:0011025
+is_a: HP:0000118 ! Phenotypic abnormality
+
+[Term]
+id: HP:0001939
+is_a: HP:0000118 ! Phenotypic abnormality
+
+[Term]
+id: HP:0002086
+is_a: HP:0000118 ! Phenotypic abnormality
 """
 
 DO_OBO = """format-version: 1.2

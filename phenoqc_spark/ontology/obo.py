@@ -15,8 +15,9 @@ as ``hp.json``/``mondo.json``) with a pure-Python reader.  Key **insertion
 order is preserved** because the fuzzy tier's tie-breaking depends on it
 (SURVEY.md §7.4).
 
-Only the term fields the reference consumes are handled: ``id``, ``name``,
-``synonym``, ``alt_id``, ``xref`` (OBO) and their obographs twins (``lbl``,
+Only the term fields the reference consumes are handled — ``id``, ``name``,
+``synonym``, ``alt_id``, ``xref`` — plus ``is_a`` parents (engine-side
+extra feeding the subsumption-closure operator) (OBO) and their obographs twins (``lbl``,
 ``meta.synonyms[].val``, ``meta.basicPropertyValues`` with the
 ``hasAlternativeId`` predicate, ``meta.xrefs[].val``) and OWL RDF/XML
 (``rdfs:label``, ``oboInOwl:has*Synonym`` / ``hasAlternativeId`` /
@@ -49,7 +50,10 @@ def parse_obo_terms(path: str) -> List[dict]:
                     cur = None
                 in_term = line == "[Term]"
                 if in_term:
-                    cur = {"id": None, "name": None, "synonyms": [], "alt_ids": [], "xrefs": []}
+                    cur = {
+                    "id": None, "name": None, "synonyms": [],
+                    "alt_ids": [], "xrefs": [], "parents": [],
+                }
                 continue
             if not in_term or cur is None:
                 continue
@@ -65,6 +69,11 @@ def parse_obo_terms(path: str) -> List[dict]:
                 cur["alt_ids"].append(line.split(":", 1)[1].strip())
             elif line.startswith("xref:"):
                 cur["xrefs"].append(line.split(":", 1)[1].strip())
+            elif line.startswith("is_a:"):
+                # "is_a: HP:0000118 ! Phenotypic abnormality" — id before '!'
+                parent = line.split(":", 1)[1].split("!", 1)[0].strip()
+                if parent:
+                    cur["parents"].append(parent)
     if cur is not None:
         terms.append(cur)
     return terms
@@ -89,6 +98,12 @@ def parse_obojson_terms(path: str) -> List[dict]:
         doc = json.load(fh)
     terms: List[dict] = []
     for graph in doc.get("graphs", []):
+        # obographs encodes subsumption as graph-level edges with
+        # pred "is_a" (the hp.json/mondo.json convention)
+        isa: Dict[str, List[str]] = {}
+        for edge in graph.get("edges", []):
+            if edge.get("pred") == "is_a" and edge.get("sub") and edge.get("obj"):
+                isa.setdefault(_curie(edge["sub"]), []).append(_curie(edge["obj"]))
         for node in graph.get("nodes", []):
             if node.get("type") not in (None, "CLASS"):
                 continue
@@ -108,6 +123,7 @@ def parse_obojson_terms(path: str) -> List[dict]:
                     "synonyms": [s.get("val", "") for s in meta.get("synonyms", [])],
                     "alt_ids": [a for a in alt_ids if a],
                     "xrefs": [x.get("val", "") for x in meta.get("xrefs", []) if x.get("val")],
+                    "parents": isa.get(_curie(nid), []),
                 }
             )
     return terms
@@ -143,6 +159,8 @@ def parse_owl_terms(path: str) -> List[dict]:
     }
     alt_tag = f"{{{_OWL_NS['oboInOwl']}}}hasAlternativeId"
     xref_tag = f"{{{_OWL_NS['oboInOwl']}}}hasDbXref"
+    subclass_tag = f"{{{_OWL_NS['rdfs']}}}subClassOf"
+    resource_attr = f"{{{_OWL_NS['rdf']}}}resource"
 
     terms: List[dict] = []
     for event, elem in ET.iterparse(path, events=("end",)):
@@ -150,8 +168,18 @@ def parse_owl_terms(path: str) -> List[dict]:
             continue
         iri = elem.get(about_attr)
         if iri:
-            term = {"id": _curie(iri), "name": None, "synonyms": [], "alt_ids": [], "xrefs": []}
+            term = {
+                "id": _curie(iri), "name": None, "synonyms": [],
+                "alt_ids": [], "xrefs": [], "parents": [],
+            }
             for child in elem:
+                if child.tag == subclass_tag:
+                    # named superclass only (rdf:resource); anonymous
+                    # owl:Restriction subclass axioms are not is_a edges
+                    parent_iri = child.get(resource_attr)
+                    if parent_iri:
+                        term["parents"].append(_curie(parent_iri))
+                    continue
                 txt = (child.text or "").strip()
                 if not txt:
                     continue
@@ -255,4 +283,25 @@ def build_sameas_edges(
             edges.append((alt.upper(), tid, "alt_id"))
         for x in term["xrefs"]:
             edges.append((x.upper(), tid, "xref"))
+    return edges
+
+
+def build_isa_edges(
+    path: str, file_format: str | None = None
+) -> List[Tuple[str, str]]:
+    """(child_id, parent_id) subsumption edges from the ontology's
+    ``is_a`` hierarchy — OBO ``is_a:`` lines, obographs graph-level
+    ``is_a`` edges, OWL named ``rdfs:subClassOf`` (anonymous restriction
+    superclasses excluded).
+
+    Feeds :func:`phenoqc_spark.operators.canonicalize.ancestor_closure`
+    for subsumption rollups.  The reference reads ontologies only as flat
+    surface-form dicts (mapping.py:203-271 — no hierarchy use), so this
+    is an engine-side generalization: term-level QC counts rolled up to
+    ancestor phenotype categories, the standard HPO reporting view."""
+    edges: List[Tuple[str, str]] = []
+    for term in _parse_terms(path, file_format):
+        if term["id"]:
+            for parent in term.get("parents", []):
+                edges.append((term["id"], parent))
     return edges

@@ -556,3 +556,111 @@ def canonicalize_objects(triples: DataFrame, mapping: DataFrame) -> DataFrame:
         .withColumn("obj", F.coalesce(F.col("canonical_id"), F.col("obj")))
         .drop("canonical_id")
     )
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_depth: int = 100,
+) -> DataFrame:
+    """(node, ancestor, depth): transitive closure of the ``is_a``
+    subsumption DAG, depth = MINIMUM hop count ≥ 1 (direct parent = 1).
+    Self-pairs are excluded; nodes appearing only as parents contribute
+    ancestors, not rows.
+
+    Semi-naive iteration: each round extends only the previous round's
+    NEW pairs by one parent hop, anti-joins pairs already known, and
+    ``localCheckpoint``\\ s the delta (the :func:`connected_components`
+    lineage discipline).  Rounds = hierarchy depth — ~16 for HPO-sized
+    ontologies.  Because BFS discovers each (node, ancestor) pair first
+    at its minimum depth, the depth column needs no post-aggregation.
+
+    Scale posture: ontologies are DIMENSION data (10⁴–10⁵ terms, ~1.2
+    edges/term), so the closure output — |terms| × avg-ancestor-set, ~2M
+    rows for HPO — is computed once and then **broadcast** against
+    billion-row fact tables (:func:`rollup_counts`); the iteration here
+    is distributed for generality but never sits on the fact path.
+    Cycles (ill-formed ontologies) cannot loop the iteration — the pair
+    space is finite and the anti-join rejects rediscoveries — but
+    members of a cycle reach themselves; those self-pairs are dropped,
+    matching the DAG reading.  ``max_depth`` truncates deeper ancestry
+    (absent rows, same contract as :func:`bfs_distances`).
+
+    Reference analogue: none — the reference never reads the hierarchy
+    (mapping.py builds flat surface-form dicts only); this powers the
+    ancestor-category rollup view its per-term reports stop short of.
+    """
+    e = (
+        edges.select(F.col(child).alias("node"), F.col(parent).alias("ancestor"))
+        .filter(
+            F.col("node").isNotNull()
+            & F.col("ancestor").isNotNull()
+            & (F.col("node") != F.col("ancestor"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # hop table for extension: (mid, ancestor) keyed by the node whose
+    # parents we append
+    hop = e.select(F.col("node").alias("mid"), F.col("ancestor").alias("anc2"))
+    out = e.select("node", "ancestor", F.lit(1).cast("int").alias("depth"))
+    delta = out
+    for d in range(2, max_depth + 1):
+        nxt = (
+            delta.join(hop, delta["ancestor"] == hop["mid"])
+            .select("node", F.col("anc2").alias("ancestor"))
+            .filter(F.col("node") != F.col("ancestor"))
+            .distinct()
+            .join(out.select("node", "ancestor"), ["node", "ancestor"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        new = nxt.select("node", "ancestor", F.lit(d).cast("int").alias("depth"))
+        out = out.union(new)
+        delta = new
+    return out
+
+
+def rollup_counts(
+    facts: DataFrame,
+    closure: DataFrame,
+    term_col: str = "term",
+    distinct_col: "str | None" = None,
+    include_self: bool = True,
+) -> DataFrame:
+    """(ancestor, n): fact counts rolled up the subsumption hierarchy —
+    every fact annotated with term t counts toward t (when
+    ``include_self``) and toward each ancestor of t.  The standard
+    ontology reporting view ("how many records under *Abnormality of the
+    cardiovascular system*"), which per-term counts understate because
+    annotations attach at the leaves.
+
+    ``distinct_col``: count DISTINCT values of that column per ancestor
+    (e.g. records annotated with two siblings count once for the shared
+    parent) instead of fact rows.
+
+    Scale shape: the closure is dimension-sized and **broadcast**; the
+    fact side is touched by one map-side inner join (each fact row fans
+    out to its term's ancestor set — bounded by hierarchy size, not
+    corpus size) followed by a single hash aggregate.  Plain counts
+    partial-aggregate map-side; distinct counts shuffle (ancestor,
+    distinct_col) pairs once — both fact-partition-parallel with no
+    driver involvement.
+    """
+    anc = closure.select(F.col("node").alias(term_col), "ancestor")
+    val = F.col(distinct_col) if distinct_col is not None else F.lit(1)
+    contrib = facts.join(F.broadcast(anc), term_col).select(
+        "ancestor", val.alias("_v")
+    )
+    if include_self:
+        # self contribution straight from the fact row — terms with no
+        # hierarchy edges (absent from the closure) still count
+        contrib = contrib.union(
+            facts.select(F.col(term_col).alias("ancestor"), val.alias("_v"))
+        )
+    agg = (
+        F.countDistinct("_v") if distinct_col is not None else F.count(F.lit(1))
+    )
+    return contrib.groupBy("ancestor").agg(agg.alias("n"))

@@ -75,6 +75,13 @@ def _graph_summary(graph_stats: DataFrame, top_n: int = 10):
     return summary, top, top_rank
 
 
+def _rollup_rows(term_rollup: DataFrame, top_n: int = 20):
+    """Top ancestors by rolled-up record count (deterministic tiebreak)."""
+    return (
+        term_rollup.orderBy(F.desc("n"), F.asc("ancestor")).limit(top_n).collect()
+    )
+
+
 def generate_report(
     spark: SparkSession,
     triples_path: str,
@@ -82,6 +89,7 @@ def generate_report(
     out_path: str,
     mapping_stats: DataFrame | None = None,
     graph_stats: DataFrame | None = None,
+    term_rollup: DataFrame | None = None,
 ) -> str:
     triples = spark.read.parquet(triples_path)
     audit = spark.read.parquet(audit_path)
@@ -140,6 +148,15 @@ def generate_report(
                 "|---|---|",
             ]
             lines += [f"| {r.entity} | {r.rank:.6f} |" for r in top_rank]
+    if term_rollup is not None:
+        lines += [
+            "",
+            "## Subsumption rollup (top 20 ancestor terms)",
+            "",
+            "| ancestor term | records (incl. descendants) |",
+            "|---|---|",
+        ]
+        lines += [f"| {r.ancestor} | {r.n:,} |" for r in _rollup_rows(term_rollup)]
     content = "\n".join(lines) + "\n"
     with open(out_path, "w") as fh:
         fh.write(content)
@@ -252,6 +269,7 @@ def generate_html_report(
     out_path: str,
     mapping_stats: DataFrame | None = None,
     graph_stats: DataFrame | None = None,
+    term_rollup: DataFrame | None = None,
 ) -> str:
     """Self-contained HTML QC report (visual analogue of generate_report)."""
     triples = spark.read.parquet(triples_path)
@@ -328,6 +346,13 @@ def generate_html_report(
                     value_fmt="{:.4f}",
                 )
             )
+    if term_rollup is not None:
+        sections.append(
+            _svg_hbar(
+                [(r.ancestor, r.n) for r in _rollup_rows(term_rollup)],
+                "Subsumption rollup (top 20 ancestor terms)",
+            )
+        )
     content = (
         "<!doctype html>\n<html><head><meta charset='utf-8'><title>QC Report</title></head>\n"
         f'<body style="font-family:system-ui,sans-serif;max-width:900px;margin:32px auto;'
@@ -388,6 +413,7 @@ def generate_pdf_report(
     out_path: str,
     mapping_stats: DataFrame | None = None,
     graph_stats: DataFrame | None = None,
+    term_rollup: DataFrame | None = None,
 ) -> bytes:
     """PDF QC report — the reference's deliverable format (reporting.py:
     832-1081), same content as :func:`generate_html_report`.  Returns the
@@ -460,6 +486,18 @@ def generate_pdf_report(
                 "Top entities by PageRank",
                 value_fmt="{:.4f}",
             )
+    if term_rollup is not None:
+        from .pdfgen import PAGE_H
+
+        if y > PAGE_H - 180:
+            c.new_page()
+            y = 60
+        y = _pdf_hbar(
+            c,
+            y,
+            [(r.ancestor, r.n) for r in _rollup_rows(term_rollup)],
+            "Subsumption rollup (top 20 ancestor terms)",
+        )
     data = c.build()
     with open(out_path, "wb") as fh:
         fh.write(data)

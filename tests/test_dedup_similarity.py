@@ -1573,3 +1573,79 @@ def test_hash_embedding_semantics_and_ann_composition(spark):
     )
     top = S.cosine_topk_bruteforce(emb, q, k=2).collect()
     assert {r.vec_id for r in top} == {0, 1} and all(abs(r.cosine - 1.0) < 1e-6 for r in top)
+
+
+def test_ancestor_closure_matches_bruteforce(spark):
+    """Semi-naive closure must equal a sequential min-depth ancestor BFS
+    on a random multi-inheritance DAG; cycle members reach each other but
+    never themselves; max_depth truncates deeper ancestry."""
+    import random
+    from collections import deque
+
+    from phenoqc_spark.operators.canonicalize import ancestor_closure
+
+    rng = random.Random(13)
+    # acyclic by construction: parents always have a smaller id
+    edges = [(c, p) for c in range(1, 40) for p in range(c) if rng.random() < 0.09]
+    up = {}
+    for c, p in edges:
+        up.setdefault(c, set()).add(p)
+    want = {}
+    for n in up:
+        dist, dq = {n: 0}, deque([n])
+        while dq:
+            x = dq.popleft()
+            for p in up.get(x, ()):
+                if p not in dist:
+                    dist[p] = dist[x] + 1
+                    dq.append(p)
+        for a, d in dist.items():
+            if a != n:
+                want[(n, a)] = d
+
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got = {(r.node, r.ancestor): r.depth for r in ancestor_closure(df).collect()}
+    assert got == want
+
+    # 3-cycle: each member reaches the other two, no self-pairs
+    cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "child long, parent long")
+    gotc = {(r.node, r.ancestor): r.depth for r in ancestor_closure(cyc).collect()}
+    assert gotc == {(0, 1): 1, (1, 2): 1, (2, 0): 1,
+                    (0, 2): 2, (1, 0): 2, (2, 1): 2}
+
+    # chain 5->4->3->2->1->0 truncated at depth 2
+    chain = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 6)], "child long, parent long"
+    )
+    trunc = {(r.node, r.ancestor) for r in ancestor_closure(chain, max_depth=2).collect()}
+    assert trunc == {(i, i - 1) for i in range(1, 6)} | {(i, i - 2) for i in range(2, 6)}
+
+
+def test_rollup_counts_hierarchy(spark):
+    """Fact counts roll up to every ancestor; distinct_col collapses
+    multi-annotated records; include_self keeps terms outside the
+    hierarchy; the closure side of the join is broadcast."""
+    from phenoqc_spark.operators.canonicalize import ancestor_closure, rollup_counts
+    from tests.test_plan_shapes import plan_text
+
+    edges = spark.createDataFrame(
+        [("T1", "T0"), ("T2", "T0"), ("T3", "T1")], "child string, parent string"
+    )
+    closure = ancestor_closure(edges)
+    facts = spark.createDataFrame(
+        [(1, "T3"), (1, "T1"), (2, "T2"), (3, "T9")], "doc long, term string"
+    )
+    plain = rollup_counts(facts, closure, term_col="term")
+    got = {r.ancestor: r.n for r in plain.collect()}
+    # T3 row -> T3,T1,T0; T1 row -> T1,T0; T2 row -> T2,T0; T9 row -> T9
+    assert got == {"T3": 1, "T1": 2, "T0": 3, "T2": 1, "T9": 1}
+    # doc 1 annotated with both T3 and T1 counts once for T1/T0
+    dist = {r.ancestor: r.n for r in
+            rollup_counts(facts, closure, term_col="term", distinct_col="doc").collect()}
+    assert dist == {"T3": 1, "T1": 1, "T0": 2, "T2": 1, "T9": 1}
+    # without self-contribution only ancestor rows remain
+    nos = {r.ancestor: r.n for r in
+           rollup_counts(facts, closure, term_col="term", include_self=False).collect()}
+    assert nos == {"T1": 1, "T0": 3}
+    txt = plan_text(plain)
+    assert "BroadcastHashJoin" in txt or "BroadcastNestedLoop" in txt, txt

@@ -302,3 +302,68 @@ def test_owl_term_dict_matches_obo_twin(tmp_path):
     r = TermResolver.from_config(cfg)
     assert r.map_term("High blood pressure")["HPO"] == "HP:0000822"
     assert r.map_term("HP:0000974")["HPO"] == "HP:0000822"
+
+
+def test_isa_edges_all_three_formats(tmp_path):
+    """is_a parsing parity: OBO `is_a:` lines (with `! name` comments),
+    obographs graph-level is_a edges, and OWL named rdfs:subClassOf must
+    all yield the same (child, parent) edge list; OWL anonymous
+    restriction superclasses and obographs non-is_a preds are ignored."""
+    import json
+
+    from phenoqc_spark.ontology.obo import build_isa_edges
+
+    want = [("HP:0000822", "HP:0011025"), ("HP:0000822", "HP:0030972"),
+            ("HP:0011025", "HP:0000118")]
+
+    obo = tmp_path / "hp.obo"
+    obo.write_text(
+        "format-version: 1.2\n\n"
+        "[Term]\nid: HP:0000822\nname: Hypertension\n"
+        "is_a: HP:0011025 ! Abnormal cardiovascular physiology\n"
+        "is_a: HP:0030972 ! Abnormal blood pressure\n\n"
+        "[Term]\nid: HP:0011025\nname: Abnormal cardiovascular physiology\n"
+        "is_a: HP:0000118 ! Phenotypic abnormality\n\n"
+        "[Term]\nid: HP:0000118\nname: Phenotypic abnormality\n"
+    )
+    assert build_isa_edges(str(obo), "obo") == want
+
+    pre = "http://purl.obolibrary.org/obo/"
+    j = {"graphs": [{
+        "nodes": [
+            {"id": f"{pre}HP_0000822", "lbl": "Hypertension", "type": "CLASS"},
+            {"id": f"{pre}HP_0011025", "lbl": "Abnormal cardiovascular physiology",
+             "type": "CLASS"},
+            {"id": f"{pre}HP_0000118", "lbl": "Phenotypic abnormality", "type": "CLASS"},
+        ],
+        "edges": [
+            {"sub": f"{pre}HP_0000822", "pred": "is_a", "obj": f"{pre}HP_0011025"},
+            {"sub": f"{pre}HP_0000822", "pred": "is_a", "obj": f"{pre}HP_0030972"},
+            {"sub": f"{pre}HP_0011025", "pred": "is_a", "obj": f"{pre}HP_0000118"},
+            {"sub": f"{pre}HP_0000822", "pred": "http://x/partOf",
+             "obj": f"{pre}HP_0000001"},
+        ],
+    }]}
+    jf = tmp_path / "hp.json"
+    jf.write_text(json.dumps(j))
+    assert build_isa_edges(str(jf), "json") == want
+
+    owl = tmp_path / "hp.owl"
+    owl.write_text(
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+        '  xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"\n'
+        '  xmlns:owl="http://www.w3.org/2002/07/owl#">\n'
+        f'<owl:Class rdf:about="{pre}HP_0000822">\n'
+        '  <rdfs:label>Hypertension</rdfs:label>\n'
+        f'  <rdfs:subClassOf rdf:resource="{pre}HP_0011025"/>\n'
+        f'  <rdfs:subClassOf rdf:resource="{pre}HP_0030972"/>\n'
+        "  <rdfs:subClassOf><owl:Restriction/></rdfs:subClassOf>\n"
+        "</owl:Class>\n"
+        f'<owl:Class rdf:about="{pre}HP_0011025">\n'
+        f'  <rdfs:subClassOf rdf:resource="{pre}HP_0000118"/>\n'
+        "</owl:Class>\n"
+        f'<owl:Class rdf:about="{pre}HP_0000118"/>\n'
+        "</rdf:RDF>\n"
+    )
+    assert build_isa_edges(str(owl), "owl") == want

@@ -207,6 +207,46 @@ def test_report(spark, tmp_path, resolver):
     )
     assert b"Top entities by PageRank" in pdf_pr
 
+    # subsumption-rollup section (run_kg_job --isa-rollup): triple counts
+    # rolled up the fixture HPO is_a hierarchy render in all three formats
+    from phenoqc_spark.fixtures import HPO_OBO
+    from phenoqc_spark.ontology.obo import build_isa_edges
+    from phenoqc_spark.operators.canonicalize import ancestor_closure, rollup_counts
+
+    obo_path = tmp_path / "HPO.obo"
+    obo_path.write_text(HPO_OBO)
+    isa = build_isa_edges(str(obo_path), "obo")
+    assert ("HP:0000822", "HP:0011025") in isa and ("HP:0011025", "HP:0000118") in isa
+    closure = ancestor_closure(
+        spark.createDataFrame(isa, "child string, parent string")
+    )
+    facts = trip.select(F.col("obj").alias("term"), F.col("subj").alias("rec"))
+    tr = rollup_counts(facts, closure, term_col="term", distinct_col="rec")
+    md_tr = generate_report(
+        spark,
+        str(tmp_path / "triples"),
+        str(tmp_path / "audit"),
+        str(tmp_path / "report_tr.md"),
+        term_rollup=tr,
+    )
+    assert "## Subsumption rollup" in md_tr and "HP:0000118" in md_tr
+    html_tr = generate_html_report(
+        spark,
+        str(tmp_path / "triples"),
+        str(tmp_path / "audit"),
+        str(tmp_path / "report_tr.html"),
+        term_rollup=tr,
+    )
+    assert "Subsumption rollup" in html_tr
+    pdf_tr = generate_pdf_report(
+        spark,
+        str(tmp_path / "triples"),
+        str(tmp_path / "audit"),
+        str(tmp_path / "report_tr.pdf"),
+        term_rollup=tr,
+    )
+    assert b"Subsumption rollup" in pdf_tr
+
 
 def test_sessionize_gap_semantics(spark):
     """Gap-based sessions: events within the gap chain into one session,
