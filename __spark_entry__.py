@@ -1112,6 +1112,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dd_span_winnow"] = dd_span_winnow
 
+    def txt_dup_spans(spark, sf_dir):
+        # per-doc duplicated-span fraction over the same injected-span
+        # corpus as dd_span_winnow; md5 hash path so DuckDB recomputes
+        # the fingerprints; fraction rounded for cross-engine hashing
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 < 2,
+                F.concat(
+                    F.lit("copied span sentence alpha beta gamma delta epsilon variant "),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit(" tail marker "),
+                    F.col("doc_id").cast("string"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        out = D.dup_span_stats(docs, k=5, window=3, hash_fn="md5")
+        return out.select(
+            "doc_id",
+            "n_fingerprints",
+            "n_shared",
+            F.round("dup_span_fraction", 6).alias("dup_span_fraction"),
+        ).orderBy("doc_id")
+
+    q["txt_dup_spans"] = txt_dup_spans
+
     def dd_simhash(spark, sf_dir):
         # md5-derived token hash -> the fingerprint and therefore the exact
         # hamming pairs are recomputable in SQL: oracle does brute-force
@@ -1885,6 +1913,37 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("ancestor")
 
     q["kg_term_rollup"] = kg_term_rollup
+
+    def kg_term_similarity(spark, sf_dir):
+        # ancestor-set Jaccard over deterministic term pairs from the
+        # same subsumption DAG (entity-linking near-miss grading)
+        from phenoqc_spark.operators.canonicalize import (
+            ancestor_closure,
+            term_pair_similarity,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        closure = ancestor_closure(_term_dag(docs))
+        a = (F.col("doc_id") % 60).alias("a")
+        b = ((F.col("doc_id") * 11 + 5) % 60).alias("b")
+        pairs = (
+            docs.select(a, b)
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+            .select(
+                F.format_string("T%02d", F.col("a")).alias("term_a"),
+                F.format_string("T%02d", F.col("b")).alias("term_b"),
+            )
+        )
+        out = term_pair_similarity(pairs, closure)
+        return out.select(
+            "term_a",
+            "term_b",
+            "n_common",
+            F.round("jaccard", 6).alias("jaccard"),
+        ).orderBy("term_a", "term_b")
+
+    q["kg_term_similarity"] = kg_term_similarity
 
     def sim_hash_embed(spark, sf_dir):
         # feature-hashing text embedding (hashing trick) — DuckDB cannot
@@ -3131,6 +3190,39 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2
 ORDER BY doc_a, doc_b
 """
 
+    o["txt_dup_spans"] = """
+WITH docs AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(
+           CASE WHEN doc_id % 10 < 2
+                THEN 'copied span sentence alpha beta gamma delta epsilon variant '
+                     || CAST(doc_id % 5 AS VARCHAR) || ' tail marker '
+                     || CAST(doc_id AS VARCHAR)
+                ELSE text END)), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 2, 15)) AS BIGINT) AS h
+  FROM docs, range(1, 100000) t(i) WHERE i + 4 <= len(w)
+), wins AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS L
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE i <= L - 2
+), freq AS (
+  SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM fps
+)
+SELECT doc_id,
+       COUNT(*) AS n_fingerprints,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+         AS dup_span_fraction
+FROM freq GROUP BY doc_id ORDER BY doc_id
+"""
+
     o["dd_simhash"] = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -3458,6 +3550,41 @@ SELECT printf('T%02d', ancestor) AS ancestor,
 FROM contrib GROUP BY 1 ORDER BY 1
 """
 
+    o["kg_term_similarity"] = f"""
+WITH RECURSIVE {_DAG_SQL},
+reach(node, ancestor) AS (
+  SELECT c, p FROM edges
+  UNION
+  SELECT r.node, e.p FROM reach r JOIN edges e ON r.ancestor = e.c
+),
+fsets AS (
+  SELECT node, ancestor FROM reach
+  UNION
+  SELECT n, n FROM nodes
+),
+sizes AS (SELECT node, COUNT(*) AS sz FROM fsets GROUP BY 1),
+pairs AS (
+  SELECT DISTINCT doc_id % 60 AS a, (doc_id * 11 + 5) % 60 AS b
+  FROM documents WHERE doc_id % 60 < (doc_id * 11 + 5) % 60
+),
+inter AS (
+  SELECT p.a, p.b, COUNT(*) AS i
+  FROM pairs p
+  JOIN fsets x ON x.node = p.a
+  JOIN fsets y ON y.node = p.b AND y.ancestor = x.ancestor
+  GROUP BY 1, 2
+)
+SELECT printf('T%02d', p.a) AS term_a, printf('T%02d', p.b) AS term_b,
+       CAST(COALESCE(i.i, 0) AS INT) AS n_common,
+       ROUND(COALESCE(i.i, 0)::DOUBLE / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6)
+         AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.node = p.a
+JOIN sizes sb ON sb.node = p.b
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+ORDER BY 1, 2
+"""
+
     from phenoqc_spark.kcore_golden import KCORE_45 as _KC
 
     _kc_vals = ",\n        ".join(f"({n}, {c})" for (n, c) in _KC)
@@ -3511,7 +3638,8 @@ FROM contrib GROUP BY 1 ORDER BY 1
 # agg_rollup, kg_bfs, f_json_extract, u_snapshot_diff,
 # kg_pagerank_weighted, kg_hits, agg_drift_psi, agg_drift_panel,
 # td_classifier_filter, dd_near_dedup_best, dd_span_winnow,
-# kg_ancestor_closure, kg_term_rollup) have never held a driver row —
+# kg_ancestor_closure, kg_term_rollup, kg_term_similarity,
+# txt_dup_spans) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

@@ -664,3 +664,48 @@ def rollup_counts(
         F.countDistinct("_v") if distinct_col is not None else F.count(F.lit(1))
     )
     return contrib.groupBy("ancestor").agg(agg.alias("n"))
+
+
+def term_pair_similarity(
+    pairs: DataFrame,
+    closure: DataFrame,
+    a_col: str = "term_a",
+    b_col: str = "term_b",
+) -> DataFrame:
+    """(term_a, term_b, n_common, jaccard): ontology semantic similarity
+    of term pairs as the Jaccard of their ancestor sets (each set
+    includes the term itself) — the standard subsumption-based measure
+    for "how related are these two mappings" (sibling terms share a
+    parent, unrelated branches only the root), used to grade
+    entity-linking near-misses beyond exact-match P/R.
+
+    Scale shape: ancestor sets are built ONCE from the dimension-sized
+    closure (one groupBy) and **broadcast**; the pair table — which may
+    be fact-scale, e.g. every (produced, expected) disagreement from a
+    linking run — is touched by two map-side joins and per-row JVM array
+    intersections.  No fact-side shuffle.  Set semantics make the result
+    independent of ``collect_set`` ordering.  Terms absent from the
+    closure fall back to the singleton {self} (roots and isolated terms
+    score 0 against everything but themselves).
+    """
+    sets = (
+        closure.groupBy("node")
+        .agg(F.collect_set("ancestor").alias("_anc"))
+        .select("node", F.array_union(F.array("node"), F.col("_anc")).alias("_set"))
+    )
+    sa = sets.select(F.col("node").alias(a_col), F.col("_set").alias("_sa"))
+    sb = sets.select(F.col("node").alias(b_col), F.col("_set").alias("_sb"))
+    out = (
+        pairs.join(F.broadcast(sa), a_col, "left")
+        .join(F.broadcast(sb), b_col, "left")
+        .withColumn("_sa", F.coalesce(F.col("_sa"), F.array(F.col(a_col))))
+        .withColumn("_sb", F.coalesce(F.col("_sb"), F.array(F.col(b_col))))
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
+    return out.select(
+        a_col,
+        b_col,
+        inter.alias("n_common"),
+        (inter.cast("double") / union).alias("jaccard"),
+    )

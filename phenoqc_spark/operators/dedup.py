@@ -1269,3 +1269,46 @@ def shared_span_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, n_fingerprints, n_shared, dup_span_fraction): per-document
+    fraction of winnowing fingerprints whose corpus doc-frequency is
+    ≥ ``min_df`` — the "how much of this document is copied from
+    somewhere" curation signal (the doc-level aggregate of
+    :func:`shared_span_pairs`'s pair view; Lee et al. report substring
+    dups that doc-level near-dedup retains).
+
+    Quadratic-free by construction: where the pair view emits
+    D·(D−1)/2 rows per shared fingerprint, this scores each document
+    against the corpus-wide doc-frequency table — boilerplate spans held
+    by thousands of documents cost one count, not a clique.
+
+    Spark shape: fingerprints (8-byte fp + id — text never leaves the
+    map side), ONE Exchange on fp for the doc-frequency window, one
+    hash aggregate back to doc grain.  Documents shorter than
+    k + window − 1 tokens emit no fingerprints and are absent (exact
+    dedup owns that regime — same contract as
+    :func:`winnow_fingerprints`).
+    """
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(df, k, window, text_col, id_col, hash_fn)
+    # fingerprint sets are distinct per doc, so count-over-fp = doc freq
+    with_df = fps.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+    return with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum((F.col("_df") >= min_df).cast("long")).alias("n_shared"),
+        (
+            F.sum((F.col("_df") >= min_df).cast("long"))
+            / F.count(F.lit(1))
+        ).alias("dup_span_fraction"),
+    )

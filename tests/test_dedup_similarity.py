@@ -1649,3 +1649,70 @@ def test_rollup_counts_hierarchy(spark):
     assert nos == {"T1": 1, "T0": 3}
     txt = plan_text(plain)
     assert "BroadcastHashJoin" in txt or "BroadcastNestedLoop" in txt, txt
+
+
+def test_dup_span_stats_fraction(spark):
+    """dup_span_fraction must equal the python-twin computation: the share
+    of a doc's winnow fingerprints held by >= min_df docs; short docs are
+    absent; a fully-copied doc scores 1.0, an unrelated doc 0.0."""
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, f"{span} plus some original trailing content here today"),
+        (1, f"{span} and different original ending words entirely now"),
+        (2, "independent content with no shared runs anywhere at all present"),
+        (3, span),           # fully duplicated vs 0/1's prefix
+        (4, "tiny doc"),     # < k + window - 1 tokens -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w = 5, 3
+    got = {r.doc_id: r for r in
+           D.dup_span_stats(df, k=k, window=w, hash_fn="md5").collect()}
+    assert 4 not in got
+    sets = {i: _py_winnow(t, k, w) for i, t in rows if len(t.split()) >= k + w - 1}
+    from collections import Counter
+    freq = Counter(fp for s in sets.values() for fp in s)
+    for i, s in sets.items():
+        n_shared = sum(1 for fp in s if freq[fp] >= 2)
+        assert got[i].n_fingerprints == len(s), i
+        assert got[i].n_shared == n_shared, i
+        assert abs(got[i].dup_span_fraction - n_shared / len(s)) < 1e-12, i
+    assert got[3].dup_span_fraction == 1.0
+    assert got[2].dup_span_fraction == 0.0
+
+
+def test_term_pair_similarity(spark):
+    """Ancestor-set Jaccard: sibling terms share their parent chain,
+    distinct branches share only the root, a term vs itself scores 1.0,
+    closure-absent terms fall back to singleton sets; the set joins are
+    broadcast."""
+    from phenoqc_spark.operators.canonicalize import (
+        ancestor_closure,
+        term_pair_similarity,
+    )
+    from tests.test_plan_shapes import plan_text
+
+    #        R
+    #      /   \
+    #     A     B
+    #    / \     \
+    #   A1  A2    B1
+    edges = spark.createDataFrame(
+        [("A", "R"), ("B", "R"), ("A1", "A"), ("A2", "A"), ("B1", "B")],
+        "child string, parent string",
+    )
+    closure = ancestor_closure(edges)
+    pairs = spark.createDataFrame(
+        [("A1", "A2"), ("A1", "B1"), ("A1", "A1"), ("A", "R"), ("A1", "ZZZ")],
+        "term_a string, term_b string",
+    )
+    out = term_pair_similarity(pairs, closure)
+    got = {(r.term_a, r.term_b): (r.n_common, round(r.jaccard, 6)) for r in out.collect()}
+    # sets: A1={A1,A,R}, A2={A2,A,R}, B1={B1,B,R}, A={A,R}, R={R}, ZZZ={ZZZ}
+    assert got[("A1", "A2")] == (2, round(2 / 4, 6))
+    assert got[("A1", "B1")] == (1, round(1 / 5, 6))
+    assert got[("A1", "A1")] == (3, 1.0)
+    assert got[("A", "R")] == (1, round(1 / 2, 6))
+    assert got[("A1", "ZZZ")] == (0, 0.0)
+    txt = plan_text(out)
+    assert "BroadcastHashJoin" in txt, txt
+    assert "SortMergeJoin" not in txt, txt
