@@ -1945,6 +1945,141 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_term_similarity"] = kg_term_similarity
 
+    def _term_facts(docs):
+        # deterministic annotation facts over the 60-term DAG: each doc
+        # annotates one term; rec is a coarse record key
+        return docs.select(
+            F.format_string("T%02d", F.col("doc_id") % 60).alias("term"),
+            (F.col("doc_id") % 500).alias("rec"),
+        )
+
+    def kg_term_ic(spark, sf_dir):
+        # Resnik corpus information content: -ln(rollup_freq / total)
+        # with DISTINCT record counting; root IC is exactly 0
+        from phenoqc_spark.operators.canonicalize import ancestor_closure, term_ic
+
+        docs = load_table(spark, sf_dir, "documents")
+        closure = ancestor_closure(_term_dag(docs))
+        out = term_ic(_term_facts(docs), closure, distinct_col="rec")
+        # + 0.0 folds IEEE -0.0 (the root's -ln(1.0)) to +0.0 so the
+        # cross-engine value hash cannot split on repr(-0.0)
+        return out.select(
+            "term", "n", (F.round("ic", 6) + F.lit(0.0)).alias("ic")
+        ).orderBy("term")
+
+    q["kg_term_ic"] = kg_term_ic
+
+    def kg_resnik(spark, sf_dir):
+        # IC-based semantic similarity (resnik = IC(MICA), lin normalized)
+        # over the same deterministic term pairs as kg_term_similarity
+        from phenoqc_spark.operators.canonicalize import (
+            ancestor_closure,
+            resnik_lin_similarity,
+            term_ic,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        closure = ancestor_closure(_term_dag(docs))
+        ic = term_ic(_term_facts(docs), closure, distinct_col="rec")
+        pairs = (
+            docs.select(
+                (F.col("doc_id") % 60).alias("a"),
+                ((F.col("doc_id") * 11 + 5) % 60).alias("b"),
+            )
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+            .select(
+                F.format_string("T%02d", F.col("a")).alias("term_a"),
+                F.format_string("T%02d", F.col("b")).alias("term_b"),
+            )
+        )
+        out = resnik_lin_similarity(pairs, ic, closure)
+        return out.select(
+            "term_a",
+            "term_b",
+            (F.round("ic_a", 6) + F.lit(0.0)).alias("ic_a"),
+            (F.round("ic_b", 6) + F.lit(0.0)).alias("ic_b"),
+            (F.round("resnik", 6) + F.lit(0.0)).alias("resnik"),
+            (F.round("lin", 6) + F.lit(0.0)).alias("lin"),
+        ).orderBy("term_a", "term_b")
+
+    q["kg_resnik"] = kg_resnik
+
+    def kg_phenomizer_bma(spark, sf_dir):
+        # Phenomizer-style best-match-average entity similarity over
+        # deterministic annotation sets (entity = doc_id % 40)
+        from phenoqc_spark.operators.canonicalize import (
+            ancestor_closure,
+            bma_similarity,
+            term_ic,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        closure = ancestor_closure(_term_dag(docs))
+        ann = docs.select(
+            (F.col("doc_id") % 40).alias("entity"),
+            F.format_string("T%02d", F.col("doc_id") % 60).alias("term"),
+        )
+        ic = term_ic(ann.select("term"), closure)
+        pairs = (
+            docs.select(
+                (F.col("doc_id") % 40).alias("entity_a"),
+                ((F.col("doc_id") * 7 + 3) % 40).alias("entity_b"),
+            )
+            .filter(F.col("entity_a") < F.col("entity_b"))
+            .distinct()
+        )
+        out = bma_similarity(pairs, ann, ic, closure)
+        return out.select(
+            "entity_a",
+            "entity_b",
+            (F.round("sim_ab", 6) + F.lit(0.0)).alias("sim_ab"),
+            (F.round("sim_ba", 6) + F.lit(0.0)).alias("sim_ba"),
+            (F.round("bma", 6) + F.lit(0.0)).alias("bma"),
+        ).orderBy("entity_a", "entity_b")
+
+    q["kg_phenomizer_bma"] = kg_phenomizer_bma
+
+    def kg_soft_pr(spark, sf_dir):
+        # ontology-aware linking scorecard: exact P/R + soft P/R where
+        # near-misses earn their best per-key Lin similarity — produced
+        # links are a deterministic corruption of the gold links (1/3
+        # exact, the rest shifted terms, some keys one-sided)
+        from phenoqc_spark.operators.canonicalize import (
+            ancestor_closure,
+            soft_link_pr,
+            term_ic,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        closure = ancestor_closure(_term_dag(docs))
+        ic = term_ic(_term_facts(docs), closure, distinct_col="rec")
+        gold = docs.filter(F.col("doc_id") % 10 < 8).select(
+            F.col("doc_id").alias("url"),
+            F.format_string("T%02d", F.col("doc_id") % 60).alias("term"),
+        )
+        produced = docs.filter(F.col("doc_id") % 10 > 0).select(
+            F.col("doc_id").alias("url"),
+            F.format_string(
+                "T%02d",
+                F.when(
+                    F.col("doc_id") % 3 == 0, F.col("doc_id") % 60
+                ).otherwise((F.col("doc_id") * 13 + 7) % 60),
+            ).alias("term"),
+        )
+        out = soft_link_pr(produced, gold, ic, closure)
+        return out.select(
+            "n_produced",
+            "n_gold",
+            "n_exact",
+            (F.round("precision_exact", 6) + F.lit(0.0)).alias("precision_exact"),
+            (F.round("recall_exact", 6) + F.lit(0.0)).alias("recall_exact"),
+            (F.round("soft_precision", 6) + F.lit(0.0)).alias("soft_precision"),
+            (F.round("soft_recall", 6) + F.lit(0.0)).alias("soft_recall"),
+        )
+
+    q["kg_soft_pr"] = kg_soft_pr
+
     def sim_hash_embed(spark, sf_dir):
         # feature-hashing text embedding (hashing trick) — DuckDB cannot
         # reproduce Spark's seeded xxhash64, so the oracle is the pinned
@@ -3585,6 +3720,187 @@ LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 ORDER BY 1, 2
 """
 
+    # shared rollup-IC scaffold (term = doc_id % 60, rec = doc_id % 500):
+    # reach -> DISTINCT-rec rollup -> ic = -ln(n / N); + 0.0 everywhere a
+    # root's -ln(1.0) could leak IEEE -0.0 into the value hash
+    _IC_SQL = """reach(node, ancestor) AS (
+  SELECT c, p FROM edges
+  UNION
+  SELECT r.node, e.p FROM reach r JOIN edges e ON r.ancestor = e.c
+),
+facts AS (SELECT doc_id % 60 AS term, doc_id % 500 AS rec FROM documents),
+contrib AS (
+  SELECT r.ancestor, f.rec FROM facts f JOIN reach r ON f.term = r.node
+  UNION ALL
+  SELECT f.term AS ancestor, f.rec FROM facts f
+),
+cnt AS (SELECT ancestor AS t, COUNT(DISTINCT rec) AS n FROM contrib GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT doc_id % 500)::DOUBLE AS nt FROM documents),
+ic AS (SELECT t, n, -ln(n / nt) AS ic FROM cnt, tot)"""
+
+    o["kg_term_ic"] = f"""
+WITH RECURSIVE {_DAG_SQL},
+{_IC_SQL}
+SELECT printf('T%02d', t) AS term, CAST(n AS BIGINT) AS n,
+       ROUND(ic, 6) + 0.0 AS ic
+FROM ic ORDER BY term
+"""
+
+    o["kg_resnik"] = f"""
+WITH RECURSIVE {_DAG_SQL},
+{_IC_SQL},
+aos AS (
+  SELECT node, ancestor FROM reach
+  UNION
+  SELECT t, t FROM ic
+),
+aosic AS (SELECT a.node, a.ancestor, i.ic FROM aos a JOIN ic i ON i.t = a.ancestor),
+pairs AS (
+  SELECT DISTINCT doc_id % 60 AS a, (doc_id * 11 + 5) % 60 AS b
+  FROM documents WHERE doc_id % 60 < (doc_id * 11 + 5) % 60
+),
+mica AS (
+  SELECT p.a, p.b, MAX(x.ic) AS r
+  FROM pairs p
+  JOIN aosic x ON x.node = p.a
+  JOIN aosic y ON y.node = p.b AND y.ancestor = x.ancestor
+  GROUP BY 1, 2
+)
+SELECT printf('T%02d', p.a) AS term_a, printf('T%02d', p.b) AS term_b,
+       ROUND(ia.ic, 6) + 0.0 AS ic_a, ROUND(ib.ic, 6) + 0.0 AS ic_b,
+       ROUND(COALESCE(m.r, 0), 6) + 0.0 AS resnik,
+       ROUND(CASE WHEN ia.ic + ib.ic > 0
+                  THEN 2 * COALESCE(m.r, 0) / (ia.ic + ib.ic)
+                  ELSE 0 END, 6) + 0.0 AS lin
+FROM pairs p
+JOIN ic ia ON ia.t = p.a
+JOIN ic ib ON ib.t = p.b
+LEFT JOIN mica m ON m.a = p.a AND m.b = p.b
+ORDER BY 1, 2
+"""
+
+    o["kg_phenomizer_bma"] = f"""
+WITH RECURSIVE {_DAG_SQL},
+reach(node, ancestor) AS (
+  SELECT c, p FROM edges
+  UNION
+  SELECT r.node, e.p FROM reach r JOIN edges e ON r.ancestor = e.c
+),
+ann AS (SELECT doc_id % 40 AS ent, doc_id % 60 AS term FROM documents),
+contrib AS (
+  SELECT r.ancestor AS t FROM ann a JOIN reach r ON a.term = r.node
+  UNION ALL
+  SELECT term AS t FROM ann
+),
+cnt AS (SELECT t, COUNT(*) AS n FROM contrib GROUP BY 1),
+tot AS (SELECT COUNT(*)::DOUBLE AS nt FROM ann),
+ic AS (SELECT t, -ln(n / nt) AS ic FROM cnt, tot),
+aos AS (
+  SELECT node, ancestor FROM reach
+  UNION
+  SELECT t, t FROM ic
+),
+aosic AS (SELECT a.node, a.ancestor, i.ic FROM aos a JOIN ic i ON i.t = a.ancestor),
+epairs AS (
+  SELECT DISTINCT doc_id % 40 AS ea, (doc_id * 7 + 3) % 40 AS eb
+  FROM documents WHERE doc_id % 40 < (doc_id * 7 + 3) % 40
+),
+aset AS (SELECT DISTINCT ent, term FROM ann),
+tp AS (
+  SELECT p.ea, p.eb, a.term AS ta, b.term AS tb
+  FROM epairs p JOIN aset a ON a.ent = p.ea JOIN aset b ON b.ent = p.eb
+),
+mica AS (
+  SELECT t.ea, t.eb, t.ta, t.tb, MAX(x.ic) AS r
+  FROM tp t
+  JOIN aosic x ON x.node = t.ta
+  JOIN aosic y ON y.node = t.tb AND y.ancestor = x.ancestor
+  GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT t.ea, t.eb, t.ta, t.tb, COALESCE(m.r, 0) AS s
+  FROM tp t LEFT JOIN mica m
+    ON m.ea = t.ea AND m.eb = t.eb AND m.ta = t.ta AND m.tb = t.tb
+),
+besta AS (SELECT ea, eb, ta, MAX(s) AS bm FROM scored GROUP BY 1, 2, 3),
+avga AS (SELECT ea, eb, AVG(bm) AS sim_ab FROM besta GROUP BY 1, 2),
+bestb AS (SELECT ea, eb, tb, MAX(s) AS bm FROM scored GROUP BY 1, 2, 3),
+avgb AS (SELECT ea, eb, AVG(bm) AS sim_ba FROM bestb GROUP BY 1, 2)
+SELECT a.ea AS entity_a, a.eb AS entity_b,
+       ROUND(a.sim_ab, 6) + 0.0 AS sim_ab,
+       ROUND(b.sim_ba, 6) + 0.0 AS sim_ba,
+       ROUND((a.sim_ab + b.sim_ba) / 2, 6) + 0.0 AS bma
+FROM avga a JOIN avgb b ON a.ea = b.ea AND a.eb = b.eb
+ORDER BY 1, 2
+"""
+
+    o["kg_soft_pr"] = f"""
+WITH RECURSIVE {_DAG_SQL},
+{_IC_SQL},
+aos AS (
+  SELECT node, ancestor FROM reach
+  UNION
+  SELECT t, t FROM ic
+),
+aosic AS (SELECT a.node, a.ancestor, i.ic FROM aos a JOIN ic i ON i.t = a.ancestor),
+prod AS (
+  SELECT DISTINCT doc_id AS k,
+         CASE WHEN doc_id % 3 = 0 THEN doc_id % 60
+              ELSE (doc_id * 13 + 7) % 60 END AS a
+  FROM documents WHERE doc_id % 10 > 0
+),
+gold AS (
+  SELECT DISTINCT doc_id AS k, doc_id % 60 AS b
+  FROM documents WHERE doc_id % 10 < 8
+),
+candp AS (SELECT p.k, p.a, g.b FROM prod p LEFT JOIN gold g ON g.k = p.k),
+candg AS (SELECT g.k, g.b, p.a FROM gold g LEFT JOIN prod p ON p.k = g.k),
+tpairs AS (
+  SELECT DISTINCT a, b FROM candp WHERE b IS NOT NULL
+  UNION
+  SELECT DISTINCT a, b FROM candg WHERE a IS NOT NULL
+),
+micap AS (
+  SELECT t.a, t.b, MAX(x.ic) AS r
+  FROM tpairs t
+  JOIN aosic x ON x.node = t.a
+  JOIN aosic y ON y.node = t.b AND y.ancestor = x.ancestor
+  GROUP BY 1, 2
+),
+linp AS (
+  SELECT t.a, t.b,
+         CASE WHEN t.a = t.b THEN 1.0
+              WHEN ia.ic IS NULL OR ib.ic IS NULL THEN NULL
+              WHEN ia.ic + ib.ic > 0 THEN 2 * COALESCE(m.r, 0) / (ia.ic + ib.ic)
+              ELSE 0 END AS lin
+  FROM tpairs t
+  LEFT JOIN ic ia ON ia.t = t.a
+  LEFT JOIN ic ib ON ib.t = t.b
+  LEFT JOIN micap m ON m.a = t.a AND m.b = t.b
+),
+bestp AS (
+  SELECT c.k, c.a, COALESCE(MAX(l.lin), 0) AS m
+  FROM candp c LEFT JOIN linp l ON l.a = c.a AND l.b = c.b
+  GROUP BY 1, 2
+),
+bestg AS (
+  SELECT c.k, c.b, COALESCE(MAX(l.lin), 0) AS m
+  FROM candg c LEFT JOIN linp l ON l.a = c.a AND l.b = c.b
+  GROUP BY 1, 2
+),
+exact AS (SELECT COUNT(*) AS n_exact FROM prod p JOIN gold g ON g.k = p.k AND g.b = p.a),
+pm AS (SELECT COUNT(*) AS n_produced, AVG(m) AS sp FROM bestp),
+gm AS (SELECT COUNT(*) AS n_gold, AVG(m) AS sr FROM bestg)
+SELECT CAST(pm.n_produced AS BIGINT) AS n_produced,
+       CAST(gm.n_gold AS BIGINT) AS n_gold,
+       CAST(exact.n_exact AS BIGINT) AS n_exact,
+       ROUND(exact.n_exact::DOUBLE / pm.n_produced, 6) + 0.0 AS precision_exact,
+       ROUND(exact.n_exact::DOUBLE / gm.n_gold, 6) + 0.0 AS recall_exact,
+       ROUND(pm.sp, 6) + 0.0 AS soft_precision,
+       ROUND(gm.sr, 6) + 0.0 AS soft_recall
+FROM pm, gm, exact
+"""
+
     from phenoqc_spark.kcore_golden import KCORE_45 as _KC
 
     _kc_vals = ",\n        ".join(f"({n}, {c})" for (n, c) in _KC)
@@ -3639,7 +3955,8 @@ ORDER BY 1, 2
 # kg_pagerank_weighted, kg_hits, agg_drift_psi, agg_drift_panel,
 # td_classifier_filter, dd_near_dedup_best, dd_span_winnow,
 # kg_ancestor_closure, kg_term_rollup, kg_term_similarity,
-# txt_dup_spans) have never held a driver row —
+# txt_dup_spans, kg_term_ic, kg_resnik, kg_phenomizer_bma, kg_soft_pr)
+# have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

@@ -709,3 +709,236 @@ def term_pair_similarity(
         inter.alias("n_common"),
         (inter.cast("double") / union).alias("jaccard"),
     )
+
+
+def term_ic(
+    facts: DataFrame,
+    closure: DataFrame,
+    term_col: str = "term",
+    distinct_col: "str | None" = None,
+) -> DataFrame:
+    """(term, n, ic): corpus information content of every ontology term —
+    ``ic = -ln(p)`` with ``p = rollup-frequency(term) / total`` where the
+    rollup frequency counts annotations on the term OR any descendant
+    (:func:`rollup_counts`) and ``total`` is the corpus annotation count
+    (distinct ``distinct_col`` values when given, fact rows otherwise).
+    The standard Resnik (1995) corpus IC: rare, specific terms score
+    high; a root subsuming every annotation scores exactly 0.
+
+    Terms with zero rolled-up annotations are ABSENT (their IC is
+    undefined on this corpus) — downstream consumers treat them as
+    contributing no common-ancestor information.
+
+    Scale shape: :func:`rollup_counts`'s broadcast-closure fan-out plus
+    one corpus-total aggregate attached via a broadcast 1-row cross join
+    — the whole IC table stays dimension-sized (≤ |ontology|) no matter
+    the fact-table size, which is what lets :func:`resnik_lin_similarity`
+    broadcast it back against fact-scale pair lists.
+
+    Reference analogue: none — the reference (mapping.py) stops at flat
+    surface-form dictionaries; IC-weighted semantic similarity is the
+    Phenomizer-family measure its HPO use case points at (Köhler 2009).
+    """
+    counts = rollup_counts(facts, closure, term_col=term_col, distinct_col=distinct_col)
+    total_agg = (
+        F.countDistinct(distinct_col) if distinct_col is not None else F.count(F.lit(1))
+    )
+    total = facts.agg(total_agg.cast("double").alias("_N"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        F.col("ancestor").alias("term"),
+        "n",
+        (-F.log(F.col("n") / F.col("_N"))).alias("ic"),
+    )
+
+
+def resnik_lin_similarity(
+    pairs: DataFrame,
+    ic: DataFrame,
+    closure: DataFrame,
+    a_col: str = "term_a",
+    b_col: str = "term_b",
+) -> DataFrame:
+    """pairs.* + (ic_a, ic_b, resnik, lin): IC-based semantic similarity
+    of term pairs — ``resnik = IC(most-informative common ancestor)``
+    (ancestor-or-self; 0.0 when the pair shares no IC-bearing ancestor)
+    and ``lin = 2·resnik / (ic_a + ic_b)`` (0..1 normalized; 1.0 for
+    identical terms, NULL when either term has no corpus IC, 0.0 when
+    both ICs are 0, i.e. both terms are annotation-covering roots).
+    Input columns pass through, so fact-scale tables (every entity-link
+    disagreement, every candidate term pair) can be scored in place.
+
+    Scale shape: ancestor-or-self sets with IC attached are built ONCE
+    from the dimension-sized closure × IC join, collapsed to one array
+    per term, and **broadcast**; the pair table is touched by two
+    map-side joins, a JVM ``array_intersect`` (struct equality — IC is
+    functionally dependent on the ancestor id), and an ``array_max``
+    fold.  No fact-side shuffle, no explode: the MICA search is a
+    per-row set intersection bounded by ontology depth.
+    """
+    ic_anc = ic.select(F.col("term").alias("ancestor"), "ic")
+    aos = closure.select("node", "ancestor").union(
+        ic.select(F.col("term").alias("node"), F.col("term").alias("ancestor"))
+    )
+    sets = (
+        aos.join(F.broadcast(ic_anc), "ancestor")
+        .groupBy("node")
+        .agg(F.collect_set(F.struct("ancestor", "ic")).alias("_set"))
+    )
+    sa = sets.select(F.col("node").alias(a_col), F.col("_set").alias("_sa"))
+    sb = sets.select(F.col("node").alias(b_col), F.col("_set").alias("_sb"))
+    ia = ic.select(F.col("term").alias(a_col), F.col("ic").alias("ic_a"))
+    ib = ic.select(F.col("term").alias(b_col), F.col("ic").alias("ic_b"))
+    out = (
+        pairs.join(F.broadcast(sa), a_col, "left")
+        .join(F.broadcast(sb), b_col, "left")
+        .join(F.broadcast(ia), a_col, "left")
+        .join(F.broadcast(ib), b_col, "left")
+    )
+    mica = F.array_max(
+        F.transform(F.array_intersect("_sa", "_sb"), lambda x: x["ic"])
+    )
+    resnik = F.when(
+        F.col("_sa").isNull() | F.col("_sb").isNull(), F.lit(0.0)
+    ).otherwise(F.coalesce(mica, F.lit(0.0)))
+    out = out.withColumn("resnik", resnik)
+    denom = F.col("ic_a") + F.col("ic_b")
+    lin = (
+        F.when(F.col(a_col) == F.col(b_col), F.lit(1.0))
+        .when(F.col("ic_a").isNull() | F.col("ic_b").isNull(), F.lit(None).cast("double"))
+        .when(denom > 0, F.lit(2.0) * F.col("resnik") / denom)
+        .otherwise(F.lit(0.0))
+    )
+    return out.withColumn("lin", lin).drop("_sa", "_sb")
+
+
+def bma_similarity(
+    pairs: DataFrame,
+    annotations: DataFrame,
+    ic: DataFrame,
+    closure: DataFrame,
+    entity_a: str = "entity_a",
+    entity_b: str = "entity_b",
+    entity_col: str = "entity",
+    term_col: str = "term",
+    metric: str = "resnik",
+) -> DataFrame:
+    """(entity_a, entity_b, sim_ab, sim_ba, bma): Phenomizer-style
+    best-match-average similarity between two entities' annotation SETS
+    (Köhler 2009 — the clinical HPO patient-similarity measure):
+    ``sim_ab`` averages, over entity_a's terms, the best ``metric``
+    score (:func:`resnik_lin_similarity`'s ``resnik`` or ``lin``)
+    against ANY of entity_b's terms; ``sim_ba`` is the mirror;
+    ``bma`` is their mean (the symmetric form).
+
+    Entities absent from ``annotations`` produce no row (an empty set
+    has no best match) — filter the pair list upstream if that matters.
+    Annotation rows are deduplicated on (entity, term) so repeated
+    mentions don't weight the average.
+
+    Scale shape: this is the fact-scale consumer the dimension-side
+    design exists for.  The candidate pair list (from blocking /
+    same-cluster grouping upstream) joins each side's annotation set —
+    two shuffles keyed on entity id; per-pair term cross products are
+    bounded by annotation-set size squared (HPO patients carry ~10-20
+    terms), scored map-side against the broadcast ancestor-set arrays,
+    then collapsed by two (pair, term) hash aggregates.  Nothing
+    ontology- or corpus-global ever shuffles with the pairs.
+    """
+    if metric not in ("resnik", "lin"):
+        raise ValueError(f"metric must be 'resnik' or 'lin', got {metric!r}")
+    ta = annotations.select(
+        F.col(entity_col).alias(entity_a), F.col(term_col).alias("term_a")
+    ).distinct()
+    tb = annotations.select(
+        F.col(entity_col).alias(entity_b), F.col(term_col).alias("term_b")
+    ).distinct()
+    tp = pairs.join(ta, entity_a).join(tb, entity_b)
+    scored = resnik_lin_similarity(tp, ic, closure).select(
+        entity_a, entity_b, "term_a", "term_b", F.col(metric).alias("_s")
+    )
+    best_a = scored.groupBy(entity_a, entity_b, "term_a").agg(F.max("_s").alias("_m"))
+    avg_a = best_a.groupBy(entity_a, entity_b).agg(F.avg("_m").alias("sim_ab"))
+    best_b = scored.groupBy(entity_a, entity_b, "term_b").agg(F.max("_s").alias("_m"))
+    avg_b = best_b.groupBy(entity_a, entity_b).agg(F.avg("_m").alias("sim_ba"))
+    return avg_a.join(avg_b, [entity_a, entity_b]).select(
+        entity_a,
+        entity_b,
+        "sim_ab",
+        "sim_ba",
+        ((F.col("sim_ab") + F.col("sim_ba")) / 2).alias("bma"),
+    )
+
+
+def soft_link_pr(
+    produced: DataFrame,
+    gold: DataFrame,
+    ic: DataFrame,
+    closure: DataFrame,
+    key_col: str = "url",
+    term_col: str = "term",
+) -> DataFrame:
+    """One-row linking scorecard: exact AND ontology-aware soft
+    precision/recall of produced (key, term) links against a gold set.
+    Exact P/R is the north-star match rate; the soft pair credits each
+    produced link with its best Lin similarity against the same key's
+    gold terms (an exact hit scores 1.0, a sibling term most of a point,
+    an unrelated branch ~0) — so "how wrong are the misses" is measured,
+    not just counted.  Soft ≥ exact always; the gap is the near-miss
+    mass an exact scorer throws away.
+
+    Columns: n_produced, n_gold, n_exact, precision_exact, recall_exact,
+    soft_precision, soft_recall (averages over distinct produced / gold
+    links; keys with no counterpart score 0 — unmatched links are pure
+    errors on both measures).
+
+    Scale shape: both sides dedup to distinct (key, term) and join ONLY
+    on the key (per-key link sets are small — one page yields a handful
+    of phenotype mentions), scored map-side by
+    :func:`resnik_lin_similarity`'s broadcast IC-struct sets, then
+    collapse through (key, term) hash aggregates into 1-row averages
+    combined by broadcast cross joins.  Nothing corpus-global shuffles.
+    """
+    p = produced.select(
+        F.col(key_col).alias("_k"), F.col(term_col).alias("term_a")
+    ).distinct()
+    g = gold.select(
+        F.col(key_col).alias("_k"), F.col(term_col).alias("term_b")
+    ).distinct()
+
+    def _soft(left, right, lcol, rcol):
+        # avg over left links of best lin vs the same key's right terms
+        cand = left.join(right, "_k", "left")
+        scored = resnik_lin_similarity(cand, ic, closure, lcol, rcol)
+        best = scored.groupBy("_k", lcol).agg(
+            F.coalesce(F.max("lin"), F.lit(0.0)).alias("_m")
+        )
+        return best.agg(
+            F.count(F.lit(1)).alias("_n"), F.avg("_m").alias("_soft")
+        )
+
+    pm = _soft(p, g, "term_a", "term_b").select(
+        F.col("_n").alias("n_produced"), F.col("_soft").alias("soft_precision")
+    )
+    rm = _soft(g, p, "term_b", "term_a").select(
+        F.col("_n").alias("n_gold"), F.col("_soft").alias("soft_recall")
+    )
+    ex = (
+        p.join(
+            g,
+            (p["_k"] == g["_k"]) & (p["term_a"] == g["term_b"]),
+        )
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        pm.crossJoin(F.broadcast(rm))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "n_produced",
+            "n_gold",
+            "n_exact",
+            (F.col("n_exact") / F.col("n_produced")).alias("precision_exact"),
+            (F.col("n_exact") / F.col("n_gold")).alias("recall_exact"),
+            "soft_precision",
+            "soft_recall",
+        )
+    )

@@ -41,7 +41,9 @@ def main() -> None:
 
     from phenoqc_spark.operators.canonicalize import (
         ancestor_closure,
+        resnik_lin_similarity,
         rollup_counts,
+        term_ic,
         term_pair_similarity,
     )
     from phenoqc_spark.session import get_spark
@@ -96,6 +98,11 @@ def main() -> None:
     term_pair_similarity(pairs, closure, "term_a", "term_b").agg(
         F.sum("n_common")
     ).collect()
+    ic = term_ic(facts, closure, term_col="term").persist()
+    ic.count()
+    resnik_lin_similarity(pairs, ic, closure, "term_a", "term_b").agg(
+        F.sum("resnik")
+    ).collect()
 
     # ---- timed: closure (fresh, unpersisted plan each rep) ------------
     t_closure = []
@@ -123,6 +130,15 @@ def main() -> None:
         ).collect()
         t_sim.append(time.time() - t0)
 
+    # ---- timed: resnik/lin over the same pairs (IC-struct set path) ---
+    t_resnik = []
+    for _ in range(REPS):
+        t0 = time.time()
+        resnik_lin_similarity(pairs, ic, closure, "term_a", "term_b").agg(
+            F.sum("resnik")
+        ).collect()
+        t_resnik.append(time.time() - t0)
+
     row = {
         "terms": TERMS,
         "branch": BRANCH,
@@ -138,6 +154,9 @@ def main() -> None:
         "sim_sec": round(min(t_sim), 2),
         "sim_reps": [round(t, 2) for t in t_sim],
         "pairs_per_hour": round(PAIRS / min(t_sim) * 3600 / 1e6, 1),
+        "resnik_sec": round(min(t_resnik), 2),
+        "resnik_reps": [round(t, 2) for t in t_resnik],
+        "resnik_pairs_per_hour": round(PAIRS / min(t_resnik) * 3600 / 1e6, 1),
         "cpus": int(CPUS),
     }
     print(json.dumps(row))

@@ -1716,3 +1716,186 @@ def test_term_pair_similarity(spark):
     txt = plan_text(out)
     assert "BroadcastHashJoin" in txt, txt
     assert "SortMergeJoin" not in txt, txt
+
+
+def test_term_ic_matches_twin(spark):
+    """IC = -ln(rollup_freq / total): the root covering every annotation
+    scores exactly 0; leaves score highest; distinct_col counts records
+    once; unannotated branches are absent."""
+    import math
+
+    from phenoqc_spark.operators.canonicalize import ancestor_closure, term_ic
+
+    edges = spark.createDataFrame(
+        [("A", "R"), ("B", "R"), ("A1", "A"), ("A2", "A"), ("B1", "B"), ("C", "R")],
+        "child string, parent string",
+    )
+    closure = ancestor_closure(edges)
+    # recs: r1 on A1 twice (dup mention), r2 on A2, r3 on B1, r4 on A
+    facts = spark.createDataFrame(
+        [("A1", 1), ("A1", 1), ("A2", 2), ("B1", 3), ("A", 4)],
+        "term string, rec int",
+    )
+    got = {r.term: (r.n, r.ic) for r in
+           term_ic(facts, closure, distinct_col="rec").collect()}
+    # rollup distinct recs: A1={1}, A2={2}, B1={3}, A={1,2,4}, B={3}, R=all 4
+    exp_n = {"A1": 1, "A2": 1, "B1": 1, "A": 3, "B": 1, "R": 4}
+    assert {k: v[0] for k, v in got.items()} == exp_n
+    for t, n in exp_n.items():
+        assert abs(got[t][1] - (-math.log(n / 4))) < 1e-12, t
+    assert got["R"][1] == 0.0
+    assert "C" not in got  # unannotated branch: no IC on this corpus
+
+
+def test_resnik_lin_similarity(spark):
+    """resnik = IC(MICA) over ancestor-or-self sets; lin normalizes to
+    0..1 with 1.0 on the diagonal; the set/IC joins are all broadcast."""
+    import math
+
+    from phenoqc_spark.operators.canonicalize import (
+        ancestor_closure,
+        resnik_lin_similarity,
+        term_ic,
+    )
+    from tests.test_plan_shapes import plan_text
+
+    edges = spark.createDataFrame(
+        [("A", "R"), ("B", "R"), ("A1", "A"), ("A2", "A"), ("B1", "B")],
+        "child string, parent string",
+    )
+    closure = ancestor_closure(edges)
+    facts = spark.createDataFrame(
+        [("A1", 1), ("A2", 2), ("B1", 3), ("A", 4)], "term string, rec int"
+    )
+    ic = term_ic(facts, closure, distinct_col="rec")
+    ic_of = {"A1": -math.log(1 / 4), "A2": -math.log(1 / 4), "B1": -math.log(1 / 4),
+             "A": -math.log(3 / 4), "B": -math.log(1 / 4), "R": 0.0}
+    pairs = spark.createDataFrame(
+        [("A1", "A2"), ("A1", "B1"), ("A1", "A1"), ("A1", "ZZZ"), ("R", "B")],
+        "term_a string, term_b string",
+    )
+    out = resnik_lin_similarity(pairs, ic, closure)
+    got = {(r.term_a, r.term_b): r for r in out.collect()}
+    # MICA(A1,A2)=A; MICA(A1,B1)=R; MICA(A1,A1)=A1 (self in set)
+    assert abs(got[("A1", "A2")].resnik - ic_of["A"]) < 1e-12
+    exp_lin = 2 * ic_of["A"] / (ic_of["A1"] + ic_of["A2"])
+    assert abs(got[("A1", "A2")].lin - exp_lin) < 1e-12
+    assert got[("A1", "B1")].resnik == 0.0 and got[("A1", "B1")].lin == 0.0
+    assert abs(got[("A1", "A1")].resnik - ic_of["A1"]) < 1e-12
+    assert got[("A1", "A1")].lin == 1.0
+    # ZZZ: no IC -> resnik 0, lin NULL
+    assert got[("A1", "ZZZ")].resnik == 0.0 and got[("A1", "ZZZ")].lin is None
+    # MICA(R,B)=R with IC 0 -> resnik 0; denom > 0 -> lin 0
+    assert got[("R", "B")].resnik == 0.0 and got[("R", "B")].lin == 0.0
+    txt = plan_text(out)
+    assert "BroadcastHashJoin" in txt, txt
+    assert "SortMergeJoin" not in txt, txt
+
+
+def test_bma_similarity_matches_twin(spark):
+    """Phenomizer best-match average vs a sequential python twin on a
+    random DAG + random annotation sets; symmetric form, deduped
+    annotations, entities missing annotations absent."""
+    import math
+    import random
+
+    from phenoqc_spark.operators.canonicalize import (
+        ancestor_closure,
+        bma_similarity,
+        term_ic,
+    )
+
+    rng = random.Random(7)
+    terms = list(range(1, 40))
+    edges = [(f"T{n}", f"T{n // 2}") for n in terms if n // 2 >= 1 or n >= 2]
+    edges = [(c, p) for c, p in edges if c != p]
+    ann = [(e, f"T{rng.choice(terms)}") for e in range(8) for _ in range(6)]
+    ann += [(0, ann[0][1])]  # duplicate mention must not reweight
+    pairs = [(a, b) for a in range(8) for b in range(a + 1, 8) if rng.random() < 0.5]
+    pairs += [(0, 9)]  # 9 has no annotations -> absent from output
+
+    edf = spark.createDataFrame(edges, "child string, parent string")
+    adf = spark.createDataFrame(ann, "entity int, term string")
+    pdf = spark.createDataFrame(pairs, "entity_a int, entity_b int")
+    closure = ancestor_closure(edf)
+    ic = term_ic(adf.select("term"), closure)
+    out = bma_similarity(pdf, adf, ic, closure)
+    got = {(r.entity_a, r.entity_b): r for r in out.collect()}
+
+    # ---- twin ----
+    parents = {}
+    for c, p in edges:
+        parents.setdefault(c, set()).add(p)
+
+    def aos(t):
+        s, stack = {t}, [t]
+        while stack:
+            for p in parents.get(stack.pop(), ()):
+                if p not in s:
+                    s.add(p)
+                    stack.append(p)
+        return s
+
+    from collections import Counter
+    roll = Counter()
+    for _, t in ann:
+        for a in aos(t):
+            roll[a] += 1
+    N = len(ann)
+    icpy = {t: -math.log(n / N) for t, n in roll.items()}
+
+    def resnik(a, b):
+        common = {x for x in aos(a) & aos(b) if x in icpy}
+        return max((icpy[x] for x in common), default=0.0)
+
+    sets = {}
+    for e, t in ann:
+        sets.setdefault(e, set()).add(t)
+    for (ea, eb), r in got.items():
+        A, B = sets[ea], sets[eb]
+        sab = sum(max(resnik(a, b) for b in B) for a in A) / len(A)
+        sba = sum(max(resnik(a, b) for a in A) for b in B) / len(B)
+        assert abs(r.sim_ab - sab) < 1e-9, (ea, eb)
+        assert abs(r.sim_ba - sba) < 1e-9, (ea, eb)
+        assert abs(r.bma - (sab + sba) / 2) < 1e-9, (ea, eb)
+    assert set(got) == {(a, b) for a, b in pairs if b != 9}
+
+
+def test_soft_link_pr(spark):
+    """Exact P/R counts matches; soft P/R credits near-misses with best
+    Lin similarity per key; unmatched keys score 0 on both sides."""
+    import math
+
+    from phenoqc_spark.operators.canonicalize import (
+        ancestor_closure,
+        soft_link_pr,
+        term_ic,
+    )
+
+    edges = spark.createDataFrame(
+        [("A", "R"), ("B", "R"), ("A1", "A"), ("A2", "A"), ("B1", "B")],
+        "child string, parent string",
+    )
+    closure = ancestor_closure(edges)
+    facts = spark.createDataFrame(
+        [("A1", 1), ("A2", 2), ("B1", 3), ("A", 4)], "term string, rec int"
+    )
+    ic = term_ic(facts, closure, distinct_col="rec")
+    gold = spark.createDataFrame(
+        [("u1", "A1"), ("u2", "B1"), ("u3", "A"), ("u5", "A2")],
+        "url string, term string",
+    )
+    produced = spark.createDataFrame(
+        [("u1", "A1"), ("u2", "B"), ("u4", "A2"), ("u1", "A1")],  # dup row deduped
+        "url string, term string",
+    )
+    r = soft_link_pr(produced, gold, ic, closure).collect()[0]
+    assert (r.n_produced, r.n_gold, r.n_exact) == (3, 4, 1)
+    assert abs(r.precision_exact - 1 / 3) < 1e-12
+    assert abs(r.recall_exact - 1 / 4) < 1e-12
+    # lin(B, B1): MICA=B, IC(B)=IC(B1)=ln4 -> 1.0 (informationally equal
+    # in this corpus); u4 has no gold -> 0
+    assert abs(r.soft_precision - (1.0 + 1.0 + 0.0) / 3) < 1e-12
+    # recall side: u1->1, u2 (B1 vs B)->1, u3 and u5 unmatched -> 0
+    assert abs(r.soft_recall - (1.0 + 1.0 + 0.0 + 0.0) / 4) < 1e-12
+    assert math.isclose(r.soft_precision, 2 / 3)
