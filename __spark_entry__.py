@@ -2080,6 +2080,47 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_soft_pr"] = kg_soft_pr
 
+    def kg_bgp(spark, sf_dir):
+        # SPARQL-style basic graph pattern over materialized triples:
+        # annotation + is_a triples, 3-pattern chain ending in a
+        # constant (grandparent = T01) — constants pushed into scans,
+        # natural joins on shared variables
+        from phenoqc_spark.operators.triples import match_bgp
+
+        docs = load_table(spark, sf_dir, "documents")
+        ann = docs.select(
+            F.format_string("d%04d", F.col("doc_id")).alias("subj"),
+            F.lit("has_term").alias("pred"),
+            F.format_string("T%02d", F.col("doc_id") % 60).alias("obj"),
+        )
+        isa = _term_dag(docs).select(
+            F.col("child").alias("subj"),
+            F.lit("is_a").alias("pred"),
+            F.col("parent").alias("obj"),
+        )
+        out = match_bgp(
+            ann.unionByName(isa),
+            [("?d", "has_term", "?t"), ("?t", "is_a", "?p"), ("?p", "is_a", "T01")],
+        )
+        return out.orderBy("d", "t", "p")
+
+    q["kg_bgp"] = kg_bgp
+
+    def kg_ntriples(spark, sf_dir):
+        # N-Triples serialization with literal objects (string-escape
+        # path exercised on real document text)
+        from phenoqc_spark.operators.triples import to_ntriples
+
+        docs = load_table(spark, sf_dir, "documents")
+        t = docs.select(
+            F.format_string("doc/%d", F.col("doc_id")).alias("subj"),
+            F.lit("has_text").alias("pred"),
+            F.substring("text", 1, 40).alias("obj"),
+        )
+        return to_ntriples(t, obj_literal=True).orderBy("ntriple")
+
+    q["kg_ntriples"] = kg_ntriples
+
     def sim_hash_embed(spark, sf_dir):
         # feature-hashing text embedding (hashing trick) — DuckDB cannot
         # reproduce Spark's seeded xxhash64, so the oracle is the pinned
@@ -3901,6 +3942,33 @@ SELECT CAST(pm.n_produced AS BIGINT) AS n_produced,
 FROM pm, gm, exact
 """
 
+    o["kg_bgp"] = """
+WITH nodes AS (SELECT DISTINCT doc_id % 60 AS n FROM documents),
+edges AS (
+  SELECT n AS c, n // 2 AS p FROM nodes WHERE n >= 2
+  UNION
+  SELECT n AS c, n // 3 AS p FROM nodes WHERE n >= 3 AND n % 4 = 0
+),
+ann AS (
+  SELECT printf('d%04d', doc_id) AS d, printf('T%02d', doc_id % 60) AS t
+  FROM documents
+),
+isa AS (SELECT printf('T%02d', c) AS c, printf('T%02d', p) AS p FROM edges)
+SELECT a.d, a.t, i.p
+FROM ann a
+JOIN isa i ON i.c = a.t
+JOIN isa i2 ON i2.c = i.p AND i2.p = 'T01'
+ORDER BY 1, 2, 3
+"""
+
+    o["kg_ntriples"] = """
+SELECT '<http://example.org/doc/' || doc_id || '> <http://example.org/has_text> "'
+       || replace(replace(replace(replace(replace(substr(text, 1, 40),
+            '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')
+       || '" .' AS ntriple
+FROM documents ORDER BY ntriple
+"""
+
     from phenoqc_spark.kcore_golden import KCORE_45 as _KC
 
     _kc_vals = ",\n        ".join(f"({n}, {c})" for (n, c) in _KC)
@@ -3955,8 +4023,8 @@ FROM pm, gm, exact
 # kg_pagerank_weighted, kg_hits, agg_drift_psi, agg_drift_panel,
 # td_classifier_filter, dd_near_dedup_best, dd_span_winnow,
 # kg_ancestor_closure, kg_term_rollup, kg_term_similarity,
-# txt_dup_spans, kg_term_ic, kg_resnik, kg_phenomizer_bma, kg_soft_pr)
-# have never held a driver row —
+# txt_dup_spans, kg_term_ic, kg_resnik, kg_phenomizer_bma, kg_soft_pr,
+# kg_bgp, kg_ntriples) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

@@ -220,3 +220,138 @@ def map_wide(
             )
         out = out.drop("_tn")
     return out
+
+
+def match_bgp(
+    triples_df: DataFrame,
+    patterns: "List[tuple]",
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """SPARQL-style basic-graph-pattern query over the materialized
+    triple table: ``patterns`` is a list of (s, p, o) terms where a
+    string starting with ``?`` is a variable and anything else is a
+    constant.  Returns one column per distinct variable, bag semantics
+    (SPARQL SELECT default — no implicit DISTINCT), patterns combined
+    by natural join on shared variables in the order given.
+
+    Example — documents linked to a term whose parent is T03::
+
+        match_bgp(t, [("?d", "has_term", "?t"), ("?t", "is_a", "T03")])
+
+    Scale shape: each pattern is one scan of the triple table with its
+    constants pushed into the scan as filters (predicate pushdown —
+    constant-``pred`` patterns prune to one relation's partitions when
+    the sink partitions by ``pred``, the layout :mod:`resume` writes).
+    Joins are plain equi-joins on the shared-variable columns: Catalyst
+    + AQE pick broadcast vs shuffle per pattern's filtered size, and the
+    usual skew remedies (salting a hub join key) apply unchanged.  A
+    pattern sharing NO variable with the accumulated result raises —
+    an unconstrained cross product is never silently planned.
+
+    Reference analogue: none (no query surface at all); this is the
+    minimal KG read API the triple factory's output deserves.
+    """
+    cols = {subj: "_s", pred: "_p", obj: "_o"}
+    base = triples_df.select(
+        *[F.col(c).alias(a) for c, a in cols.items()]
+    )
+    result = None
+    bound: "set[str]" = set()
+    exists_checks = []
+    for i, pat in enumerate(patterns):
+        if len(pat) != 3:
+            raise ValueError(f"pattern {i} must be a (s, p, o) triple: {pat!r}")
+        t = base
+        sel, seen = [], {}
+        for col, term in zip(("_s", "_p", "_o"), pat):
+            if isinstance(term, str) and term.startswith("?"):
+                var = term[1:]
+                if not var:
+                    raise ValueError(f"pattern {i}: bare '?' is not a variable")
+                if var in seen:
+                    # repeated variable inside one pattern: equality filter
+                    t = t.filter(F.col(col) == F.col(seen[var]))
+                else:
+                    seen[var] = col
+                    sel.append(F.col(col).alias(var))
+            else:
+                t = t.filter(F.col(col) == F.lit(term))
+        if not seen:
+            # fully-constant pattern: pure existence check — a 1-row
+            # (or empty) broadcast cross join gates the whole result
+            exists_checks.append(
+                t.limit(1).select(F.lit(1).alias(f"_exists_{i}"))
+            )
+            continue
+        t = t.select(*sel)
+        if result is None:
+            result, bound = t, set(seen)
+            continue
+        shared = sorted(bound & set(seen))
+        if not shared:
+            raise ValueError(
+                f"pattern {i} {pat!r} shares no variable with the patterns "
+                f"before it ({sorted(bound)}) — reorder the BGP; an "
+                "unconstrained cross product is refused"
+            )
+        result = result.join(t, shared)
+        bound |= set(seen)
+    if result is None:
+        raise ValueError("BGP needs at least one pattern with a variable")
+    for chk in exists_checks:
+        result = result.crossJoin(F.broadcast(chk))
+    return result.drop(*[c for c in result.columns if c.startswith("_exists_")])
+
+
+def to_ntriples(
+    triples_df: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    base: str = "http://example.org/",
+    obj_literal: bool = False,
+) -> DataFrame:
+    """(ntriple): serialize the triple table to W3C N-Triples lines —
+    ``<s> <p> <o> .`` with IRI terms, or ``<s> <p> "lit" .`` when
+    ``obj_literal`` (objects carrying free text, e.g. extracted
+    mentions).  The standard KG exchange format: one triple per line,
+    concatenable across files/partitions — exactly the property that
+    makes it the right text sink for a distributed writer.
+
+    Escaping: literal objects get the N-Triples string escapes
+    (``\\ " \\n \\r \\t``, backslash first); IRI components percent-encode
+    the characters N-Triples forbids inside ``<>`` (space, ``< > "``) —
+    engine-generated ids (term CURIEs, urls) never contain the rest.
+
+    Scale shape: pure per-row JVM string expressions (whole-stage
+    codegen, no UDF, no shuffle); pair with
+    ``df.write.text(path)`` — partition files are independently valid
+    N-Triples documents.
+    """
+    def iri(col):
+        c = F.col(col).cast("string")
+        for ch, enc in (("%", "%25"), (" ", "%20"), ("<", "%3C"), (">", "%3E"), ('"', "%22")):
+            c = F.replace(c, F.lit(ch), F.lit(enc))
+        return F.concat(F.lit("<" + base), c, F.lit(">"))
+
+    def lit_term(col):
+        c = F.col(col).cast("string")
+        for ch, esc in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+            c = F.replace(c, F.lit(ch), F.lit(esc))
+        return F.concat(F.lit('"'), c, F.lit('"'))
+
+    o = lit_term(obj) if obj_literal else iri(obj)
+    return triples_df.select(
+        F.concat_ws(" ", iri(subj), iri(pred), o, F.lit(".")).alias("ntriple")
+    )
+
+
+def write_ntriples(triples_df: DataFrame, path: str, mode: str = "overwrite", **kw) -> None:
+    """Write the triple table as an N-Triples text dataset at ``path``
+    (one ``part-*`` file per partition, each independently valid —
+    ``cat`` restores a single document).  Thin sink over
+    :func:`to_ntriples`; pass ``obj_literal=True`` via ``kw`` for
+    literal objects."""
+    to_ntriples(triples_df, **kw).write.mode(mode).text(path)

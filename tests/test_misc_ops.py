@@ -648,3 +648,78 @@ def test_suggest_ontologies(spark):
     # numeric column with no signal -> no default
     df5 = spark.createDataFrame([(1,)], "n long")
     assert suggest_ontologies(df5, "n", avail) == []
+
+
+def test_match_bgp(spark):
+    """BGP semantics: natural join on shared vars, constant pushdown,
+    repeated var inside a pattern, constant-only existence gates, and
+    cross-product refusal."""
+    import pytest
+
+    from phenoqc_spark.operators.triples import match_bgp
+
+    t = spark.createDataFrame(
+        [
+            ("d1", "has_term", "T1"),
+            ("d2", "has_term", "T2"),
+            ("d3", "has_term", "T3"),
+            ("T1", "is_a", "A"),
+            ("T2", "is_a", "A"),
+            ("T3", "is_a", "B"),
+            ("x", "self", "x"),
+            ("y", "self", "z"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    # docs whose term is_a A
+    got = sorted(
+        (r.d, r.t)
+        for r in match_bgp(
+            t, [("?d", "has_term", "?t"), ("?t", "is_a", "A")]
+        ).collect()
+    )
+    assert got == [("d1", "T1"), ("d2", "T2")]
+    # repeated variable inside one pattern: only true self-loops
+    got = [r.n for r in match_bgp(t, [("?n", "self", "?n")]).collect()]
+    assert got == ["x"]
+    # constant-only existing pattern gates nothing out
+    got = match_bgp(
+        t, [("?d", "has_term", "?t"), ("T1", "is_a", "A")]
+    ).count()
+    assert got == 3
+    # constant-only ABSENT pattern empties the result
+    got = match_bgp(
+        t, [("?d", "has_term", "?t"), ("T1", "is_a", "NOPE")]
+    ).count()
+    assert got == 0
+    # disconnected patterns refused
+    with pytest.raises(ValueError, match="cross product"):
+        match_bgp(t, [("?a", "has_term", "?b"), ("?c", "is_a", "?e")])
+    # bag semantics: duplicate-producing join keeps multiplicity
+    n = match_bgp(t, [("?d", "has_term", "?t"), ("?t", "is_a", "?p")]).count()
+    assert n == 3
+
+
+def test_to_ntriples_escaping(spark):
+    """N-Triples lines: IRI percent-encoding and literal string escapes
+    (backslash first); one line per triple, trailing dot."""
+    from phenoqc_spark.operators.triples import to_ntriples
+
+    t = spark.createDataFrame(
+        [("a b", "p<1>", 'say "hi"\n\tback\\slash')],
+        "subj string, pred string, obj string",
+    )
+    line = to_ntriples(t, obj_literal=True).collect()[0].ntriple
+    assert line == (
+        '<http://example.org/a%20b> <http://example.org/p%3C1%3E> '
+        '"say \\"hi\\"\\n\\tback\\\\slash" .'
+    )
+    iri_line = to_ntriples(
+        spark.createDataFrame([("s", "p", "o")], "subj string, pred string, obj string")
+    ).collect()[0].ntriple
+    assert iri_line == "<http://example.org/s> <http://example.org/p> <http://example.org/o> ."
+    # percent sign itself is encoded first (no double-encoding)
+    pct = to_ntriples(
+        spark.createDataFrame([("100%", "p", "o")], "subj string, pred string, obj string")
+    ).collect()[0].ntriple
+    assert pct.startswith("<http://example.org/100%25> ")

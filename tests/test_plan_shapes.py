@@ -248,3 +248,22 @@ def test_sessionize_and_asof_single_user_shuffle(spark):
     # nested-loop/cartesian plan Catalyst gives a raw theta join
     assert "BroadcastNestedLoop" not in txt3 and "CartesianProduct" not in txt3, txt3
     assert "HashJoin" in txt3 or "SortMergeJoin" in txt3, txt3
+
+
+def test_bgp_constants_push_to_parquet_scan(spark, tmp_path):
+    """match_bgp constant terms must reach the parquet scan as
+    PushedFilters (per-pattern predicate pushdown), and the serializer
+    must stay UDF-free whole-stage codegen."""
+    from phenoqc_spark.operators.triples import match_bgp, to_ntriples
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [("a", "has_term", "T1"), ("T1", "is_a", "A")],
+        "subj string, pred string, obj string",
+    ).write.parquet(p)
+    t = spark.read.parquet(p)
+    txt = plan_text(match_bgp(t, [("?d", "has_term", "?t"), ("?t", "is_a", "A")]))
+    assert "EqualTo(pred,has_term)" in txt, txt
+    assert "EqualTo(pred,is_a)" in txt and "EqualTo(obj,A)" in txt, txt
+    nt = plan_text(to_ntriples(t, obj_literal=True))
+    assert "Exchange" not in nt and "Python" not in nt, nt
