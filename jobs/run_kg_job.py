@@ -53,6 +53,15 @@ def main() -> None:
     ap.add_argument("--pagerank-iters", type=int, default=0,
                     help="with --graph-stats: also run N PageRank power "
                          "iterations over the triple graph and add a rank column")
+    ap.add_argument("--ntriples", action="store_true",
+                    help="also export the triple table as an N-Triples text "
+                         "dataset at <out>/triples_nt (partition files "
+                         "independently valid; cat restores one document)")
+    ap.add_argument("--gold", default=None,
+                    help="parquet of gold (subj, obj) links: write an "
+                         "ontology-aware linking scorecard (exact + soft P/R, "
+                         "near-misses credited by Lin similarity over the "
+                         "is_a hierarchy) to <out>/link_eval")
     args = ap.parse_args()
 
     from phenoqc_spark.logging_utils import log_activity, setup_logging
@@ -187,6 +196,41 @@ def main() -> None:
             log_activity(f"is_a rollup -> {rollup_path}")
         else:
             log_activity("is_a rollup skipped: no is_a edges in ontologies")
+    nt_path = None
+    if args.ntriples:
+        nt_path = os.path.join(args.out, "triples_nt")
+        T.write_ntriples(
+            spark.read.parquet(triples_path).select("subj", "pred", "obj"),
+            nt_path,
+        )
+        log_activity(f"ntriples export -> {nt_path}")
+    eval_path = None
+    if args.gold:
+        from phenoqc_spark.ontology.obo import build_isa_edges
+        from phenoqc_spark.operators.canonicalize import (
+            ancestor_closure,
+            soft_link_pr,
+            term_ic,
+        )
+
+        isa_edges = []
+        for fn in sorted(os.listdir(args.onto_dir)):
+            if fn.lower().endswith((".obo", ".json", ".owl")):
+                isa_edges += build_isa_edges(os.path.join(args.onto_dir, fn))
+        edf = spark.createDataFrame(
+            isa_edges or [("__none__", "__root__")], "child string, parent string"
+        )
+        closure = ancestor_closure(edf)
+        produced = spark.read.parquet(triples_path).select("subj", F.col("obj"))
+        gold_df = spark.read.parquet(args.gold).select("subj", "obj")
+        ic = term_ic(produced.select(F.col("obj").alias("term")), closure)
+        scorecard = soft_link_pr(
+            produced, gold_df, ic, closure, key_col="subj", term_col="obj"
+        )
+        eval_path = os.path.join(args.out, "link_eval")
+        scorecard.write.mode("overwrite").parquet(eval_path)
+        row = spark.read.parquet(eval_path).collect()[0].asDict()
+        log_activity(f"link eval -> {eval_path}: {row}")
     report_path = None
     if args.report:
         from phenoqc_spark.report import (
@@ -223,6 +267,8 @@ def main() -> None:
         "report": report_path,
         "graph_stats": graph_stats_path,
         "term_rollup": rollup_path,
+        "ntriples": nt_path,
+        "link_eval": eval_path,
     }))
     spark.stop()
 

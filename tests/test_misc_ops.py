@@ -723,3 +723,64 @@ def test_to_ntriples_escaping(spark):
         spark.createDataFrame([("100%", "p", "o")], "subj string, pred string, obj string")
     ).collect()[0].ntriple
     assert pct.startswith("<http://example.org/100%25> ")
+
+
+def test_run_kg_job_ntriples_and_gold_eval(spark, tmp_path, onto_dir):
+    """KG CLI: --ntriples exports a valid N-Triples text dataset and
+    --gold writes the ontology-aware linking scorecard (exact + soft
+    P/R); dropping gold rows lowers precision but not recall."""
+    import glob
+    import json
+    import subprocess
+    import sys
+
+    out1 = tmp_path / "kg1"
+    proc = subprocess.run(
+        [sys.executable, "jobs/run_kg_job.py",
+         "--generate-rows", "2000", "--out", str(out1),
+         "--onto-dir", onto_dir],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    trip = spark.read.parquet(str(out1 / "triples"))
+    n_trip = trip.count()
+    links = trip.select("subj", "obj").distinct()
+    n_links = links.count()
+    # gold = produced DISTINCT links minus every 10th (precision dips,
+    # recall holds); the scorecard counts distinct links by contract
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    gold = (
+        links.withColumn("_r", F.row_number().over(Window.orderBy("subj", "obj")))
+        .filter(F.col("_r") % 10 != 0)
+        .drop("_r")
+    )
+    gold_path = tmp_path / "gold.parquet"
+    gold.write.parquet(str(gold_path))
+    n_gold = gold.count()
+
+    out2 = tmp_path / "kg2"
+    proc = subprocess.run(
+        [sys.executable, "jobs/run_kg_job.py",
+         "--generate-rows", "2000", "--out", str(out2),
+         "--onto-dir", onto_dir, "--ntriples", "--gold", str(gold_path)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["ntriples"] and summary["link_eval"]
+
+    # N-Triples: one line per triple, every line '<...> ... .'
+    lines = []
+    for fn in glob.glob(str(out2 / "triples_nt" / "part-*")):
+        lines += open(fn).read().splitlines()
+    assert len(lines) == n_trip
+    assert all(ln.startswith("<") and ln.endswith(" .") for ln in lines)
+
+    ev = spark.read.parquet(str(out2 / "link_eval")).collect()[0]
+    assert ev.n_gold == n_gold and ev.n_produced == n_links
+    assert ev.n_exact == n_gold                  # gold ⊂ produced
+    assert ev.recall_exact == 1.0 and ev.soft_recall == 1.0
+    assert ev.precision_exact < 1.0
+    # near-miss credit: soft precision at least the exact rate
+    assert ev.soft_precision >= ev.precision_exact
