@@ -243,20 +243,21 @@ def main() -> None:
         # respective flags are on
         gs = spark.read.parquet(graph_stats_path) if graph_stats_path else None
         tr = spark.read.parquet(rollup_path) if rollup_path else None
+        le = spark.read.parquet(eval_path) if eval_path else None
         report_path = os.path.join(args.out, "qc_report.md")
         generate_report(
             spark, triples_path, audit_path, report_path,
-            graph_stats=gs, term_rollup=tr,
+            graph_stats=gs, term_rollup=tr, link_eval=le,
         )
         generate_html_report(
             spark, triples_path, audit_path,
             os.path.join(args.out, "qc_report.html"),
-            graph_stats=gs, term_rollup=tr,
+            graph_stats=gs, term_rollup=tr, link_eval=le,
         )
         generate_pdf_report(
             spark, triples_path, audit_path,
             os.path.join(args.out, "qc_report.pdf"),
-            graph_stats=gs, term_rollup=tr,
+            graph_stats=gs, term_rollup=tr, link_eval=le,
         )
 
     print(json.dumps({

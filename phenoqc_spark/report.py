@@ -82,6 +82,20 @@ def _rollup_rows(term_rollup: DataFrame, top_n: int = 20):
     )
 
 
+def _link_eval_tiles(link_eval):
+    """(label, value) rows from the 1-row soft_link_pr scorecard."""
+    ev = link_eval.collect()[0]
+    return [
+        ("produced links", f"{ev.n_produced:,}"),
+        ("gold links", f"{ev.n_gold:,}"),
+        ("exact matches", f"{ev.n_exact:,}"),
+        ("precision (exact)", f"{ev.precision_exact:.4f}"),
+        ("recall (exact)", f"{ev.recall_exact:.4f}"),
+        ("precision (soft, Lin)", f"{ev.soft_precision:.4f}"),
+        ("recall (soft, Lin)", f"{ev.soft_recall:.4f}"),
+    ]
+
+
 def generate_report(
     spark: SparkSession,
     triples_path: str,
@@ -90,6 +104,7 @@ def generate_report(
     mapping_stats: DataFrame | None = None,
     graph_stats: DataFrame | None = None,
     term_rollup: DataFrame | None = None,
+    link_eval: DataFrame | None = None,
 ) -> str:
     triples = spark.read.parquet(triples_path)
     audit = spark.read.parquet(audit_path)
@@ -157,6 +172,9 @@ def generate_report(
             "|---|---|",
         ]
         lines += [f"| {r.ancestor} | {r.n:,} |" for r in _rollup_rows(term_rollup)]
+    if link_eval is not None:
+        lines += ["", "## Linking scorecard (vs gold)", ""]
+        lines += [f"- {k}: **{v}**" for k, v in _link_eval_tiles(link_eval)]
     content = "\n".join(lines) + "\n"
     with open(out_path, "w") as fh:
         fh.write(content)
@@ -270,6 +288,7 @@ def generate_html_report(
     mapping_stats: DataFrame | None = None,
     graph_stats: DataFrame | None = None,
     term_rollup: DataFrame | None = None,
+    link_eval: DataFrame | None = None,
 ) -> str:
     """Self-contained HTML QC report (visual analogue of generate_report)."""
     triples = spark.read.parquet(triples_path)
@@ -353,6 +372,17 @@ def generate_html_report(
                 "Subsumption rollup (top 20 ancestor terms)",
             )
         )
+    if link_eval is not None:
+        ev_tiles = "".join(
+            f'<div style="border:1px solid {_GRID};border-radius:8px;padding:12px 16px;">'
+            f'<div style="color:{_MUTED};font-size:12px;">{_html.escape(k)}</div>'
+            f'<div style="color:{_INK};font-size:22px;font-weight:600;">{v}</div></div>'
+            for k, v in _link_eval_tiles(link_eval)
+        )
+        sections.append(
+            f'<h2 style="margin-top:32px;">Linking scorecard (vs gold)</h2>'
+            f'<div style="display:flex;gap:12px;flex-wrap:wrap;margin-bottom:24px;">{ev_tiles}</div>'
+        )
     content = (
         "<!doctype html>\n<html><head><meta charset='utf-8'><title>QC Report</title></head>\n"
         f'<body style="font-family:system-ui,sans-serif;max-width:900px;margin:32px auto;'
@@ -414,6 +444,7 @@ def generate_pdf_report(
     mapping_stats: DataFrame | None = None,
     graph_stats: DataFrame | None = None,
     term_rollup: DataFrame | None = None,
+    link_eval: DataFrame | None = None,
 ) -> bytes:
     """PDF QC report — the reference's deliverable format (reporting.py:
     832-1081), same content as :func:`generate_html_report`.  Returns the
@@ -498,6 +529,19 @@ def generate_pdf_report(
             [(r.ancestor, r.n) for r in _rollup_rows(term_rollup)],
             "Subsumption rollup (top 20 ancestor terms)",
         )
+    if link_eval is not None:
+        from .pdfgen import PAGE_H
+
+        if y > PAGE_H - 160:
+            c.new_page()
+            y = 60
+        c.text(54, y, "Linking scorecard (vs gold)", size=12, bold=True, color=_PDF_INK)
+        y += 18
+        for k, v in _link_eval_tiles(link_eval):
+            c.text(54, y, k, size=10, color=_PDF_MUTED)
+            c.text(200, y, v, size=10, bold=True, color=_PDF_INK)
+            y += 15
+        y += 14
     data = c.build()
     with open(out_path, "wb") as fh:
         fh.write(data)

@@ -247,6 +247,32 @@ def test_report(spark, tmp_path, resolver):
     )
     assert b"Subsumption rollup" in pdf_tr
 
+    # linking-scorecard section (run_kg_job --gold): the 1-row
+    # soft_link_pr frame renders in all three formats
+    from phenoqc_spark.operators.canonicalize import soft_link_pr, term_ic
+
+    ic = term_ic(facts.select("term"), closure)
+    gold = trip.select("subj", "obj").limit(3)
+    le = soft_link_pr(
+        trip.select("subj", "obj"), gold, ic, closure,
+        key_col="subj", term_col="obj",
+    )
+    md_le = generate_report(
+        spark, str(tmp_path / "triples"), str(tmp_path / "audit"),
+        str(tmp_path / "report_le.md"), link_eval=le,
+    )
+    assert "## Linking scorecard" in md_le and "recall (soft, Lin)" in md_le
+    html_le = generate_html_report(
+        spark, str(tmp_path / "triples"), str(tmp_path / "audit"),
+        str(tmp_path / "report_le.html"), link_eval=le,
+    )
+    assert "Linking scorecard" in html_le
+    pdf_le = generate_pdf_report(
+        spark, str(tmp_path / "triples"), str(tmp_path / "audit"),
+        str(tmp_path / "report_le.pdf"), link_eval=le,
+    )
+    assert b"Linking scorecard" in pdf_le
+
 
 def test_sessionize_gap_semantics(spark):
     """Gap-based sessions: events within the gap chain into one session,
