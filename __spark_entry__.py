@@ -2121,6 +2121,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_ntriples"] = kg_ntriples
 
+    def kg_bgp_path(spark, sf_dir):
+        # property-path BGP: ?t is_a+ T01 resolved through the
+        # materialized ancestor closure (any-depth descendants)
+        from phenoqc_spark.operators.canonicalize import ancestor_closure
+        from phenoqc_spark.operators.triples import match_bgp
+
+        docs = load_table(spark, sf_dir, "documents")
+        ann = docs.select(
+            F.format_string("d%04d", F.col("doc_id")).alias("subj"),
+            F.lit("has_term").alias("pred"),
+            F.format_string("T%02d", F.col("doc_id") % 60).alias("obj"),
+        )
+        closure = ancestor_closure(_term_dag(docs)).select("node", "ancestor")
+        out = match_bgp(
+            ann,
+            [("?d", "has_term", "?t"), ("?t", "is_a+", "T01")],
+            closures={"is_a+": closure},
+        )
+        return out.orderBy("d", "t")
+
+    q["kg_bgp_path"] = kg_bgp_path
+
     def sim_hash_embed(spark, sf_dir):
         # feature-hashing text embedding (hashing trick) — DuckDB cannot
         # reproduce Spark's seeded xxhash64, so the oracle is the pinned
@@ -3969,6 +3991,19 @@ SELECT '<http://example.org/doc/' || doc_id || '> <http://example.org/has_text> 
 FROM documents ORDER BY ntriple
 """
 
+    o["kg_bgp_path"] = f"""
+WITH RECURSIVE {_DAG_SQL},
+reach(node, ancestor) AS (
+  SELECT c, p FROM edges
+  UNION
+  SELECT r.node, e.p FROM reach r JOIN edges e ON r.ancestor = e.c
+),
+ann AS (SELECT printf('d%04d', doc_id) AS d, doc_id % 60 AS t FROM documents)
+SELECT a.d, printf('T%02d', a.t) AS t
+FROM ann a JOIN reach r ON r.node = a.t AND r.ancestor = 1
+ORDER BY 1, 2
+"""
+
     from phenoqc_spark.kcore_golden import KCORE_45 as _KC
 
     _kc_vals = ",\n        ".join(f"({n}, {c})" for (n, c) in _KC)
@@ -4024,7 +4059,7 @@ FROM documents ORDER BY ntriple
 # td_classifier_filter, dd_near_dedup_best, dd_span_winnow,
 # kg_ancestor_closure, kg_term_rollup, kg_term_similarity,
 # txt_dup_spans, kg_term_ic, kg_resnik, kg_phenomizer_bma, kg_soft_pr,
-# kg_bgp, kg_ntriples) have never held a driver row —
+# kg_bgp, kg_bgp_path, kg_ntriples) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

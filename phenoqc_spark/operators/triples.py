@@ -228,6 +228,7 @@ def match_bgp(
     subj: str = "subj",
     pred: str = "pred",
     obj: str = "obj",
+    closures: "dict | None" = None,
 ) -> DataFrame:
     """SPARQL-style basic-graph-pattern query over the materialized
     triple table: ``patterns`` is a list of (s, p, o) terms where a
@@ -250,6 +251,20 @@ def match_bgp(
     pattern sharing NO variable with the accumulated result raises —
     an unconstrained cross product is never silently planned.
 
+    ``closures`` maps a virtual predicate name to a 2-column
+    (node, ancestor) DataFrame — typically
+    :func:`~phenoqc_spark.operators.canonicalize.ancestor_closure` —
+    giving SPARQL property-path semantics for transitive relations::
+
+        match_bgp(t, [("?d", "has_term", "?t"), ("?t", "is_a+", "T01")],
+                  closures={"is_a+": closure})   # any-depth descendants
+
+    A closure is a materialized path relation, so the "recursive" part
+    costs the same equi-join as any other pattern (compute the closure
+    once per ontology release, reuse everywhere).  Virtual predicates
+    match only when the pattern's predicate is that constant — a
+    predicate VARIABLE ranges over the real triple table only.
+
     Reference analogue: none (no query surface at all); this is the
     minimal KG read API the triple factory's output deserves.
     """
@@ -263,7 +278,16 @@ def match_bgp(
     for i, pat in enumerate(patterns):
         if len(pat) != 3:
             raise ValueError(f"pattern {i} must be a (s, p, o) triple: {pat!r}")
-        t = base
+        if closures and isinstance(pat[1], str) and pat[1] in closures:
+            c = closures[pat[1]]
+            n_col, a_col = c.columns[:2]
+            t = c.select(
+                F.col(n_col).alias("_s"),
+                F.lit(pat[1]).alias("_p"),
+                F.col(a_col).alias("_o"),
+            )
+        else:
+            t = base
         sel, seen = [], {}
         for col, term in zip(("_s", "_p", "_o"), pat):
             if isinstance(term, str) and term.startswith("?"):

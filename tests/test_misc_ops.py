@@ -810,3 +810,43 @@ def test_run_kg_job_ntriples_and_gold_eval(spark, tmp_path, onto_dir):
     assert ev.precision_exact < 1.0
     # near-miss credit: soft precision at least the exact rate
     assert ev.soft_precision >= ev.precision_exact
+
+
+def test_match_bgp_property_path(spark):
+    """closures= gives transitive-predicate patterns: ?t is_a+ R matches
+    any-depth descendants via the materialized ancestor closure."""
+    from phenoqc_spark.operators.canonicalize import ancestor_closure
+    from phenoqc_spark.operators.triples import match_bgp
+
+    t = spark.createDataFrame(
+        [
+            ("d1", "has_term", "A1"),   # grandchild of R
+            ("d2", "has_term", "B"),    # child of R
+            ("d3", "has_term", "ZZZ"),  # outside the hierarchy
+        ],
+        "subj string, pred string, obj string",
+    )
+    closure = ancestor_closure(
+        spark.createDataFrame(
+            [("A", "R"), ("B", "R"), ("A1", "A")], "child string, parent string"
+        )
+    )
+    got = sorted(
+        r.d
+        for r in match_bgp(
+            t,
+            [("?d", "has_term", "?t"), ("?t", "is_a+", "R")],
+            closures={"is_a+": closure},
+        ).collect()
+    )
+    assert got == ["d1", "d2"]
+    # direct edge only: plain pattern misses the grandchild
+    direct = match_bgp(
+        t,
+        [("?d", "has_term", "?t"), ("?t", "is_a+", "A")],
+        closures={"is_a+": closure},
+    )
+    assert [r.d for r in direct.collect()] == ["d1"]
+    # a predicate VARIABLE never matches the virtual relation
+    n = match_bgp(t, [("?d", "?p", "?t")], closures={"is_a+": closure}).count()
+    assert n == 3
