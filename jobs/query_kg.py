@@ -1,0 +1,73 @@
+"""Query a materialized triple table with a SPARQL-style basic graph
+pattern — the spark-submit read surface for the triple factory's output.
+
+    spark-submit --py-files phenoqc_spark.zip jobs/query_kg.py \
+        --triples /data/kg/triples \
+        --bgp '[["?d", "has_term", "?t"], ["?t", "is_a+", "HP:0000118"]]' \
+        --closure /data/kg/isa_closure --closure-pred is_a+ \
+        --limit 100 --out /data/kg/answers     # parquet; omit to print
+
+The BGP is a JSON list of [s, p, o] patterns; ``?name`` terms are
+variables, anything else is a constant pushed into the parquet scan.
+``--closure`` mounts a materialized (node, ancestor) closure as a
+virtual transitive predicate (``--closure-pred``, default ``is_a+``) —
+SPARQL property paths at equi-join cost.
+
+Scale posture: this is a thin driver around
+:func:`phenoqc_spark.operators.triples.match_bgp` — constants reach the
+scan as PushedFilters, joins are Catalyst/AQE-planned equi-joins, and
+``--out`` writes distributed parquet (printing collects only
+``--limit`` rows to the driver).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--triples", required=True, help="parquet path of (subj, pred, obj)")
+    ap.add_argument("--bgp", required=True,
+                    help="JSON list of [s, p, o] patterns; '?x' terms are variables")
+    ap.add_argument("--closure", default=None,
+                    help="parquet path of a (node, ancestor) closure for --closure-pred")
+    ap.add_argument("--closure-pred", default="is_a+",
+                    help="virtual transitive predicate name (default is_a+)")
+    ap.add_argument("--distinct", action="store_true",
+                    help="set semantics (SPARQL DISTINCT) instead of the default bag")
+    ap.add_argument("--limit", type=int, default=50,
+                    help="rows printed when --out is omitted")
+    ap.add_argument("--out", default=None, help="write full results to parquet here")
+    args = ap.parse_args()
+
+    from phenoqc_spark.operators.triples import match_bgp
+    from phenoqc_spark.session import get_spark
+
+    patterns = [tuple(p) for p in json.loads(args.bgp)]
+    spark = get_spark("kg-query")
+    closures = None
+    if args.closure:
+        closures = {args.closure_pred: spark.read.parquet(args.closure)}
+    out = match_bgp(spark.read.parquet(args.triples), patterns, closures=closures)
+    if args.distinct:
+        out = out.distinct()
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"rows": n, "out": args.out, "columns": out.columns}))
+    else:
+        rows = out.limit(args.limit).collect()
+        print(json.dumps({"rows_shown": len(rows), "columns": out.columns}))
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -850,3 +850,54 @@ def test_match_bgp_property_path(spark):
     # a predicate VARIABLE never matches the virtual relation
     n = match_bgp(t, [("?d", "?p", "?t")], closures={"is_a+": closure}).count()
     assert n == 3
+
+
+def test_query_kg_cli(spark, tmp_path):
+    """query_kg.py: BGP over a parquet triple table, property path via a
+    mounted closure, parquet output and printed JSON rows."""
+    import json
+    import subprocess
+    import sys
+
+    trip = tmp_path / "trip"
+    spark.createDataFrame(
+        [
+            ("d1", "has_term", "A1"),
+            ("d2", "has_term", "B"),
+            ("d3", "has_term", "Z"),
+        ],
+        "subj string, pred string, obj string",
+    ).write.parquet(str(trip))
+    from phenoqc_spark.operators.canonicalize import ancestor_closure
+
+    clo = tmp_path / "clo"
+    ancestor_closure(
+        spark.createDataFrame(
+            [("A", "R"), ("B", "R"), ("A1", "A")], "child string, parent string"
+        )
+    ).write.parquet(str(clo))
+
+    proc = subprocess.run(
+        [sys.executable, "jobs/query_kg.py",
+         "--triples", str(trip),
+         "--bgp", '[["?d", "has_term", "?t"], ["?t", "is_a+", "R"]]',
+         "--closure", str(clo), "--out", str(tmp_path / "ans")],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    head = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert head["rows"] == 2 and set(head["columns"]) == {"d", "t"}
+    got = {r.d for r in spark.read.parquet(str(tmp_path / "ans")).collect()}
+    assert got == {"d1", "d2"}
+
+    # print mode
+    proc = subprocess.run(
+        [sys.executable, "jobs/query_kg.py",
+         "--triples", str(trip), "--bgp", '[["?d", "has_term", "?t"]]',
+         "--limit", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = proc.stdout.strip().splitlines()
+    head = json.loads([l for l in lines if '"rows_shown"' in l][0])
+    assert head["rows_shown"] == 2
