@@ -229,6 +229,7 @@ def match_bgp(
     pred: str = "pred",
     obj: str = "obj",
     closures: "dict | None" = None,
+    optional: "List[tuple] | None" = None,
 ) -> DataFrame:
     """SPARQL-style basic-graph-pattern query over the materialized
     triple table: ``patterns`` is a list of (s, p, o) terms where a
@@ -265,6 +266,11 @@ def match_bgp(
     match only when the pattern's predicate is that constant — a
     predicate VARIABLE ranges over the real triple table only.
 
+    ``optional`` patterns (SPARQL OPTIONAL) are LEFT-joined after the
+    required block: rows keep their bindings and take NULLs for the
+    optional pattern's new variables when no match exists.  Each
+    optional pattern must share a variable with the required block.
+
     Reference analogue: none (no query surface at all); this is the
     minimal KG read API the triple factory's output deserves.
     """
@@ -272,10 +278,8 @@ def match_bgp(
     base = triples_df.select(
         *[F.col(c).alias(a) for c, a in cols.items()]
     )
-    result = None
-    bound: "set[str]" = set()
-    exists_checks = []
-    for i, pat in enumerate(patterns):
+    def _compile(i, pat):
+        """One pattern -> (frame projected to its variables, var set)."""
         if len(pat) != 3:
             raise ValueError(f"pattern {i} must be a (s, p, o) triple: {pat!r}")
         if closures and isinstance(pat[1], str) and pat[1] in closures:
@@ -302,6 +306,13 @@ def match_bgp(
                     sel.append(F.col(col).alias(var))
             else:
                 t = t.filter(F.col(col) == F.lit(term))
+        return (t.select(*sel) if sel else t), seen
+
+    result = None
+    bound: "set[str]" = set()
+    exists_checks = []
+    for i, pat in enumerate(patterns):
+        t, seen = _compile(i, pat)
         if not seen:
             # fully-constant pattern: pure existence check — a 1-row
             # (or empty) broadcast cross join gates the whole result
@@ -309,7 +320,6 @@ def match_bgp(
                 t.limit(1).select(F.lit(1).alias(f"_exists_{i}"))
             )
             continue
-        t = t.select(*sel)
         if result is None:
             result, bound = t, set(seen)
             continue
@@ -324,6 +334,16 @@ def match_bgp(
         bound |= set(seen)
     if result is None:
         raise ValueError("BGP needs at least one pattern with a variable")
+    for j, pat in enumerate(optional or []):
+        t, seen = _compile(f"optional-{j}", pat)
+        shared = sorted(bound & set(seen))
+        if not seen or not shared:
+            raise ValueError(
+                f"OPTIONAL pattern {pat!r} must share a variable with the "
+                "required block"
+            )
+        result = result.join(t, shared, "left")
+        bound |= set(seen)
     for chk in exists_checks:
         result = result.crossJoin(F.broadcast(chk))
     return result.drop(*[c for c in result.columns if c.startswith("_exists_")])

@@ -901,3 +901,31 @@ def test_query_kg_cli(spark, tmp_path):
     lines = proc.stdout.strip().splitlines()
     head = json.loads([l for l in lines if '"rows_shown"' in l][0])
     assert head["rows_shown"] == 2
+
+
+def test_match_bgp_optional(spark):
+    """OPTIONAL patterns left-join: matched rows bind, unmatched keep
+    NULLs; patterns sharing no variable with the required block raise."""
+    import pytest
+
+    from phenoqc_spark.operators.triples import match_bgp
+
+    t = spark.createDataFrame(
+        [
+            ("d1", "has_term", "T1"),
+            ("d2", "has_term", "T2"),
+            ("T1", "label", "term one"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = match_bgp(
+        t,
+        [("?d", "has_term", "?t")],
+        optional=[("?t", "label", "?name")],
+    )
+    got = {(r.d, r.t): r.name for r in out.collect()}
+    assert got == {("d1", "T1"): "term one", ("d2", "T2"): None}
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        match_bgp(t, [("?d", "has_term", "?t")], optional=[("?x", "label", "?y")])
+    # required semantics unchanged: prior tests' shapes still hold
+    assert match_bgp(t, [("?d", "has_term", "?t")]).count() == 2
