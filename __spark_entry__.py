@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 91 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 106 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
@@ -122,7 +122,7 @@ _KG_ORACLE_VALUES = ",\n        ".join(
 )
 
 # kg_pagerank graph pieces — MUST stay in sync with
-# scripts/gen_pagerank_golden.py (which pins the numpy-twin golden)
+# scripts/gen_pagerank_golden.py and scripts/gen_lpa_golden.py (pinned twins)
 _PR_MAPPING = [
     (1, "HP:0000822"), (1, "DOID:0050167"),
     (2, "HP:0002090"), (2, "DOID:9352"), (2, "HP:0001627"), (2, "DOID:1612"),
@@ -729,6 +729,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("event_id")
 
     q["agg_asof_join"] = agg_asof_join
+
+    def agg_latest_event(spark, sf_dir):
+        # CDX-style latest-capture selection: one hash aggregate with
+        # max_by(struct(payload), struct(ts, tiebreak)) — partial-combines
+        # map-side where the window form would full-sort every capture;
+        # oracle = the classic row_number window in DuckDB (two different
+        # machineries, same deterministic winner under the tiebreak)
+        from phenoqc_spark.operators.sessions import latest_snapshot
+
+        ev = load_table(spark, sf_dir, "events")
+        return latest_snapshot(
+            ev, key_col="user_id", ts_col="ts", tiebreak_col="event_id"
+        ).orderBy("user_id")
+
+    q["agg_latest_event"] = agg_latest_event
 
     def agg_range_join(spark, sf_dir):
         # slice-bucketed range join (clicks inside each error's 30-minute
@@ -1718,6 +1733,58 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_hits"] = kg_hits
 
+    def kg_communities(spark, sf_dir):
+        # synchronous label-propagation communities over the same
+        # doc->term (+xref) graph as kg_pagerank, 5 rounds.  Oracle = the
+        # pinned pure-Python twin (phenoqc_spark/lpa_golden.py,
+        # scripts/gen_lpa_golden.py) — integer vote counts + string min
+        # tie-break, so the differential is exact (no float rounding).
+        from phenoqc_spark.operators.canonicalize import label_propagation
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+        m = spark.createDataFrame(_PR_MAPPING, "idx int, tid string")
+        doc_edges = (
+            docs.select(
+                F.format_string(
+                    "https://example.org/doc/%08d#%d", F.col("doc_id"), F.col("doc_id")
+                ).alias("src"),
+                (F.col("doc_id") % 4).cast("int").alias("idx"),
+            )
+            .join(F.broadcast(m), "idx")
+            .select("src", F.col("tid").alias("dst"))
+        )
+        xref = spark.createDataFrame(_PR_XREF, "src string, dst string")
+        out = label_propagation(doc_edges.unionByName(xref), iters=5)
+        return out.orderBy("node")
+
+    q["kg_communities"] = kg_communities
+
+    def kg_merge_state(spark, sf_dir):
+        # triple-store MERGE (upsert): two overlapping extraction batches
+        # collapse to per-batch state then merge — matched (s,p,o) keys
+        # combine (max confidence, min/max seen-batch, summed n_obs),
+        # unmatched insert.  Oracle = one UNION ALL + GROUP BY in DuckDB,
+        # which the associative combine must equal regardless of the
+        # incremental merge order.
+        from phenoqc_spark.operators.resume import merge_triple_state, triples_to_state
+
+        docs = load_table(spark, sf_dir, "documents")
+
+        def batch(pred):
+            return docs.filter(pred).select(
+                F.format_string("e%02d", (F.col("doc_id") % 9)).alias("subject"),
+                F.lit("rel").alias("predicate"),
+                F.format_string("e%02d", ((F.col("doc_id") * 7 + 3) % 11)).alias("object"),
+                (((F.col("doc_id") % 7) + 1) / F.lit(10.0)).alias("confidence"),
+            )
+
+        b1 = batch(F.col("doc_id") < 300)
+        b2 = batch((F.col("doc_id") >= 150) & (F.col("doc_id") < 450))
+        state = merge_triple_state(triples_to_state(b1, 1), triples_to_state(b2, 2))
+        return state.orderBy("subject", "predicate", "object")
+
+    q["kg_merge_state"] = kg_merge_state
+
     def td_importance(spark, sf_dir):
         # DSIR-style importance weights: raw model = documents, target
         # model = the doc_id % 17 slice — both unigram models and the
@@ -2425,6 +2492,41 @@ ORDER BY entity
         + _hits_vals
         + "\n) AS t(node, hub, authority) ORDER BY node"
     )
+
+    from phenoqc_spark.lpa_golden import LPA_400
+
+    _lpa_vals = ",\n  ".join(f"('{n}', '{l}')" for n, l in LPA_400)
+    o["kg_communities"] = (
+        "SELECT * FROM (VALUES\n  "
+        + _lpa_vals
+        + "\n) AS t(node, label) ORDER BY node"
+    )
+
+    o["kg_merge_state"] = """
+WITH b AS (
+  SELECT printf('e%02d', doc_id % 9) AS subject,
+         'rel' AS predicate,
+         printf('e%02d', (doc_id * 7 + 3) % 11) AS object,
+         ((doc_id % 7) + 1) / 10.0 AS confidence,
+         1 AS b
+  FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT printf('e%02d', doc_id % 9),
+         'rel',
+         printf('e%02d', (doc_id * 7 + 3) % 11),
+         ((doc_id % 7) + 1) / 10.0,
+         2
+  FROM documents WHERE doc_id >= 150 AND doc_id < 450
+)
+SELECT subject, predicate, object,
+       MAX(confidence) AS confidence,
+       CAST(MIN(b) AS INT) AS first_seen,
+       CAST(MAX(b) AS INT) AS last_seen,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM b
+GROUP BY subject, predicate, object
+ORDER BY subject, predicate, object
+"""
     return o
 
 
@@ -2670,6 +2772,18 @@ SELECT l.event_id, l.user_id, l.ts,
        COALESCE(r.asof_value, -1.0) AS asof_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id
+"""
+
+    o["agg_latest_event"] = """
+SELECT user_id, event_id, ts, event_type, value, props
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+ORDER BY user_id
 """
 
     o["agg_range_join"] = """
@@ -4059,7 +4173,8 @@ ORDER BY 1, 2
 # td_classifier_filter, dd_near_dedup_best, dd_span_winnow,
 # kg_ancestor_closure, kg_term_rollup, kg_term_similarity,
 # txt_dup_spans, kg_term_ic, kg_resnik, kg_phenomizer_bma, kg_soft_pr,
-# kg_bgp, kg_bgp_path, kg_ntriples) have never held a driver row —
+# kg_bgp, kg_bgp_path, kg_ntriples, agg_latest_event, kg_communities,
+# kg_merge_state) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

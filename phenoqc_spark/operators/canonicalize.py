@@ -547,6 +547,62 @@ def bfs_distances(
     return out
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """(node, label): community detection by synchronous label
+    propagation over the undirected simple graph — groups densely
+    interlinked KG entities (synonym clusters, topic hubs) beyond what
+    exact same-as :func:`connected_components` merges.
+
+    Deterministic variant of Raghavan et al.'s LPA: labels start as the
+    node's own id; each round EVERY node simultaneously adopts the most
+    frequent label among its neighbors, ties broken by the
+    lexicographically smallest label.  Synchronous updates with a total
+    tie-break order make a fixed-``iters`` run reproducible and
+    partitioning-invariant (asynchronous LPA — the usual variant — is
+    neither), at the cost of possible 2-cycles on bipartite structures;
+    fixed ``iters`` caps those by construction.
+
+    Per round: one join (symmetric edges × labels — the same edge-sized
+    join as :func:`pagerank`) + one vote count groupBy on (node, label)
+    + one per-node argmax via ``min_by(label, struct(-cnt, label))``
+    (max count, then min label — one aggregate, no window sort).  All
+    three map-side combine; ``localCheckpoint`` truncates the iterative
+    lineage per round, the :func:`connected_components` discipline.  Hub
+    skew: a hub's votes partial-aggregate map-side on (node, label), so
+    a million-degree node shuffles one row per distinct neighbor label
+    per map partition, not per edge.  Reference analogue: none (graph
+    materialize extra)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for i in range(iters):
+        votes = (
+            sym.join(labels.select(F.col("node").alias("b"), "label"), "b")
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = votes.groupBy("a").agg(
+            F.min_by("label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))).alias(
+                "label"
+            )
+        ).select(F.col("a").alias("node"), "label")
+        if checkpoint_every and (i % checkpoint_every == 0):
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
 def canonicalize_objects(triples: DataFrame, mapping: DataFrame) -> DataFrame:
     """Rewrite triple objects through the canonical mapping (broadcast join —
     the mapping is ontology-sized, ~10⁵ rows, never the fact side)."""

@@ -106,3 +106,72 @@ def partition_metrics(records: DataFrame, triples_keyed: DataFrame) -> DataFrame
     )
     tri_m = triples_keyed.groupBy("part_key").agg(F.count(F.lit(1)).alias("n_triples"))
     return rec_m.join(tri_m, "part_key", "left").fillna(0, ["n_triples"])
+
+
+# --- triple-state MERGE (upsert) ---------------------------------------------
+
+TRIPLE_STATE_SCHEMA = (
+    "subject string, predicate string, object string, confidence double, "
+    "first_seen int, last_seen int, n_obs long"
+)
+
+
+def triples_to_state(
+    triples: DataFrame,
+    batch_id: int,
+    keys: "tuple[str, ...]" = ("subject", "predicate", "object"),
+    conf_col: str = "confidence",
+) -> DataFrame:
+    """Collapse one extraction batch into triple-state rows: one row per
+    (subj, pred, obj) with confidence = max over the batch's duplicate
+    emissions, first_seen = last_seen = ``batch_id``, n_obs = emission
+    count.  One hash aggregate (map-side combinable)."""
+    return triples.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max(F.col(conf_col)).cast("double").alias("confidence"),
+        F.lit(batch_id).cast("int").alias("first_seen"),
+        F.lit(batch_id).cast("int").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+def merge_triple_state(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: "tuple[str, ...]" = ("subject", "predicate", "object"),
+) -> DataFrame:
+    """MERGE INTO semantics for the accumulated triple store: upsert
+    ``delta`` (a :func:`triples_to_state` frame) into ``state`` — matched
+    keys combine (max confidence, min first_seen, max last_seen, summed
+    n_obs), unmatched keys insert.  This is the engine's analogue of the
+    Iceberg ``MERGE INTO triples t USING delta d ON t.s=d.s AND t.p=d.p
+    AND t.o=d.o WHEN MATCHED THEN UPDATE SET confidence =
+    greatest(t.confidence, d.confidence), ... WHEN NOT MATCHED THEN
+    INSERT *`` the north-star resume contract names; parquet has no
+    row-level MERGE, so the stand-in is union + one hash re-aggregate.
+
+    The combine is associative AND commutative (max/min/max/sum), which
+    buys two scale properties the equivalence test pins down:
+
+    - merge(merge(s, b1), b2) == state-of(b1 ∪ b2): batches can land in
+      any grouping/order.  (Exactly-once per batch is the AUDIT table's
+      job — :func:`filter_resumable` anti-joins completed part_keys —
+      because the combine itself sums n_obs, so a double-delivered delta
+      would double-count observations.)
+    - It is a valid partial aggregate, so the union+groupBy form
+      map-side-combines: the shuffle carries one row per (key, map
+      partition), never the raw emission multiplicity.
+
+    At 100 TB keep the state table bucketed by hash(subject) (Iceberg
+    ``bucket(N, subject)``): MERGE then co-locates on the state side and
+    only the (much smaller) delta shuffles — same storage-partitioned
+    escape hatch as ``dedup_exact``.  The union+groupBy stand-in here
+    re-shuffles state; acceptable at test scale, documented so the
+    Iceberg swap is mechanical.
+    """
+    u = state.unionByName(delta)
+    return u.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max("confidence").alias("confidence"),
+        F.min("first_seen").alias("first_seen"),
+        F.max("last_seen").alias("last_seen"),
+        F.sum("n_obs").alias("n_obs"),
+    )

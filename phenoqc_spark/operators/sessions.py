@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["sessionize", "asof_join", "range_join"]
+__all__ = ["sessionize", "asof_join", "range_join", "latest_snapshot"]
 
 
 def sessionize(
@@ -166,3 +166,47 @@ def asof_join(
         carried.filter(F.col("_side") == 1)
         .select(*lcols, F.col("_asof.t").alias("asof_ts"), *val_cols)
     )
+
+
+def latest_snapshot(
+    df: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak_col: "str | None" = None,
+) -> DataFrame:
+    """One row per ``key_col``: the latest capture by ``ts_col`` — the
+    CDX-style "latest snapshot per URL" selection that fronts every
+    Common-Crawl-shaped pipeline (a url re-crawled across WARC segments
+    contributes exactly its newest page downstream).
+
+    Expressed as ONE aggregate with ``max_by(struct(payload),
+    order_key)`` — NOT a window.  The difference matters at 100 TB: a
+    ``row_number() OVER (PARTITION BY url ORDER BY ts DESC)`` window
+    shuffles every full capture row and then sorts them all by
+    (url, ts), while the aggregate form partial-aggregates map-side, so
+    the shuffle carries at most one candidate row per (url, map
+    partition).  (With a struct ordering key Spark plans it as
+    SortAggregate — the per-partition sort is on the KEY only, and the
+    partial ``max_by`` still combines before the exchange; the plan test
+    pins both.)  Re-crawl skew (one url captured millions of times)
+    collapses map-side for the same reason.
+
+    ``tiebreak_col`` extends the ordering key to ``struct(ts, tiebreak)``
+    — REQUIRED for deterministic output when equal (key, ts) pairs can
+    carry different payloads (``max_by`` ties are otherwise
+    partitioning-dependent).  Reference analogue: none (the reference
+    ingests already-deduplicated exports); this is the ingest-side twin
+    of :func:`phenoqc_spark.operators.diff.snapshot_diff`.
+    """
+    payload = [c for c in df.columns if c != key_col]
+    if ts_col not in payload:
+        raise ValueError(f"ts_col {ts_col!r} must be a column of df")
+    order_key = (
+        F.struct(F.col(ts_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.col(ts_col)
+    )
+    agg = df.groupBy(key_col).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), order_key).alias("_r")
+    )
+    return agg.select(key_col, *[F.col(f"_r.{c}").alias(c) for c in payload])

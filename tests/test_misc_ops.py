@@ -929,3 +929,143 @@ def test_match_bgp_optional(spark):
         match_bgp(t, [("?d", "has_term", "?t")], optional=[("?x", "label", "?y")])
     # required semantics unchanged: prior tests' shapes still hold
     assert match_bgp(t, [("?d", "has_term", "?t")]).count() == 2
+
+
+def test_latest_snapshot_matches_window(spark):
+    """Hash-agg latest-capture must equal the brute-force window form
+    (row_number over ts desc + tiebreak desc), stay deterministic under
+    repartitioning, and resolve equal-(key, ts) ties by the tiebreak."""
+    import random
+    from datetime import datetime as dt, timedelta as td
+
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators.sessions import latest_snapshot
+
+    rng = random.Random(11)
+    base = dt(2020, 1, 1)
+    rows = []
+    for i in range(300):
+        url = f"https://ex.org/p{rng.randrange(40)}"
+        # coarse timestamps so equal-(url, ts) collisions actually occur
+        ts = base + td(hours=rng.randrange(24))
+        rows.append((url, ts, f"body-{i}", rng.choice(["en", "de"])))
+    cap = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string, lang string")
+
+    got = latest_snapshot(cap, "url", "warc_ts", tiebreak_col="text")
+    # brute-force twin
+    best = {}
+    for url, ts, text, lang in rows:
+        k = (ts, text)
+        if url not in best or k > best[url][0]:
+            best[url] = (k, (ts, text, lang))
+    expect = {u: v for u, (_, v) in best.items()}
+    got_map = {r.url: (r.warc_ts, r.text, r.lang) for r in got.collect()}
+    assert got_map == expect
+
+    # partitioning-invariant (max_by ties resolved by the total order key)
+    got2 = {
+        r.url: (r.warc_ts, r.text, r.lang)
+        for r in latest_snapshot(
+            cap.repartition(7, "lang"), "url", "warc_ts", tiebreak_col="text"
+        ).collect()
+    }
+    assert got2 == expect
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        latest_snapshot(cap.select("url"), "url", "warc_ts")
+
+
+def test_merge_triple_state_equivalence(spark):
+    """merge(merge(state(b1), d2), d3) must equal one aggregate over all
+    three batches: max confidence, min/max first/last_seen, summed n_obs
+    — the associativity that makes batch landing order irrelevant."""
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators.resume import merge_triple_state, triples_to_state
+
+    def batch(spark, seed, n):
+        rows = [
+            (f"s{(seed * 7 + i) % 9}", "p", f"o{i % 4}", ((seed + i) % 5 + 1) / 10.0)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "subject string, predicate string, object string, confidence double"
+        )
+
+    b1, b2, b3 = batch(spark, 1, 30), batch(spark, 2, 25), batch(spark, 5, 40)
+    inc = merge_triple_state(
+        merge_triple_state(triples_to_state(b1, 1), triples_to_state(b2, 2)),
+        triples_to_state(b3, 3),
+    )
+
+    allb = (
+        b1.withColumn("b", F.lit(1))
+        .unionByName(b2.withColumn("b", F.lit(2)))
+        .unionByName(b3.withColumn("b", F.lit(3)))
+    )
+    ref = allb.groupBy("subject", "predicate", "object").agg(
+        F.max("confidence").alias("confidence"),
+        F.min("b").cast("int").alias("first_seen"),
+        F.max("b").cast("int").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    key = lambda r: (r.subject, r.predicate, r.object)
+    got = {key(r): (r.confidence, r.first_seen, r.last_seen, r.n_obs) for r in inc.collect()}
+    exp = {key(r): (r.confidence, r.first_seen, r.last_seen, r.n_obs) for r in ref.collect()}
+    assert got == exp
+    # a key present in several batches really spans them
+    spans = [v for v in exp.values() if v[1] != v[2]]
+    assert spans, "fixture must produce cross-batch keys"
+
+
+def test_label_propagation_matches_bruteforce(spark):
+    """Synchronous LPA must equal the pure-Python twin (most frequent
+    neighbor label, min-label tie-break, fixed rounds) on a seeded graph
+    with genuine community structure, for several round counts."""
+    import random
+    from collections import Counter, defaultdict
+
+    from phenoqc_spark.operators.canonicalize import label_propagation
+
+    rng = random.Random(3)
+    edges = set()
+    # 4 planted communities of 12 nodes: dense inside, sparse across
+    for g in range(4):
+        members = [f"n{g}_{i:02d}" for i in range(12)]
+        for _ in range(40):
+            a, b = rng.sample(members, 2)
+            edges.add((a, b))
+    for _ in range(6):
+        g1, g2 = rng.sample(range(4), 2)
+        edges.add((f"n{g1}_{rng.randrange(12):02d}", f"n{g2}_{rng.randrange(12):02d}"))
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+
+    def twin(iters):
+        labels = {v: v for v in adj}
+        for _ in range(iters):
+            new = {}
+            for v in adj:
+                votes = Counter(labels[u] for u in adj[v])
+                top = max(votes.values())
+                new[v] = min(l for l, c in votes.items() if c == top)
+            labels = new
+        return labels
+
+    e = spark.createDataFrame(sorted(edges), "src string, dst string")
+    for iters in (1, 3, 5):
+        got = {r.node: r.label for r in label_propagation(e, iters=iters).collect()}
+        assert got == twin(iters), f"iters={iters}"
+    # the planted structure is actually recovered at iters=5
+    final = twin(5)
+    comms = defaultdict(set)
+    for v, l in final.items():
+        comms[l].add(v)
+    assert len(comms) >= 3

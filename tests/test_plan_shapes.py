@@ -267,3 +267,30 @@ def test_bgp_constants_push_to_parquet_scan(spark, tmp_path):
     assert "EqualTo(pred,is_a)" in txt and "EqualTo(obj,A)" in txt, txt
     nt = plan_text(to_ntriples(t, obj_literal=True))
     assert "Exchange" not in nt and "Python" not in nt, nt
+
+
+def test_latest_snapshot_is_hash_agg_not_window(spark):
+    """latest_snapshot must plan as a partial-aggregatable hash aggregate
+    on the key (max_by) — never a Window sort: exactly one Exchange, on
+    the key, with a partial HashAggregate BEFORE it (map-side combine),
+    and no Window/Sort operators at all."""
+    import re
+    from datetime import datetime as dt
+
+    from phenoqc_spark.operators.sessions import latest_snapshot
+
+    rows = [(f"u{i % 9}", dt(2020, 1, 1 + i % 20), f"t{i}", "en") for i in range(100)]
+    cap = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string, lang string")
+    txt = plan_text(latest_snapshot(cap, "url", "warc_ts", tiebreak_col="text"))
+    assert "Window" not in txt, txt
+    blocks = re.split(r"\n(?=\(\d+\) )", txt)
+    ex = [b for b in blocks if re.match(r"\(\d+\) \w*Exchange", b)]
+    assert len(ex) == 1 and "url" in ex[0], txt
+    # partial aggregate upstream of the exchange — the map-side combine
+    # that shrinks the shuffle to one candidate per (key, map partition).
+    # max_by with a struct ordering key plans as SortAggregate (struct
+    # buffers aren't hash-aggregable), whose Sort is per-partition on the
+    # KEY only — not the window form's full (key, ts) sort of all rows.
+    assert "partial_max_by" in txt, txt
+    pre_exchange = txt.split("(4) Exchange")[0] if "(4) Exchange" in txt else txt
+    assert "partial_max_by" in pre_exchange, txt
