@@ -53,6 +53,15 @@ def main() -> None:
     ap.add_argument("--pagerank-iters", type=int, default=0,
                     help="with --graph-stats: also run N PageRank power "
                          "iterations over the triple graph and add a rank column")
+    ap.add_argument("--communities", type=int, default=0,
+                    help="with --graph-stats: also run N synchronous "
+                         "label-propagation rounds over the triple graph and "
+                         "add a community column")
+    ap.add_argument("--merge-state", default=None,
+                    help="fold this run's triples into the accumulated "
+                         "(subj, pred, obj) state table at this path — MERGE "
+                         "INTO upsert semantics (max confidence, first/last "
+                         "seen batch, observation counts)")
     ap.add_argument("--ntriples", action="store_true",
                     help="also export the triple table as an N-Triples text "
                          "dataset at <out>/triples_nt (partition files "
@@ -156,6 +165,18 @@ def main() -> None:
             stats = stats.join(
                 pr.withColumnRenamed("node", "entity"), "entity", "left"
             )
+        if args.communities > 0:
+            from phenoqc_spark.operators.canonicalize import label_propagation
+
+            lp = label_propagation(
+                tri_df.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+                iters=args.communities,
+            )
+            stats = stats.join(
+                lp.withColumnRenamed("node", "entity")
+                .withColumnRenamed("label", "community"),
+                "entity", "left",
+            )
         stats.write.mode("overwrite").parquet(graph_stats_path)
         log_activity(f"graph stats -> {graph_stats_path}")
     rollup_path = None
@@ -196,6 +217,18 @@ def main() -> None:
             log_activity(f"is_a rollup -> {rollup_path}")
         else:
             log_activity("is_a rollup skipped: no is_a edges in ontologies")
+    merge_info = None
+    if args.merge_state:
+        # linking score (0-100) rescaled to a 0-1 confidence
+        tri = spark.read.parquet(triples_path).select(
+            F.col("subj").alias("subject"),
+            F.col("pred").alias("predicate"),
+            F.col("obj").alias("object"),
+            (F.col("score").cast("double") / 100.0).alias("confidence"),
+        )
+        merge_info = R.merge_state_into(spark, args.merge_state, tri)
+        merge_info["path"] = args.merge_state
+        log_activity(f"triple-state merge -> {merge_info}")
     nt_path = None
     if args.ntriples:
         nt_path = os.path.join(args.out, "triples_nt")
@@ -270,6 +303,7 @@ def main() -> None:
         "term_rollup": rollup_path,
         "ntriples": nt_path,
         "link_eval": eval_path,
+        "merge_state": merge_info,
     }))
     spark.stop()
 

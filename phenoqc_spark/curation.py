@@ -33,6 +33,7 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     url_col: str | None = None,
+    latest_by: str | None = None,
     exact_dedup: bool = True,
     near_dedup: bool | dict = False,
     min_quality: float | None = None,
@@ -60,7 +61,9 @@ def curate_corpus(
     model-based quality gate (needs an embedding column on ``df``).
     ``sample_fractions`` + ``strata_col`` selects deterministic stratified
     sampling; ``importance_target`` + ``importance_n`` selects DSIR
-    Gumbel-top-k sampling (mutually exclusive).
+    Gumbel-top-k sampling (mutually exclusive).  ``latest_by`` names a
+    timestamp column: with ``url_col``, URL-level dedup keeps the NEWEST
+    capture per canonical URL (latest_snapshot) instead of the min-id one.
     """
     if sample_fractions is not None and importance_target is not None:
         raise ValueError("choose stratified OR importance sampling, not both")
@@ -85,10 +88,24 @@ def curate_corpus(
 
     if url_col is not None:
         out = X.canonicalize_urls(out, url_col=url_col)
-        out = record(
-            "url_dedup",
-            D.dedup_exact(out, text_col="url_canonical", id_col=id_col),
-        )
+        if latest_by is not None:
+            # re-crawled URLs keep their NEWEST capture (CDX semantics)
+            # instead of dedup_exact's arbitrary-but-deterministic min-id
+            # survivor; one partial-combining max_by aggregate
+            from .operators.sessions import latest_snapshot
+
+            out = record(
+                "url_dedup",
+                latest_snapshot(
+                    out, key_col="url_canonical", ts_col=latest_by,
+                    tiebreak_col=id_col,
+                ),
+            )
+        else:
+            out = record(
+                "url_dedup",
+                D.dedup_exact(out, text_col="url_canonical", id_col=id_col),
+            )
     if exact_dedup:
         out = record(
             "exact_dedup", D.dedup_exact(out, text_col=text_col, id_col=id_col)

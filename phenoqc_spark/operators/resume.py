@@ -17,7 +17,6 @@ and makes triple writes idempotent:
 
 from __future__ import annotations
 
-import os
 import time
 from typing import Optional
 
@@ -36,7 +35,12 @@ def with_part_key(df: DataFrame, n_buckets: int = 64, key_col: str = "url") -> D
 
 
 def completed_part_keys(spark: SparkSession, audit_path: str) -> Optional[DataFrame]:
-    if not os.path.exists(audit_path):
+    # probe through the Hadoop FileSystem for the path's own scheme —
+    # os.path.exists only sees the driver's local disk, so on hdfs://
+    # or s3a:// it would always report "no audit" and disable resume
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(audit_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath(audit_path)):
         return None
     audit = spark.read.parquet(audit_path)
     return audit.filter(F.col("status") == "done").select("part_key").distinct()
@@ -175,3 +179,45 @@ def merge_triple_state(
         F.max("last_seen").alias("last_seen"),
         F.sum("n_obs").alias("n_obs"),
     )
+
+
+def merge_state_into(spark: SparkSession, state_path: str, triples: DataFrame) -> dict:
+    """Fold one run's (subject, predicate, object, confidence) triples into
+    the accumulated state table at ``state_path`` — the job-level wrapper
+    over :func:`triples_to_state` + :func:`merge_triple_state`.
+
+    The batch id is MAX(last_seen)+1 from the existing state (1 on first
+    run); existence is probed through the Hadoop FileSystem for the
+    path's OWN scheme (an ``os.path.exists`` would silently say "no
+    state" on hdfs:// or s3a:// and reset the ledger).  The rewrite is
+    write-to-sibling + two atomic renames (the
+    ``compact_dedup_state`` swap; Iceberg swaps this for one
+    transactional ``MERGE INTO``).  Returns {"batch_id", "rows"}.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    base = state_path.rstrip("/")
+    fs = hpath(base).getFileSystem(hconf)
+    if fs.exists(hpath(base)):
+        state = spark.read.parquet(base)
+        batch = int(state.agg(F.max("last_seen")).collect()[0][0] or 0) + 1
+        merged = merge_triple_state(state, triples_to_state(triples, batch))
+    else:
+        batch = 1
+        merged = triples_to_state(triples, batch)
+    tmp, old = base + "__merging", base + "__old"
+    merged.write.mode("overwrite").parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    if batch == 1:
+        if not fs.rename(hpath(tmp), hpath(base)):
+            raise IOError(f"merge_state_into: could not create {base}")
+    else:
+        fs.delete(hpath(old), True)
+        if not fs.rename(hpath(base), hpath(old)):
+            raise IOError(f"merge_state_into: could not stage {base} aside")
+        if not fs.rename(hpath(tmp), hpath(base)):
+            fs.rename(hpath(old), hpath(base))  # roll back
+            raise IOError(f"merge_state_into: could not swap in {tmp}")
+        fs.delete(hpath(old), True)
+    return {"batch_id": batch, "rows": rows}

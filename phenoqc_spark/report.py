@@ -46,6 +46,8 @@ def _graph_summary(graph_stats: DataFrame, top_n: int = 10):
         aggs.append(F.round(F.avg("clustering_coeff"), 4).alias("avg_clustering"))
     if "coreness" in cols:
         aggs.append(F.max("coreness").alias("max_coreness"))
+    if "community" in cols:
+        aggs.append(F.countDistinct("community").alias("n_communities"))
     row = graph_stats.agg(*aggs).collect()[0]
     summary = [
         ("graph nodes", f"{row.nodes:,}"),
@@ -58,6 +60,8 @@ def _graph_summary(graph_stats: DataFrame, top_n: int = 10):
         summary.append(("mean clustering coeff", f"{row.avg_clustering}"))
     if "coreness" in cols:
         summary.append(("max coreness (k-core depth)", f"{row.max_coreness}"))
+    if "community" in cols:
+        summary.append(("communities (label propagation)", f"{row.n_communities:,}"))
     top = (
         graph_stats.select("entity", "out_degree", "in_degree", total)
         .orderBy(F.desc("total_degree"), F.asc("entity"))

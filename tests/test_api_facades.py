@@ -266,3 +266,25 @@ def test_curation_report(spark, tmp_path):
         {"input": None, "exact_dedup": None}, str(tmp_path / "lazy.md")
     )
     assert "| input | — | — | — |" in lazy_md
+
+
+def test_curate_corpus_latest_by(spark):
+    """With latest_by, URL-level dedup keeps the NEWEST capture per
+    canonical URL (CDX semantics), not the min-id survivor."""
+    from datetime import datetime as dt
+
+    from phenoqc_spark.curation import curate_corpus
+
+    rows = [
+        (1, "https://www.ex.org/a?utm_source=x", dt(2020, 1, 1), "old capture words"),
+        (2, "https://ex.org/a", dt(2021, 6, 1), "new capture words"),
+        (3, "https://ex.org/b", dt(2020, 3, 1), "only capture words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts timestamp, text string")
+    out, report = curate_corpus(
+        df, id_col="doc_id", url_col="url", latest_by="ts", exact_dedup=False
+    )
+    got = {r.url_canonical: (r.doc_id, r.text) for r in out.collect()}
+    assert report["url_dedup"] == 2
+    assert got["https://ex.org/a"] == (2, "new capture words")
+    assert got["https://ex.org/b"] == (3, "only capture words")

@@ -105,3 +105,39 @@ def test_kill_and_resume(spark, resolver, tmp_path):
     got = spark.read.parquet(str(tmp_path / "triples")).select("subj", "pred", "obj")
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0 and expected.exceptAll(got).count() == 0
+
+
+def test_merge_state_into_batches(spark, tmp_path):
+    """Two job-level merges into the same state path: batch ids advance,
+    cross-batch keys combine (max conf, min/max seen, summed n_obs), and
+    the swap leaves no sibling debris."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators.resume import merge_state_into
+
+    path = str(tmp_path / "tri_state")
+
+    def tri(rows):
+        return spark.createDataFrame(
+            rows, "subject string, predicate string, object string, confidence double"
+        )
+
+    r1 = merge_state_into(spark, path, tri([
+        ("s1", "p", "o1", 0.5), ("s1", "p", "o1", 0.7), ("s2", "p", "o2", 0.9),
+    ]))
+    assert r1 == {"batch_id": 1, "rows": 2}
+    r2 = merge_state_into(spark, path, tri([
+        ("s1", "p", "o1", 0.6), ("s3", "p", "o3", 0.4),
+    ]))
+    assert r2 == {"batch_id": 2, "rows": 3}
+
+    got = {
+        (r.subject, r.object): (r.confidence, r.first_seen, r.last_seen, r.n_obs)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got[("s1", "o1")] == (0.7, 1, 2, 3)
+    assert got[("s2", "o2")] == (0.9, 1, 1, 1)
+    assert got[("s3", "o3")] == (0.4, 2, 2, 1)
+    assert not os.path.exists(path + "__merging") and not os.path.exists(path + "__old")

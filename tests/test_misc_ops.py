@@ -143,11 +143,26 @@ def test_report(spark, tmp_path, resolver):
     cc = clustering_coefficients(
         trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
     )
-    gs = deg.join(
-        cc.select("node", "n_triangles", "clustering_coeff"),
-        deg.entity == cc.node,
-        "left",
-    ).drop("node")
+    from phenoqc_spark.operators.canonicalize import label_propagation
+
+    lp = label_propagation(
+        trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst")), iters=2
+    )
+    gs = (
+        deg.join(
+            cc.select("node", "n_triangles", "clustering_coeff"),
+            deg.entity == cc.node,
+            "left",
+        )
+        .drop("node")
+        .join(
+            lp.withColumnRenamed("node", "entity").withColumnRenamed(
+                "label", "community"
+            ),
+            "entity",
+            "left",
+        )
+    )
     md_g = generate_report(
         spark,
         str(tmp_path / "triples"),
@@ -157,6 +172,7 @@ def test_report(spark, tmp_path, resolver):
     )
     assert "## Graph diagnostics" in md_g and "Hub entities" in md_g
     assert "graph nodes" in md_g and "mean clustering coeff" in md_g
+    assert "communities (label propagation)" in md_g
     html_g = generate_html_report(
         spark,
         str(tmp_path / "triples"),
