@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 106 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 108 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
@@ -1759,6 +1759,54 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_communities"] = kg_communities
 
+    def kg_modularity(spark, sf_dir):
+        # Newman modularity of the LPA partition over the same graph:
+        # Spark computes BOTH the labels (label_propagation, 5 rounds)
+        # and the per-community stats; the oracle recomputes the stats in
+        # SQL from the pinned LPA_400 golden labels — so the differential
+        # checks the partition AND the modularity aggregation at once.
+        from phenoqc_spark.operators.canonicalize import (
+            graph_modularity,
+            label_propagation,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+        m = spark.createDataFrame(_PR_MAPPING, "idx int, tid string")
+        doc_edges = (
+            docs.select(
+                F.format_string(
+                    "https://example.org/doc/%08d#%d", F.col("doc_id"), F.col("doc_id")
+                ).alias("src"),
+                (F.col("doc_id") % 4).cast("int").alias("idx"),
+            )
+            .join(F.broadcast(m), "idx")
+            .select("src", F.col("tid").alias("dst"))
+        )
+        xref = spark.createDataFrame(_PR_XREF, "src string, dst string")
+        edges = doc_edges.unionByName(xref)
+        labels = label_propagation(edges, iters=5)
+        out = graph_modularity(edges, labels)
+        return out.select(
+            "label",
+            "n_nodes",
+            "degree_sum",
+            "intra_edges",
+            F.round("contribution", 6).alias("contribution"),
+        ).orderBy("label")
+
+    q["kg_modularity"] = kg_modularity
+
+    def txt_pmi(spark, sf_dir):
+        # document-level PMI collocations over the documents table; the
+        # oracle recomputes distinct-presence pair counts and the PMI
+        # formula wholesale in SQL (same tokenizer contract as txt_tokens)
+        from phenoqc_spark.operators.textstats import pmi_cooccurrence
+
+        docs = load_table(spark, sf_dir, "documents")
+        return pmi_cooccurrence(docs, min_pair_docs=2).orderBy("token_a", "token_b")
+
+    q["txt_pmi"] = txt_pmi
+
     def kg_merge_state(spark, sf_dir):
         # triple-store MERGE (upsert): two overlapping extraction batches
         # collapse to per-batch state then merge — matched (s,p,o) keys
@@ -2501,6 +2549,81 @@ ORDER BY entity
         + _lpa_vals
         + "\n) AS t(node, label) ORDER BY node"
     )
+
+    _lpa_label_vals = ",\n  ".join(f"('{n}', '{l}')" for n, l in LPA_400)
+    _mapping_vals = ", ".join(f"({i}, '{t}')" for i, t in [
+        (1, "HP:0000822"), (1, "DOID:0050167"),
+        (2, "HP:0002090"), (2, "DOID:9352"), (2, "HP:0001627"), (2, "DOID:1612"),
+        (3, "HP:0000822"), (3, "DOID:1388"),
+    ])
+    _xref_vals = ", ".join(f"('{a}', '{b}')" for a, b in [
+        ("HP:0000822", "DOID:0050167"),
+        ("DOID:1612", "HP:0001627"),
+        ("HP:0002090", "DOID:9352"),
+        ("DOID:1388", "HP:0000822"),
+    ])
+    o["kg_modularity"] = f"""
+WITH mapping(idx, tid) AS (VALUES {_mapping_vals}),
+e0 AS (
+  SELECT printf('https://example.org/doc/%08d#%d',
+                CAST(doc_id AS INT), CAST(doc_id AS INT)) AS a,
+         tid AS b
+  FROM documents JOIN mapping ON CAST(doc_id % 4 AS INT) = idx
+  WHERE doc_id < 400
+  UNION ALL
+  SELECT * FROM (VALUES {_xref_vals}) AS x(a, b)
+),
+sym AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM e0 WHERE a <> b
+    UNION ALL
+    SELECT b AS a, a AS b FROM e0 WHERE a <> b
+  )
+),
+m2 AS (SELECT COUNT(*) AS m2 FROM sym),
+labels(node, label) AS (VALUES {_lpa_label_vals}),
+deg AS (SELECT a, COUNT(*) AS d FROM sym GROUP BY a),
+per AS (
+  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d) AS BIGINT) AS degree_sum
+  FROM deg JOIN labels l ON deg.a = l.node GROUP BY l.label
+),
+intra AS (
+  SELECT la.label, CAST(COUNT(*) / 2 AS BIGINT) AS intra_edges
+  FROM sym JOIN labels la ON sym.a = la.node
+           JOIN labels lb ON sym.b = lb.node
+  WHERE la.label = lb.label GROUP BY la.label
+)
+SELECT per.label, n_nodes, degree_sum,
+       COALESCE(intra_edges, 0) AS intra_edges,
+       ROUND(COALESCE(intra_edges, 0) / (m2.m2 / 2.0)
+             - (degree_sum / CAST(m2.m2 AS DOUBLE)) ^ 2, 6) AS contribution
+FROM per LEFT JOIN intra ON per.label = intra.label CROSS JOIN m2
+ORDER BY per.label
+"""
+
+    o["txt_pmi"] = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS token
+  FROM documents
+), toks2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+dfreq AS (SELECT token, COUNT(*) AS n FROM toks2 GROUP BY token),
+n AS (SELECT COUNT(DISTINCT doc_id) AS N FROM documents),
+pairs AS (
+  SELECT x.token AS token_a, y.token AS token_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM toks2 x JOIN toks2 y ON x.doc_id = y.doc_id AND x.token < y.token
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT token_a, token_b,
+       CAST(da.n AS BIGINT) AS n_a, CAST(db.n AS BIGINT) AS n_b, n_ab,
+       ROUND(ln(n_ab * n.N / (CAST(da.n AS DOUBLE) * db.n)), 6) AS pmi
+FROM pairs
+JOIN dfreq da ON pairs.token_a = da.token
+JOIN dfreq db ON pairs.token_b = db.token
+CROSS JOIN n
+ORDER BY token_a, token_b
+"""
 
     o["kg_merge_state"] = """
 WITH b AS (
@@ -4174,7 +4297,7 @@ ORDER BY 1, 2
 # kg_ancestor_closure, kg_term_rollup, kg_term_similarity,
 # txt_dup_spans, kg_term_ic, kg_resnik, kg_phenomizer_bma, kg_soft_pr,
 # kg_bgp, kg_bgp_path, kg_ntriples, agg_latest_event, kg_communities,
-# kg_merge_state) have never held a driver row —
+# kg_merge_state, kg_modularity, txt_pmi) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

@@ -181,7 +181,12 @@ def merge_triple_state(
     )
 
 
-def merge_state_into(spark: SparkSession, state_path: str, triples: DataFrame) -> dict:
+def merge_state_into(
+    spark: SparkSession,
+    state_path: str,
+    triples: DataFrame,
+    batch_id: "int | None" = None,
+) -> dict:
     """Fold one run's (subject, predicate, object, confidence) triples into
     the accumulated state table at ``state_path`` — the job-level wrapper
     over :func:`triples_to_state` + :func:`merge_triple_state`.
@@ -193,23 +198,36 @@ def merge_state_into(spark: SparkSession, state_path: str, triples: DataFrame) -
     write-to-sibling + two atomic renames (the
     ``compact_dedup_state`` swap; Iceberg swaps this for one
     transactional ``MERGE INTO``).  Returns {"batch_id", "rows"}.
+
+    ``batch_id`` (explicit) turns the merge EXACTLY-ONCE for replayed
+    deliveries: if the state's MAX(last_seen) already reached it, the
+    merge is skipped (``{"skipped": True}``).  Because the swap is
+    atomic, a crashed merge leaves the old state intact, so a monotone
+    caller-supplied id (e.g. a foreachBatch epoch) replays safely — the
+    guard the summing ``n_obs`` combine needs (see
+    :func:`merge_triple_state`); :func:`~phenoqc_spark.streaming.pipeline.
+    stream_merge_triples` is the streaming caller.
     """
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
     base = state_path.rstrip("/")
     fs = hpath(base).getFileSystem(hconf)
-    if fs.exists(hpath(base)):
+    existed = fs.exists(hpath(base))
+    if existed:
         state = spark.read.parquet(base)
-        batch = int(state.agg(F.max("last_seen")).collect()[0][0] or 0) + 1
+        seen = int(state.agg(F.max("last_seen")).collect()[0][0] or 0)
+        if batch_id is not None and seen >= batch_id:
+            return {"batch_id": batch_id, "rows": state.count(), "skipped": True}
+        batch = batch_id if batch_id is not None else seen + 1
         merged = merge_triple_state(state, triples_to_state(triples, batch))
     else:
-        batch = 1
+        batch = batch_id if batch_id is not None else 1
         merged = triples_to_state(triples, batch)
     tmp, old = base + "__merging", base + "__old"
     merged.write.mode("overwrite").parquet(tmp)
     rows = spark.read.parquet(tmp).count()
-    if batch == 1:
+    if not existed:
         if not fs.rename(hpath(tmp), hpath(base)):
             raise IOError(f"merge_state_into: could not create {base}")
     else:

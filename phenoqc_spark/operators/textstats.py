@@ -792,3 +792,75 @@ def contamination_flags(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_docs: int = 2,
+    max_df: "int | None" = None,
+) -> DataFrame:
+    """(token_a, token_b, n_a, n_b, n_ab, pmi): document-level pointwise
+    mutual information over distinct-token presence — which terms co-occur
+    in the same documents more than chance (collocation mining, topic
+    seeds, synonym candidates for the entity-linking dictionaries).
+
+    pmi = ln(n_ab · N / (n_a · n_b)) with N = corpus document count,
+    n_x = documents containing x, n_ab = documents containing both;
+    pairs ordered token_a < token_b.
+
+    Plan: distinct (doc, token) explode → optional ``max_df`` cut → ONE
+    per-doc self-join (equi-join on the doc id, ``a < b`` filter) → pair
+    hash aggregate → two broadcast joins against the token-df table →
+    one-row corpus-size cross join (the ``tfidf_topk`` lazy-broadcast
+    pattern).  The token-df table is vocabulary-sized, always broadcast.
+
+    Scale guard: pair cardinality is Σ t_doc²/2 — dominated by stopwords
+    (present in every document).  ``max_df`` drops tokens in more than
+    that many documents BEFORE the self-join (the standard collocation
+    cut: ubiquitous tokens carry ~zero PMI by construction, so the cut
+    removes the explosion without touching the informative pairs);
+    ``min_pair_docs`` bounds the OUTPUT.  At web scale set
+    ``max_df ≈ 0.1·N`` and pre-sample documents — PMI estimates converge
+    long before the corpus does.  Reference analogue: none
+    (training-data extra)."""
+    toks = (
+        df.select(F.col(id_col).alias("_doc"), F.explode(_tokens_expr(text_col)).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("n") <= max_df)
+        toks = toks.join(F.broadcast(dfreq.select("token")), "token", "left_semi")
+    n_docs = df.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("N")
+    )
+    pairs = (
+        toks.alias("x")
+        .join(toks.alias("y"), "_doc")
+        .filter(F.col("x.token") < F.col("y.token"))
+        .groupBy(
+            F.col("x.token").alias("token_a"), F.col("y.token").alias("token_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_docs)
+    )
+    da = F.broadcast(dfreq.select(F.col("token").alias("token_a"), F.col("n").alias("n_a")))
+    db = F.broadcast(dfreq.select(F.col("token").alias("token_b"), F.col("n").alias("n_b")))
+    return (
+        pairs.join(da, "token_a")
+        .join(db, "token_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token_a",
+            "token_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            F.round(
+                F.log(F.col("n_ab") * F.col("N") / (F.col("n_a") * F.col("n_b"))), 6
+            ).alias("pmi"),
+        )
+    )

@@ -265,3 +265,41 @@ def stream_dedup_docs(
     if watermark_col:
         return out.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(["fp"])
     return out.dropDuplicates(["fp"])
+
+
+def stream_merge_triples(
+    spark: SparkSession,
+    triples_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    trigger_once: bool = True,
+):
+    """Streaming MERGE: each micro-batch of (subject, predicate, object,
+    confidence) triples upserts into the accumulated state table via
+    :func:`phenoqc_spark.operators.resume.merge_state_into`.
+
+    Exactly-once without partition tricks: the state's combine SUMS
+    ``n_obs``, so a replayed batch must not merge twice — the epoch id
+    (monotone, stable across restarts from the same checkpoint) is passed
+    as the explicit ``batch_id``, and ``merge_state_into`` skips any
+    batch the state has already absorbed (``MAX(last_seen) >= batch_id``).
+    The atomic rename swap means a crashed merge left the OLD state, so
+    the replay re-merges cleanly; a crash AFTER the swap but before the
+    checkpoint commit replays into the skip branch.  (Iceberg tier: the
+    same guard is one ``WHEN NOT MATCHED BY SOURCE`` audit predicate on a
+    transactional ``MERGE INTO``.)
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # epoch ids start at 0; state batch ids start at 1
+        merge_state_into_fn(spark, state_path, batch_df, batch_id=batch_id + 1)
+
+    from ..operators.resume import merge_state_into as merge_state_into_fn
+
+    writer = (
+        triples_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

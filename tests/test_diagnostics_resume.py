@@ -141,3 +141,82 @@ def test_merge_state_into_batches(spark, tmp_path):
     assert got[("s2", "o2")] == (0.9, 1, 1, 1)
     assert got[("s3", "o3")] == (0.4, 2, 2, 1)
     assert not os.path.exists(path + "__merging") and not os.path.exists(path + "__old")
+
+
+def test_merge_state_into_exactly_once_guard(spark, tmp_path):
+    """Explicit batch ids make the merge exactly-once: a double-delivered
+    batch is skipped (n_obs would otherwise double-count)."""
+    from phenoqc_spark.operators.resume import merge_state_into
+
+    path = str(tmp_path / "tri_state_eo")
+    tri = spark.createDataFrame(
+        [("s1", "p", "o1", 0.5)],
+        "subject string, predicate string, object string, confidence double",
+    )
+    r1 = merge_state_into(spark, path, tri, batch_id=1)
+    assert r1 == {"batch_id": 1, "rows": 1}
+    r2 = merge_state_into(spark, path, tri, batch_id=1)  # replay
+    assert r2 == {"batch_id": 1, "rows": 1, "skipped": True}
+    row = spark.read.parquet(path).collect()[0]
+    assert row.n_obs == 1 and row.last_seen == 1
+    # the next batch still merges
+    r3 = merge_state_into(spark, path, tri, batch_id=2)
+    assert r3 == {"batch_id": 2, "rows": 1}
+    row = spark.read.parquet(path).collect()[0]
+    assert row.n_obs == 2 and row.first_seen == 1 and row.last_seen == 2
+
+
+def test_stream_merge_triples_replay_exactly_once(spark, tmp_path):
+    """Streaming MERGE: epoch-guarded upserts absorb each batch once —
+    even a full checkpoint loss (worst-case replay of every epoch)
+    leaves the state unchanged."""
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.streaming.pipeline import stream_merge_triples
+
+    src = tmp_path / "tri_in"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    state = str(tmp_path / "state")
+    schema = "subject string, predicate string, object string, confidence double"
+
+    spark.createDataFrame(
+        [("s1", "p", "o1", 0.5), ("s1", "p", "o1", 0.9), ("s2", "p", "o2", 0.3)],
+        schema,
+    ).write.mode("overwrite").parquet(str(src / "b0"))
+    stream = spark.readStream.schema(
+        "subject string, predicate string, object string, confidence double"
+    ).option("recursiveFileLookup", "true").parquet(str(src))
+    stream_merge_triples(spark, stream, state, ck).awaitTermination(120)
+
+    got = {
+        (r.subject, r.object): (r.confidence, r.n_obs, r.last_seen)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == {("s1", "o1"): (0.9, 2, 1), ("s2", "o2"): (0.3, 1, 1)}
+
+    # worst-case replay: lose the checkpoint entirely and re-run — every
+    # epoch replays with the same ids, the guard skips them all
+    import shutil
+
+    shutil.rmtree(ck)
+    stream2 = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    stream_merge_triples(spark, stream2, state, ck).awaitTermination(120)
+    got2 = {
+        (r.subject, r.object): (r.confidence, r.n_obs, r.last_seen)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got2 == got
+
+    # new data in a later epoch still lands
+    spark.createDataFrame([("s1", "p", "o1", 0.1)], schema).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b1"))
+    stream3 = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    stream_merge_triples(spark, stream3, state, ck).awaitTermination(120)
+    row = {r.subject: r for r in spark.read.parquet(state).collect()}["s1"]
+    assert row.n_obs == 3 and row.last_seen == 2 and row.confidence == 0.9

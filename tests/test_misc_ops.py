@@ -1085,3 +1085,105 @@ def test_label_propagation_matches_bruteforce(spark):
     for v, l in final.items():
         comms[l].add(v)
     assert len(comms) >= 3
+
+
+def test_graph_modularity_matches_bruteforce(spark):
+    """Per-community modularity must equal the textbook formula computed
+    sequentially, sum to Q in [-1, 1], and score a planted partition far
+    above a random one."""
+    import random
+    from collections import defaultdict
+
+    from phenoqc_spark.operators.canonicalize import graph_modularity
+
+    rng = random.Random(7)
+    edges = set()
+    for g in range(4):
+        members = [f"n{g}_{i:02d}" for i in range(10)]
+        for _ in range(30):
+            a, b = rng.sample(members, 2)
+            edges.add((a, b))
+    for _ in range(5):
+        g1, g2 = rng.sample(range(4), 2)
+        edges.add((f"n{g1}_{rng.randrange(10):02d}", f"n{g2}_{rng.randrange(10):02d}"))
+
+    # undirected simple graph twin
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    m = len(und)
+
+    def twin(assign):
+        per = defaultdict(lambda: [0, 0, 0])  # n_nodes, deg_sum, intra
+        for v in adj:
+            per[assign[v]][0] += 1
+            per[assign[v]][1] += len(adj[v])
+        for a, b in und:
+            if assign[a] == assign[b]:
+                per[assign[a]][2] += 1
+        return {
+            lab: (n, d, i, i / m - (d / (2 * m)) ** 2)
+            for lab, (n, d, i) in per.items()
+        }
+
+    planted = {v: v.split("_")[0] for v in adj}
+    e = spark.createDataFrame(sorted(edges), "src string, dst string")
+    lab = spark.createDataFrame(sorted(planted.items()), "node string, label string")
+    got = {
+        r.label: (r.n_nodes, r.degree_sum, r.intra_edges, r.contribution)
+        for r in graph_modularity(e, lab).collect()
+    }
+    exp = twin(planted)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][:3] == exp[k][:3], k
+        assert abs(got[k][3] - exp[k][3]) < 1e-12, k
+    q_planted = sum(v[3] for v in got.values())
+    assert -1.0 <= q_planted <= 1.0
+
+    # a random partition scores far lower than the planted one
+    shuffled = {v: f"n{rng.randrange(4)}" for v in adj}
+    lab2 = spark.createDataFrame(sorted(shuffled.items()), "node string, label string")
+    q_rand = sum(r.contribution for r in graph_modularity(e, lab2).collect())
+    exp2 = twin(shuffled)
+    assert abs(q_rand - sum(v[3] for v in exp2.values())) < 1e-12
+    assert q_planted > q_rand + 0.2
+
+
+def test_pmi_cooccurrence_semantics(spark):
+    """PMI over distinct-token presence: values match the formula computed
+    by hand; max_df drops ubiquitous tokens BEFORE pairing; min_pair_docs
+    bounds the output."""
+    import math
+
+    from phenoqc_spark.operators.textstats import pmi_cooccurrence
+
+    rows = [
+        (1, "alpha beta common"),
+        (2, "alpha beta common"),
+        (3, "alpha gamma common"),
+        (4, "delta gamma common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.token_a, r.token_b): (r.n_a, r.n_b, r.n_ab, r.pmi)
+        for r in pmi_cooccurrence(df, min_pair_docs=2).collect()
+    }
+    # alpha(3) & beta(2) co-occur in 2 of 4 docs
+    assert got[("alpha", "beta")] == (3, 2, 2, round(math.log(2 * 4 / (3 * 2)), 6))
+    # 'common' is in every doc -> PMI 0 against a token it always joins
+    assert got[("alpha", "common")][3] == round(math.log(3 * 4 / (3 * 4)), 6) == 0.0
+    # singleton pairs are cut by min_pair_docs
+    assert ("delta", "gamma") not in got
+
+    # max_df=3 drops 'common' entirely
+    got2 = {
+        (r.token_a, r.token_b)
+        for r in pmi_cooccurrence(df, min_pair_docs=1, max_df=3).collect()
+    }
+    assert got2 and all("common" not in p for p in got2)
