@@ -169,8 +169,11 @@ def merge_triple_state(
     ``bucket(N, subject)``): MERGE then co-locates on the state side and
     only the (much smaller) delta shuffles — same storage-partitioned
     escape hatch as ``dedup_exact``.  The union+groupBy stand-in here
-    re-shuffles state; acceptable at test scale, documented so the
-    Iceberg swap is mechanical.
+    re-shuffles state; acceptable at test scale, and the bucketed form is
+    DEMONSTRATED, not just documented —
+    tests/test_plan_shapes.py::test_bucketed_state_merge_join_skips_state_exchange
+    plan-asserts that a subject-bucketed state table joins a delta with
+    exactly one Exchange (the delta's).
     """
     u = state.unionByName(delta)
     return u.groupBy(*[F.col(k) for k in keys]).agg(

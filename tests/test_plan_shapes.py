@@ -294,3 +294,47 @@ def test_latest_snapshot_is_hash_agg_not_window(spark):
     assert "partial_max_by" in txt, txt
     pre_exchange = txt.split("(4) Exchange")[0] if "(4) Exchange" in txt else txt
     assert "partial_max_by" in pre_exchange, txt
+
+
+def test_bucketed_state_merge_join_skips_state_exchange(spark, tmp_path):
+    """The docs' storage-partitioned escape hatch, demonstrated: a triple
+    state saved as a subject-bucketed table joins/aggregates WITHOUT a
+    state-side Exchange — only the (small) delta shuffles.  This is the
+    local-parquet stand-in for Iceberg bucket(N, subject); the claim is
+    asserted on the physical plan, not just documented."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    state = spark.createDataFrame(
+        [(f"s{i % 50}", "p", f"o{i % 7}", 0.5, 1, 1, 1) for i in range(500)],
+        "subject string, predicate string, object string, confidence double,"
+        " first_seen int, last_seen int, n_obs long",
+    )
+    spark.sql("DROP TABLE IF EXISTS tri_state_bucketed")
+    (
+        state.write.bucketBy(8, "subject")
+        .sortBy("subject")
+        .option("path", str(tmp_path / "tbl"))
+        .saveAsTable("tri_state_bucketed")
+    )
+    delta = spark.createDataFrame(
+        [(f"s{i % 20}", "p", f"o{i % 7}", 0.9) for i in range(100)],
+        "subject string, predicate string, object string, confidence double",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = spark.table("tri_state_bucketed")
+        joined = bucketed.join(delta, "subject")
+        txt = plan_text(joined)
+        blocks = re.split(r"\n(?=\(\d+\) )", txt)
+        ex = [b for b in blocks if re.match(r"\(\d+\) \w*Exchange", b)]
+        # exactly one Exchange — the delta side; the bucketed scan feeds
+        # the join directly (SelectedBucketsCount on the scan)
+        assert len(ex) == 1, txt
+        assert "confidence" in ex[0] and "first_seen" not in ex[0], txt
+        assert "Bucketed: true" in txt, txt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS tri_state_bucketed")
