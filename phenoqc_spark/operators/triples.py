@@ -399,3 +399,87 @@ def write_ntriples(triples_df: DataFrame, path: str, mode: str = "overwrite", **
     :func:`to_ntriples`; pass ``obj_literal=True`` via ``kw`` for
     literal objects."""
     to_ntriples(triples_df, **kw).write.mode(mode).text(path)
+
+
+def negative_samples(
+    triples: DataFrame,
+    n_per_positive: int = 2,
+    seed: int = 42,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """(subj, pred, neg_obj, sample_idx): deterministic FILTERED negative
+    sampling for KG-embedding training (TransE/DistMult-style corruptions)
+    — for each positive triple, ``n_per_positive`` candidates replace the
+    object with a pseudo-randomly drawn entity from the global object
+    pool, and any corruption that collides with a TRUE triple is dropped
+    by a left-anti join (never re-drawn — the standard 'filtered'
+    protocol; expected loss per draw is |T|/|E|, so callers over-draw by
+    that factor when exact counts matter).
+
+    Determinism at cluster scale: the draw is a pure function
+    ``md5(s|p|o|i|seed) mod pool_size`` — rerun / partitioning /
+    cluster-size invariant and recomputable in plain SQL (the
+    ``deterministic_stratified_sample`` contract), so the training set
+    is reproducible byte-for-byte across re-runs and engines.  The
+    entity pool is indexed by a sorted ``row_number`` — a
+    dimension-sized single-partition window (the object side is the
+    ontology-term side, ~10⁵ rows; for entity pools beyond window size
+    use the two-phase prefix-sum of ``pack_token_shards``) — and joined
+    back by broadcast.  The anti-join keys on the three string columns
+    only.  Self-corruptions (draw == original object) are dropped by the
+    same anti-join since the original IS a true triple.  Reference
+    analogue: none (training-data extra)."""
+    from pyspark.sql import Window
+
+    pos = triples.select(subj_col, pred_col, obj_col).distinct()
+    pool = (
+        pos.select(F.col(obj_col).alias("_ent"))
+        .distinct()
+        .withColumn("_idx", F.row_number().over(Window.orderBy("_ent")) - 1)
+    )
+    n_pool = pool.count()
+    if n_pool == 0:
+        return pos.select(
+            F.col(subj_col),
+            F.col(pred_col),
+            F.col(obj_col).alias("neg_obj"),
+            F.lit(0).alias("sample_idx"),
+        ).limit(0)
+    cand = pos.select(
+        subj_col,
+        pred_col,
+        obj_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_per_positive - 1))).alias("sample_idx"),
+    ).withColumn(
+        "_idx",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col(subj_col),
+                            F.col(pred_col),
+                            F.col(obj_col),
+                            F.col("sample_idx").cast("string"),
+                            F.lit(str(seed)),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_pool),
+        ),
+    )
+    neg = cand.join(F.broadcast(pool), "_idx").select(
+        subj_col, pred_col, F.col("_ent").alias("neg_obj"), "sample_idx"
+    )
+    true_keyed = pos.select(
+        subj_col, pred_col, F.col(obj_col).alias("neg_obj")
+    )
+    return neg.join(true_keyed, [subj_col, pred_col, "neg_obj"], "left_anti")

@@ -1187,3 +1187,31 @@ def test_pmi_cooccurrence_semantics(spark):
         for r in pmi_cooccurrence(df, min_pair_docs=1, max_df=3).collect()
     }
     assert got2 and all("common" not in p for p in got2)
+
+
+def test_negative_samples_semantics(spark):
+    """Filtered negative sampling: no emitted corruption is a true triple
+    (incl. self-corruptions), draws are deterministic and partitioning-
+    invariant, and the pool covers all objects."""
+    from phenoqc_spark.operators.triples import negative_samples
+
+    rows = [(f"s{i % 5}", "p", f"o{(i * 3) % 7}") for i in range(30)]
+    trips = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = negative_samples(trips, n_per_positive=3, seed=7)
+    got = {(r.subj, r.pred, r.neg_obj, r.sample_idx) for r in out.collect()}
+    true = {(s, p, o) for s, p, o in rows}
+    assert got, "sampling must produce negatives"
+    assert all((s, p, n) not in true for s, p, n, _ in got)
+    assert all(0 <= i < 3 for *_, i in got)
+    # deterministic under repartitioning
+    got2 = {
+        (r.subj, r.pred, r.neg_obj, r.sample_idx)
+        for r in negative_samples(trips.repartition(6), n_per_positive=3, seed=7).collect()
+    }
+    assert got2 == got
+    # different seed draws a (generally) different set
+    got3 = {
+        (r.subj, r.pred, r.neg_obj, r.sample_idx)
+        for r in negative_samples(trips, n_per_positive=3, seed=8).collect()
+    }
+    assert got3 != got
