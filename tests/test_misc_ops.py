@@ -1215,3 +1215,41 @@ def test_negative_samples_semantics(spark):
         for r in negative_samples(trips, n_per_positive=3, seed=8).collect()
     }
     assert got3 != got
+
+
+def test_zvalue_and_zorder_layout(spark):
+    """Morton z-values must equal the bit-interleave twin; zorder_layout
+    preserves rows exactly and leaves each output partition sorted by z."""
+    import pytest
+
+    from phenoqc_spark.operators.layout import zorder_layout, zvalue_expr
+
+    def morton(x, y, bits=16):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    rows = [(i, (i * 7919) % 65536, (i * 104729) % 65536) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r.id: r.z for r in df.select("id", zvalue_expr(["x", "y"]).alias("z")).collect()}
+    assert got == {i: morton(x, y) for i, x, y in rows}
+    # boundary values
+    one = spark.createDataFrame([(65535, 65535), (0, 0), (65535, 0)], "x long, y long")
+    zs = [r.z for r in one.select(zvalue_expr(["x", "y"]).alias("z")).collect()]
+    assert zs == [2**32 - 1, 0, int("01" * 16, 2)]
+
+    out = zorder_layout(df, ["x", "y"], num_partitions=4)
+    assert sorted(map(tuple, out.collect())) == sorted(rows)
+    # each partition sorted by z
+    import pandas as pd  # noqa: F401  (mapInPandas-free check via RDD glom)
+    parts = out.select(zvalue_expr(["x", "y"]).alias("z")).rdd.glom().collect()
+    for p in parts:
+        zs = [r.z for r in p]
+        assert zs == sorted(zs)
+
+    with pytest.raises(ValueError):
+        zvalue_expr(["x", "y"], bits=32)
+    with pytest.raises(ValueError):
+        zvalue_expr([])
