@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 110 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 111 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
@@ -1844,6 +1844,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["f_zvalue"] = f_zvalue
 
+    def td_host_cap(spark, sf_dir):
+        # per-host document cap (domain balancing): deterministic
+        # md5(id:seed) rank within each synthetic host, keep ≤ 10; the
+        # oracle recomputes host, rank, and cut in SQL — and the operator
+        # extracts the host with try_parse_url while the oracle formats
+        # it analytically, so URL-parsing parity is part of the check
+        from phenoqc_spark.operators.textstats import cap_per_host
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.format_string(
+                "https://host%02d.example.org/p/%d", (F.col("doc_id") % 37), F.col("doc_id")
+            ).alias("url"),
+        )
+        return cap_per_host(docs, k=10).orderBy("doc_id")
+
+    q["td_host_cap"] = td_host_cap
+
     def kg_merge_state(spark, sf_dir):
         # triple-store MERGE (upsert): two overlapping extraction batches
         # collapse to per-batch state then merge — matched (s,p,o) keys
@@ -2706,6 +2724,24 @@ WITH q AS (
 )
 SELECT event_id, x, y, CAST({_z_terms} AS BIGINT) AS z
 FROM q ORDER BY event_id
+"""
+
+    o["td_host_cap"] = """
+WITH d AS (
+  SELECT doc_id,
+         printf('https://host%02d.example.org/p/%d',
+                CAST(doc_id % 37 AS INT), CAST(doc_id AS INT)) AS url,
+         printf('host%02d.example.org', CAST(doc_id % 37 AS INT)) AS host
+  FROM documents
+), r AS (
+  SELECT doc_id, url,
+         row_number() OVER (
+           PARTITION BY host
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
+         ) AS rn
+  FROM d
+)
+SELECT doc_id, url FROM r WHERE rn <= 10 ORDER BY doc_id
 """
 
     o["kg_merge_state"] = """
@@ -4381,7 +4417,7 @@ ORDER BY 1, 2
 # txt_dup_spans, kg_term_ic, kg_resnik, kg_phenomizer_bma, kg_soft_pr,
 # kg_bgp, kg_bgp_path, kg_ntriples, agg_latest_event, kg_communities,
 # kg_merge_state, kg_modularity, txt_pmi, kg_negative_samples,
-# f_zvalue) have never held a driver row —
+# f_zvalue, td_host_cap) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

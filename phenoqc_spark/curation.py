@@ -34,6 +34,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     url_col: str | None = None,
     latest_by: str | None = None,
+    max_per_host: int | None = None,
     exact_dedup: bool = True,
     near_dedup: bool | dict = False,
     min_quality: float | None = None,
@@ -64,6 +65,8 @@ def curate_corpus(
     Gumbel-top-k sampling (mutually exclusive).  ``latest_by`` names a
     timestamp column: with ``url_col``, URL-level dedup keeps the NEWEST
     capture per canonical URL (latest_snapshot) instead of the min-id one.
+    ``max_per_host`` (with ``url_col``) caps documents per canonical-URL
+    host after URL dedup — the domain-balancing stage (cap_per_host).
     """
     if sample_fractions is not None and importance_target is not None:
         raise ValueError("choose stratified OR importance sampling, not both")
@@ -105,6 +108,13 @@ def curate_corpus(
             out = record(
                 "url_dedup",
                 D.dedup_exact(out, text_col="url_canonical", id_col=id_col),
+            )
+        if max_per_host is not None:
+            out = record(
+                "host_cap",
+                X.cap_per_host(
+                    out, max_per_host, url_col="url_canonical", id_col=id_col
+                ),
             )
     if exact_dedup:
         out = record(

@@ -864,3 +864,37 @@ def pmi_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def cap_per_host(
+    df: DataFrame,
+    k: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``k`` documents per URL host — the domain-balancing
+    cap every web-corpus recipe applies (a handful of mega-hosts
+    otherwise dominate the training mix).  Selection within a host is a
+    deterministic pseudo-random rank: ``md5(id:seed)`` ascending with the
+    id as tiebreak — rerun / partitioning / cluster-size invariant (the
+    ``deterministic_stratified_sample`` contract), so the kept set is
+    reproducible and SQL-recomputable.  Malformed URLs bucket under the
+    NULL host and are capped as one group rather than dropped.
+
+    Plan shape: ``row_number() ≤ k`` per host — on Spark ≥3.5 this plans
+    through WindowGroupLimit, a map-side partial top-k per host BEFORE
+    the exchange (measured for the rank=1 case in BENCH/EVENTS.md), so a
+    mega-host's millions of rows collapse to ≤k per map partition and
+    the hot-host skew never reaches the shuffle."""
+    from pyspark.sql import Window
+
+    rnd = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    w = Window.partitionBy(
+        F.try_parse_url(F.col(url_col), F.lit("HOST"))
+    ).orderBy(rnd, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -288,3 +288,29 @@ def test_curate_corpus_latest_by(spark):
     assert report["url_dedup"] == 2
     assert got["https://ex.org/a"] == (2, "new capture words")
     assert got["https://ex.org/b"] == (3, "only capture words")
+
+
+def test_curate_corpus_max_per_host(spark):
+    """max_per_host caps each canonical host's documents deterministically
+    after URL dedup."""
+    from phenoqc_spark.curation import curate_corpus
+    from phenoqc_spark.operators.textstats import cap_per_host
+
+    rows = [
+        (i, f"https://h{i % 3}.example.org/p/{i}", f"doc {i} words here")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out, report = curate_corpus(
+        df, url_col="url", max_per_host=4, exact_dedup=False
+    )
+    assert report["host_cap"] == 12  # 3 hosts x 4
+    per_host = {}
+    for r in out.collect():
+        per_host.setdefault(r.url_canonical.split("/p/")[0], []).append(r.doc_id)
+    assert all(len(v) == 4 for v in per_host.values())
+    # deterministic and partitioning-invariant (same kept set standalone)
+    direct = cap_per_host(
+        df.repartition(5), 4, url_col="url", id_col="doc_id"
+    )
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in direct.collect()}
