@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 111 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 112 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
@@ -1862,6 +1862,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["td_host_cap"] = td_host_cap
 
+    def v_triple_shapes(spark, sf_dir):
+        # SHACL-lite shape validation over a deterministic triple set with
+        # planted violations: objects of 'rel' must be e-CURIEs e00-e19
+        # (doc_id*7+3 mod 45 lands 20-44 for some docs), subjects of
+        # 'alt' must be s-prefixed (planted x-prefix rows break it)
+        from phenoqc_spark.operators.triples import validate_triple_shapes
+
+        docs = load_table(spark, sf_dir, "documents")
+        trips = docs.select(
+            F.when(F.col("doc_id") % 11 == 0, F.format_string("x%03d", F.col("doc_id") % 97))
+            .otherwise(F.format_string("s%03d", F.col("doc_id") % 97))
+            .alias("subj"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("rel")).otherwise(F.lit("alt")).alias("pred"),
+            F.format_string("e%02d", ((F.col("doc_id") * 7 + 3) % 45)).alias("obj"),
+        )
+        rules = spark.createDataFrame(
+            [
+                ("rel", None, "^e[01][0-9]$"),
+                ("alt", "^s[0-9]{3}$", None),
+            ],
+            "pred string, subj_regex string, obj_regex string",
+        )
+        return validate_triple_shapes(trips, rules).orderBy(
+            "subj", "pred", "obj", "reason"
+        )
+
+    q["v_triple_shapes"] = v_triple_shapes
+
     def kg_merge_state(spark, sf_dir):
         # triple-store MERGE (upsert): two overlapping extraction batches
         # collapse to per-batch state then merge — matched (s,p,o) keys
@@ -2742,6 +2770,26 @@ WITH d AS (
   FROM d
 )
 SELECT doc_id, url FROM r WHERE rn <= 10 ORDER BY doc_id
+"""
+
+    o["v_triple_shapes"] = """
+WITH t AS (
+  SELECT CASE WHEN doc_id % 11 = 0 THEN printf('x%03d', CAST(doc_id % 97 AS INT))
+              ELSE printf('s%03d', CAST(doc_id % 97 AS INT)) END AS subj,
+         CASE WHEN doc_id % 3 = 0 THEN 'rel' ELSE 'alt' END AS pred,
+         printf('e%02d', CAST((doc_id * 7 + 3) % 45 AS INT)) AS obj
+  FROM documents
+),
+r(pred, subj_regex, obj_regex) AS (
+  VALUES ('rel', NULL, '^e[01][0-9]$'), ('alt', '^s[0-9]{3}$', NULL)
+),
+j AS (SELECT t.*, r.subj_regex, r.obj_regex FROM t JOIN r USING (pred))
+SELECT subj, pred, obj, 'bad_subject' AS reason FROM j
+WHERE subj_regex IS NOT NULL AND NOT regexp_matches(subj, subj_regex)
+UNION ALL
+SELECT subj, pred, obj, 'bad_object' FROM j
+WHERE obj_regex IS NOT NULL AND NOT regexp_matches(obj, obj_regex)
+ORDER BY subj, pred, obj, reason
 """
 
     o["kg_merge_state"] = """
@@ -4417,7 +4465,7 @@ ORDER BY 1, 2
 # txt_dup_spans, kg_term_ic, kg_resnik, kg_phenomizer_bma, kg_soft_pr,
 # kg_bgp, kg_bgp_path, kg_ntriples, agg_latest_event, kg_communities,
 # kg_merge_state, kg_modularity, txt_pmi, kg_negative_samples,
-# f_zvalue, td_host_cap) have never held a driver row —
+# f_zvalue, td_host_cap, v_triple_shapes) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

@@ -57,6 +57,11 @@ def main() -> None:
                     help="with --graph-stats: also run N synchronous "
                          "label-propagation rounds over the triple graph and "
                          "add a community column")
+    ap.add_argument("--shape-rules", default=None,
+                    help="JSON file of SHACL-lite rules "
+                         "[{pred, subj_regex, obj_regex}, ...]: validate the "
+                         "emitted triples and write violations to "
+                         "<out>/shape_violations")
     ap.add_argument("--merge-state", default=None,
                     help="fold this run's triples into the accumulated "
                          "(subj, pred, obj) state table at this path — MERGE "
@@ -217,6 +222,24 @@ def main() -> None:
             log_activity(f"is_a rollup -> {rollup_path}")
         else:
             log_activity("is_a rollup skipped: no is_a edges in ontologies")
+    shapes_path = None
+    if args.shape_rules:
+        with open(args.shape_rules) as fh:
+            rule_rows = json.load(fh)
+        rules = spark.createDataFrame(
+            [
+                (r["pred"], r.get("subj_regex"), r.get("obj_regex"))
+                for r in rule_rows
+            ],
+            "pred string, subj_regex string, obj_regex string",
+        )
+        viol = T.validate_triple_shapes(
+            spark.read.parquet(triples_path), rules
+        )
+        shapes_path = os.path.join(args.out, "shape_violations")
+        viol.write.mode("overwrite").parquet(shapes_path)
+        n_viol = spark.read.parquet(shapes_path).count()
+        log_activity(f"shape validation -> {shapes_path}: {n_viol} violations")
     merge_info = None
     if args.merge_state:
         # linking score (0-100) rescaled to a 0-1 confidence
@@ -304,6 +327,7 @@ def main() -> None:
         "ntriples": nt_path,
         "link_eval": eval_path,
         "merge_state": merge_info,
+        "shape_violations": shapes_path,
     }))
     spark.stop()
 

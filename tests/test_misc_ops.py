@@ -1253,3 +1253,35 @@ def test_zvalue_and_zorder_layout(spark):
         zvalue_expr(["x", "y"], bits=32)
     with pytest.raises(ValueError):
         zvalue_expr([])
+
+
+def test_validate_triple_shapes(spark):
+    """Shape rules: null side unconstrained, unruled predicates pass
+    (open-world), a doubly-bad triple emits one row per failed side."""
+    from phenoqc_spark.operators.triples import validate_triple_shapes
+
+    trips = spark.createDataFrame(
+        [
+            ("s1", "rel", "e01"),     # clean
+            ("s1", "rel", "zz"),      # bad object
+            ("x9", "alt", "e01"),     # bad subject
+            ("x9", "both", "zz"),     # bad both -> two rows
+            ("anything", "unruled", "whatever"),  # no rule -> passes
+        ],
+        "subj string, pred string, obj string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("rel", None, "^e[0-9]{2}$"),
+            ("alt", "^s[0-9]+$", None),
+            ("both", "^s[0-9]+$", "^e[0-9]{2}$"),
+        ],
+        "pred string, subj_regex string, obj_regex string",
+    )
+    got = {(r.subj, r.pred, r.obj, r.reason) for r in validate_triple_shapes(trips, rules).collect()}
+    assert got == {
+        ("s1", "rel", "zz", "bad_object"),
+        ("x9", "alt", "e01", "bad_subject"),
+        ("x9", "both", "zz", "bad_subject"),
+        ("x9", "both", "zz", "bad_object"),
+    }
