@@ -1899,3 +1899,57 @@ def test_soft_link_pr(spark):
     # recall side: u1->1, u2 (B1 vs B)->1, u3 and u5 unmatched -> 0
     assert abs(r.soft_recall - (1.0 + 1.0 + 0.0 + 0.0) / 4) < 1e-12
     assert math.isclose(r.soft_precision, 2 / 3)
+
+
+def test_final_r4_ops_empty_inputs(spark):
+    """The last round-4 wave (latest-capture, MERGE state, LPA,
+    modularity, PMI, negatives, z-order, host cap, shape rules) must
+    handle empty inputs without crashing."""
+    from phenoqc_spark.operators.canonicalize import (
+        graph_modularity,
+        label_propagation,
+    )
+    from phenoqc_spark.operators.layout import zorder_layout
+    from phenoqc_spark.operators.resume import merge_triple_state, triples_to_state
+    from phenoqc_spark.operators.sessions import latest_snapshot
+    from phenoqc_spark.operators.textstats import cap_per_host, pmi_cooccurrence
+    from phenoqc_spark.operators.triples import negative_samples, validate_triple_shapes
+
+    ee = spark.createDataFrame([], "url string, warc_ts timestamp, text string")
+    assert latest_snapshot(ee, "url", "warc_ts", tiebreak_col="text").count() == 0
+
+    et = spark.createDataFrame(
+        [], "subject string, predicate string, object string, confidence double"
+    )
+    s0 = triples_to_state(et, 1)
+    assert s0.count() == 0
+    one = spark.createDataFrame(
+        [("s", "p", "o", 0.5)],
+        "subject string, predicate string, object string, confidence double",
+    )
+    assert merge_triple_state(s0, triples_to_state(one, 2)).count() == 1
+
+    eg = spark.createDataFrame([], "src string, dst string")
+    assert label_propagation(eg, iters=2).count() == 0
+    el = spark.createDataFrame([], "node string, label string")
+    assert graph_modularity(eg, el).count() == 0
+
+    ed = spark.createDataFrame([], "doc_id long, text string")
+    assert pmi_cooccurrence(ed).count() == 0
+    assert negative_samples(spark.createDataFrame([], "subj string, pred string, obj string")).count() == 0
+
+    ez = spark.createDataFrame([], "id long, x long, y long")
+    assert zorder_layout(ez, ["x", "y"], num_partitions=2).count() == 0
+
+    eu = spark.createDataFrame([], "doc_id long, url string")
+    assert cap_per_host(eu, 3).count() == 0
+
+    rules = spark.createDataFrame(
+        [("rel", None, "^e$")], "pred string, subj_regex string, obj_regex string"
+    )
+    etr = spark.createDataFrame([], "subj string, pred string, obj string")
+    assert validate_triple_shapes(etr, rules).count() == 0
+    # empty RULES against real triples also passes everything
+    tr = spark.createDataFrame([("s", "rel", "o")], "subj string, pred string, obj string")
+    erules = spark.createDataFrame([], "pred string, subj_regex string, obj_regex string")
+    assert validate_triple_shapes(tr, erules).count() == 0
