@@ -985,6 +985,16 @@ def compact_dedup_state(
 
     Returns ``{"rows_before", "rows_after"}``.
     """
+    # recover from a swap that crashed between its two renames (state
+    # staged at __old, replacement never landed) — same discipline as
+    # resume.merge_state_into; without it the read below fails or, worse,
+    # a caller probing existence would treat the state as empty
+    _base = state_path.rstrip("/")
+    _hpath = spark._jvm.org.apache.hadoop.fs.Path
+    _fs = _hpath(_base).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not _fs.exists(_hpath(_base)) and _fs.exists(_hpath(_base + "__old")):
+        if not _fs.rename(_hpath(_base + "__old"), _hpath(_base)):
+            raise IOError(f"compact_dedup_state: could not recover {_base}__old")
     state = spark.read.parquet(state_path)
     for c in ("set_hash", "sig", "n_sh", "sh_set"):
         if c not in state.columns:

@@ -216,6 +216,13 @@ def merge_state_into(
     hpath = jvm.org.apache.hadoop.fs.Path
     base = state_path.rstrip("/")
     fs = hpath(base).getFileSystem(hconf)
+    old_p = hpath(base + "__old")
+    if not fs.exists(hpath(base)) and fs.exists(old_p):
+        # a previous swap crashed between its two renames: the state was
+        # staged aside but the replacement never landed.  Without this
+        # recovery the ledger would silently restart at batch 1.
+        if not fs.rename(old_p, hpath(base)):
+            raise IOError(f"merge_state_into: could not recover {base}__old")
     existed = fs.exists(hpath(base))
     if existed:
         state = spark.read.parquet(base)

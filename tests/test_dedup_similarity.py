@@ -1953,3 +1953,29 @@ def test_final_r4_ops_empty_inputs(spark):
     tr = spark.createDataFrame([("s", "rel", "o")], "subj string, pred string, obj string")
     erules = spark.createDataFrame([], "pred string, subj_regex string, obj_regex string")
     assert validate_triple_shapes(tr, erules).count() == 0
+
+
+def test_compact_dedup_state_recovers_crashed_swap(spark, tmp_path):
+    """compact_dedup_state must recover a state staged at __old by a swap
+    that crashed between its two renames (same discipline as
+    merge_state_into)."""
+    import os
+    import shutil
+
+    from phenoqc_spark.operators.dedup import (
+        compact_dedup_state,
+        minhash_doc_sets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared text body number {i % 3} with words") for i in range(12)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sig_state")
+    minhash_doc_sets(docs).write.mode("overwrite").parquet(path)
+    n0 = spark.read.parquet(path).count()
+    shutil.move(path, path + "__old")  # the crash window
+    assert not os.path.exists(path)
+    res = compact_dedup_state(spark, path)
+    assert res["rows_before"] == n0 and res["rows_after"] >= 1
+    assert os.path.exists(path) and not os.path.exists(path + "__old")

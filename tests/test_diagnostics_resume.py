@@ -220,3 +220,33 @@ def test_stream_merge_triples_replay_exactly_once(spark, tmp_path):
     stream_merge_triples(spark, stream3, state, ck).awaitTermination(120)
     row = {r.subject: r for r in spark.read.parquet(state).collect()}["s1"]
     assert row.n_obs == 3 and row.last_seen == 2 and row.confidence == 0.9
+
+
+def test_merge_state_into_recovers_crashed_swap(spark, tmp_path):
+    """A swap that crashed between its two renames (state staged at
+    __old, replacement never landed) must be recovered on the next
+    merge — otherwise the ledger silently restarts at batch 1."""
+    import os
+    import shutil
+
+    from phenoqc_spark.operators.resume import merge_state_into
+
+    path = str(tmp_path / "tri_state_crash")
+    tri = spark.createDataFrame(
+        [("s1", "p", "o1", 0.5)],
+        "subject string, predicate string, object string, confidence double",
+    )
+    merge_state_into(spark, path, tri, batch_id=1)
+    merge_state_into(spark, path, tri, batch_id=2)
+    # simulate the crash window: base staged aside, no replacement
+    shutil.move(path, path + "__old")
+    assert not os.path.exists(path)
+    r = merge_state_into(spark, path, tri, batch_id=3)
+    assert r == {"batch_id": 3, "rows": 1}
+    row = spark.read.parquet(path).collect()[0]
+    # history preserved: first_seen=1, n_obs=3 — NOT a batch-1 restart
+    assert row.first_seen == 1 and row.last_seen == 3 and row.n_obs == 3
+    assert not os.path.exists(path + "__old")
+    # and the exactly-once guard still works post-recovery
+    r2 = merge_state_into(spark, path, tri, batch_id=3)
+    assert r2.get("skipped") is True
