@@ -603,6 +603,94 @@ def label_propagation(
     return labels
 
 
+def random_walks(
+    edges: DataFrame,
+    walks_per_node: int = 1,
+    walk_length: int = 3,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(start, walk, step, node): DETERMINISTIC random walks over the
+    undirected simple graph — DeepWalk/node2vec-style corpus generation
+    for graph-embedding training and ARROW-style (ICDE 2019) reachability
+    sketching, where walk samples stand in for exact web-scale
+    reachability.
+
+    'Random' is a pure hash: at each step the walker at ``cur`` moves to
+    neighbor index ``md5(cur|start|walk|step|seed) mod degree(cur)`` over
+    the node's SORTED adjacency — rerun / partitioning / cluster-size
+    invariant and recomputable in plain SQL (the
+    ``deterministic_stratified_sample`` contract), so walk corpora are
+    reproducible artifacts, not transient samples.
+
+    Build once: the indexed adjacency (per-node sorted ``row_number`` —
+    a per-node window; a hub's neighbor list sorts inside one task,
+    the one-time cost any adjacency layout pays).  Per step: one join
+    against the degree table (to size the modulus) + one equi-join on
+    (node, idx) against the indexed adjacency, ``localCheckpoint`` per
+    step (the :func:`connected_components` lineage discipline).  The
+    symmetrized simple graph has no dead ends, so every walk runs full
+    length.  Output is one row per visited position, step 0 = start."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    from pyspark.sql import Window
+
+    adj = sym.withColumn(
+        "idx", F.row_number().over(Window.partitionBy("a").orderBy("b")) - 1
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    starts = (
+        adj.select(F.col("a").alias("start"))
+        .distinct()
+        .select(
+            "start",
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("walk"),
+        )
+    )
+    walks = starts.select("start", "walk", F.col("start").alias("node"))
+    out = walks.select("start", "walk", F.lit(0).alias("step"), "node")
+    for step in range(1, walk_length + 1):
+        hashed = walks.join(deg, walks.node == deg.a).select(
+            "start",
+            "walk",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.col("node"),
+                                F.col("start"),
+                                F.col("walk").cast("string"),
+                                F.lit(str(step)),
+                                F.lit(str(seed)),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("deg"),
+            ).alias("idx"),
+            F.col("node"),
+        )
+        walks = (
+            hashed.join(adj, (hashed.node == adj.a) & (hashed.idx == adj.idx))
+            .select("start", "walk", F.col("b").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            walks.select("start", "walk", F.lit(step).alias("step"), "node")
+        )
+    return out
+
+
 def graph_modularity(
     edges: DataFrame,
     labels: DataFrame,

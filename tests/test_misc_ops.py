@@ -1285,3 +1285,54 @@ def test_validate_triple_shapes(spark):
         ("x9", "both", "zz", "bad_subject"),
         ("x9", "both", "zz", "bad_object"),
     }
+
+
+def test_random_walks_matches_twin(spark):
+    """Hash-driven walks must equal the pure-Python twin step for step,
+    be partitioning-invariant, and run full length on every node."""
+    import hashlib
+    import random
+    from collections import defaultdict
+
+    from phenoqc_spark.operators.canonicalize import random_walks
+
+    rng = random.Random(13)
+    edges = {(f"n{rng.randrange(12)}", f"n{rng.randrange(12)}") for _ in range(30)}
+    edges = {(a, b) for a, b in edges if a != b}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    adj = {k: sorted(v) for k, v in adj.items()}
+
+    def twin(walks_per_node, walk_length, seed):
+        rows = set()
+        for start in adj:
+            for w in range(walks_per_node):
+                cur = start
+                rows.add((start, w, 0, cur))
+                for step in range(1, walk_length + 1):
+                    h = hashlib.md5(
+                        f"{cur}|{start}|{w}|{step}|{seed}".encode()
+                    ).hexdigest()[:15]
+                    cur = adj[cur][int(h, 16) % len(adj[cur])]
+                    rows.add((start, w, step, cur))
+        return rows
+
+    e = spark.createDataFrame(sorted(edges), "src string, dst string")
+    got = {
+        (r.start, r.walk, r.step, r.node)
+        for r in random_walks(e, walks_per_node=2, walk_length=4, seed=9).collect()
+    }
+    assert got == twin(2, 4, 9)
+    # full length everywhere: every (start, walk) has walk_length+1 steps
+    from collections import Counter
+
+    c = Counter((s, w) for s, w, *_ in got)
+    assert set(c.values()) == {5}
+    # partitioning-invariant
+    got2 = {
+        (r.start, r.walk, r.step, r.node)
+        for r in random_walks(e.repartition(7), walks_per_node=2, walk_length=4, seed=9).collect()
+    }
+    assert got2 == got
