@@ -830,6 +830,11 @@ def pmi_cooccurrence(
         .filter(F.length("token") > 0)
         .distinct()
     )
+    # three consumers read this subtree (df table, both self-join sides);
+    # without a materialization the TEXT table is scanned and tokenized
+    # three times — localCheckpoint computes the (doc, token) projection
+    # once and the heavy text column never re-enters the plan
+    toks = toks.localCheckpoint(eager=False)
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     if max_df is not None:
         dfreq = dfreq.filter(F.col("n") <= max_df)

@@ -434,6 +434,9 @@ def negative_samples(
     from pyspark.sql import Window
 
     pos = triples.select(subj_col, pred_col, obj_col).distinct()
+    # pos feeds three consumers (pool, candidates, the anti-join's right
+    # side) — checkpoint so the distinct runs once, not per consumer
+    pos = pos.localCheckpoint(eager=False)
     pool = (
         pos.select(F.col(obj_col).alias("_ent"))
         .distinct()
