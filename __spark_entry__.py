@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 114 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 115 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
@@ -2364,6 +2364,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_ntriples"] = kg_ntriples
 
+    def kg_turtle(spark, sf_dir):
+        # Turtle serialization with CURIE compression: term ids that land
+        # e00-e44 compress under the declared e: namespace, doc subjects
+        # stay full IRIs; the oracle rebuilds lines with the same
+        # safe-local rule in SQL
+        from phenoqc_spark.operators.triples import to_turtle
+
+        docs = load_table(spark, sf_dir, "documents")
+        t = docs.select(
+            F.format_string("doc/%d", F.col("doc_id")).alias("subj"),
+            F.lit("rel").alias("pred"),
+            F.format_string("e%02d", ((F.col("doc_id") * 7 + 3) % 45)).alias("obj"),
+        )
+        return to_turtle(
+            t, {"e": "http://example.org/e"}, base="http://example.org/"
+        ).orderBy("line")
+
+    q["kg_turtle"] = kg_turtle
+
     def kg_bgp_path(spark, sf_dir):
         # property-path BGP: ?t is_a+ T01 resolved through the
         # materialized ancestor closure (any-depth descendants)
@@ -4496,6 +4515,12 @@ SELECT '<http://example.org/doc/' || doc_id || '> <http://example.org/has_text> 
 FROM documents ORDER BY ntriple
 """
 
+    o["kg_turtle"] = """
+SELECT '<http://example.org/doc/' || doc_id || '> <http://example.org/rel> e:'
+       || printf('%02d', CAST((doc_id * 7 + 3) % 45 AS INT)) || ' .' AS line
+FROM documents ORDER BY line
+"""
+
     o["kg_bgp_path"] = f"""
 WITH RECURSIVE {_DAG_SQL},
 reach(node, ancestor) AS (
@@ -4566,8 +4591,8 @@ ORDER BY 1, 2
 # txt_dup_spans, kg_term_ic, kg_resnik, kg_phenomizer_bma, kg_soft_pr,
 # kg_bgp, kg_bgp_path, kg_ntriples, agg_latest_event, kg_communities,
 # kg_merge_state, kg_modularity, txt_pmi, kg_negative_samples,
-# f_zvalue, td_host_cap, v_triple_shapes, kg_random_walks, agg_cube)
-# have never held a driver row —
+# f_zvalue, td_host_cap, v_triple_shapes, kg_random_walks, agg_cube,
+# kg_turtle) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

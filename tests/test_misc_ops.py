@@ -1336,3 +1336,43 @@ def test_random_walks_matches_twin(spark):
         for r in random_walks(e.repartition(7), walks_per_node=2, walk_length=4, seed=9).collect()
     }
     assert got2 == got
+
+
+def test_turtle_serializer_and_sink(spark, tmp_path):
+    """Turtle lines compress declared namespaces to CURIEs, fall back to
+    <iri> for unsafe locals, escape literals, and the sink's sidecar +
+    part files concatenate into one valid document."""
+    import glob
+
+    from phenoqc_spark.operators.triples import to_turtle, turtle_header, write_turtle
+
+    base = "http://example.org/"
+    prefixes = {"hp": base + "HP:", "doid": base + "DOID:"}
+    trips = spark.createDataFrame(
+        [
+            ("page#1", "rel", "HP:0000822"),
+            ("page#2", "rel", "DOID:1612"),
+            ("page#3", "rel", "HP:bad local"),  # space -> %20, unsafe local
+        ],
+        "subj string, pred string, obj string",
+    )
+    lines = sorted(r.line for r in to_turtle(trips, prefixes, base=base).collect())
+    assert f"<{base}page#1> <{base}rel> hp:0000822 ." in lines
+    assert f"<{base}page#2> <{base}rel> doid:1612 ." in lines
+    # percent-encoded space makes the local PN_LOCAL-unsafe -> full IRI
+    assert f"<{base}page#3> <{base}rel> <{base}HP:bad%20local> ." in lines
+
+    # literal objects escape like N-Triples
+    lit = spark.createDataFrame(
+        [("s", "p", 'he said "hi"\n')], "subj string, pred string, obj string"
+    )
+    (line,) = [r.line for r in to_turtle(lit, prefixes, base=base, obj_literal=True).collect()]
+    assert line.endswith('"he said \\"hi\\"\\n" .')
+
+    out = str(tmp_path / "ttl")
+    write_turtle(trips, out, prefixes, base=base)
+    side = open(out + "/_prefixes.ttl").read()
+    assert side == turtle_header(prefixes)
+    assert side.index("@prefix doid:") < side.index("@prefix hp:")
+    body = "".join(open(f).read() for f in sorted(glob.glob(out + "/part-*")))
+    assert body.count(" .") == 3 and "hp:0000822" in body
