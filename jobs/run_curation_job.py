@@ -29,6 +29,12 @@ def main() -> None:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--url-col", default=None)
+    ap.add_argument("--latest-by", default=None,
+                    help="timestamp column: with --url-col, URL dedup keeps "
+                         "the NEWEST capture per canonical URL (CDX semantics)")
+    ap.add_argument("--max-per-host", type=int, default=None,
+                    help="with --url-col: cap documents per canonical host "
+                         "(deterministic domain balancing)")
     ap.add_argument("--no-exact-dedup", action="store_true")
     ap.add_argument("--near-dedup", action="store_true")
     ap.add_argument("--near-threshold", type=float, default=0.8)
@@ -75,6 +81,8 @@ def main() -> None:
         text_col=args.text_col,
         id_col=args.id_col,
         url_col=args.url_col,
+        latest_by=args.latest_by,
+        max_per_host=args.max_per_host,
         exact_dedup=not args.no_exact_dedup,
         near_dedup=(
             {"threshold": args.near_threshold}
