@@ -44,6 +44,16 @@ def main() -> None:
     ap.add_argument("--limit", type=int, default=50,
                     help="rows printed when --out is omitted")
     ap.add_argument("--out", default=None, help="write full results to parquet here")
+    ap.add_argument("--construct", default=None,
+                    help="SPARQL CONSTRUCT analogue: JSON [s, p, o] template "
+                         "of '?var' bindings / constants — emits one triple "
+                         "per result row instead of bindings")
+    ap.add_argument("--construct-out", default=None,
+                    help="with --construct: write the constructed triples "
+                         "as N-Triples ('.nt' suffix), Turtle ('.ttl', "
+                         "prefixes from --prefixes) or parquet (otherwise)")
+    ap.add_argument("--prefixes", default=None,
+                    help="JSON {prefix: namespace} for Turtle output")
     args = ap.parse_args()
 
     from phenoqc_spark.operators.triples import match_bgp
@@ -57,6 +67,28 @@ def main() -> None:
     out = match_bgp(spark.read.parquet(args.triples), patterns, closures=closures)
     if args.distinct:
         out = out.distinct()
+    if args.construct:
+        from pyspark.sql import functions as F
+
+        from phenoqc_spark.operators.triples import write_ntriples, write_turtle
+
+        tmpl = json.loads(args.construct)
+        cols = [
+            (F.col(t[1:]) if isinstance(t, str) and t.startswith("?") else F.lit(t)).alias(a)
+            for t, a in zip(tmpl, ("subj", "pred", "obj"))
+        ]
+        constructed = out.select(*cols).distinct()  # CONSTRUCT is set-valued
+        dest = args.construct_out or (args.out or "constructed")
+        if dest.endswith(".nt"):
+            write_ntriples(constructed, dest)
+        elif dest.endswith(".ttl"):
+            write_turtle(constructed, dest, json.loads(args.prefixes or "{}"))
+        else:
+            constructed.write.mode("overwrite").parquet(dest)
+        n = spark.read.text(dest).count() if dest.endswith((".nt", ".ttl")) else             spark.read.parquet(dest).count()
+        print(json.dumps({"constructed": n, "out": dest}))
+        spark.stop()
+        return
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()

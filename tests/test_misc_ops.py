@@ -918,6 +918,26 @@ def test_query_kg_cli(spark, tmp_path):
     head = json.loads([l for l in lines if '"rows_shown"' in l][0])
     assert head["rows_shown"] == 2
 
+    # CONSTRUCT mode: bindings -> new triples, Turtle output with CURIEs
+    proc = subprocess.run(
+        [sys.executable, "jobs/query_kg.py",
+         "--triples", str(trip),
+         "--bgp", '[["?d", "has_term", "?t"], ["?t", "is_a+", "R"]]',
+         "--closure", str(clo),
+         "--construct", '["?d", "linked_to", "R"]',
+         "--construct-out", str(tmp_path / "cons.ttl"),
+         "--prefixes", '{"ex": "http://example.org/d"}'],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    head = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert head["constructed"] == 2
+    import glob as _glob
+
+    body = "".join(open(f).read() for f in sorted(_glob.glob(str(tmp_path / "cons.ttl" / "part-*"))))
+    assert "ex:1 " in body and "ex:2 " in body and "linked_to" in body
+    assert open(str(tmp_path / "cons.ttl" / "_prefixes.ttl")).read().startswith("@prefix ex:")
+
 
 def test_match_bgp_optional(spark):
     """OPTIONAL patterns left-join: matched rows bind, unmatched keep
