@@ -691,6 +691,36 @@ def random_walks(
     return out
 
 
+def walks_to_skipgrams(
+    walks: DataFrame,
+    window: int = 2,
+) -> DataFrame:
+    """(center, context, offset): skip-gram training pairs from a
+    :func:`random_walks` corpus — every ordered pair of nodes within
+    ``window`` steps of each other along the same walk (offset ≠ 0), the
+    DeepWalk/node2vec recipe's second half (walks → co-occurrence pairs
+    → embedding trainer).
+
+    One self-equi-join on the walk id (start, walk) with a bounded
+    |step difference| filter — never a cross join; a walk contributes
+    ≤ 2·window pairs per position, so output is linear in the corpus.
+    Deterministic because the walks are."""
+    a = walks.select(
+        F.col("start"), F.col("walk"),
+        F.col("step").alias("_s1"), F.col("node").alias("center"),
+    )
+    b = walks.select(
+        F.col("start"), F.col("walk"),
+        F.col("step").alias("_s2"), F.col("node").alias("context"),
+    )
+    return (
+        a.join(b, ["start", "walk"])
+        .withColumn("offset", F.col("_s2") - F.col("_s1"))
+        .filter((F.col("offset") != 0) & (F.abs(F.col("offset")) <= window))
+        .select("center", "context", "offset")
+    )
+
+
 def graph_modularity(
     edges: DataFrame,
     labels: DataFrame,

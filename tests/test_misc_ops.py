@@ -1396,3 +1396,23 @@ def test_turtle_serializer_and_sink(spark, tmp_path):
     assert side.index("@prefix doid:") < side.index("@prefix hp:")
     body = "".join(open(f).read() for f in sorted(glob.glob(out + "/part-*")))
     assert body.count(" .") == 3 and "hp:0000822" in body
+
+
+def test_walks_to_skipgrams(spark):
+    """Skip-gram pairs: every in-window ordered pair along each walk,
+    offset 0 excluded, bounded by the window."""
+    from phenoqc_spark.operators.canonicalize import walks_to_skipgrams
+
+    walks = spark.createDataFrame(
+        [("s", 0, 0, "a"), ("s", 0, 1, "b"), ("s", 0, 2, "c"), ("s", 0, 3, "d"),
+         ("t", 0, 0, "x"), ("t", 0, 1, "y")],
+        "start string, walk int, step int, node string",
+    )
+    got = {(r.center, r.context, r.offset) for r in walks_to_skipgrams(walks, window=2).collect()}
+    expect = set()
+    for seq in (["a", "b", "c", "d"], ["x", "y"]):
+        for i, c in enumerate(seq):
+            for j, x in enumerate(seq):
+                if i != j and abs(j - i) <= 2:
+                    expect.add((c, x, j - i))
+    assert got == expect
