@@ -57,6 +57,10 @@ def main() -> None:
                     help="with --graph-stats: also run N synchronous "
                          "label-propagation rounds over the triple graph and "
                          "add a community column")
+    ap.add_argument("--negatives", type=int, default=0,
+                    help="emit N filtered negative corruptions per distinct "
+                         "(subj, pred, obj) triple to <out>/neg_samples — "
+                         "deterministic embedding-training negatives")
     ap.add_argument("--shape-rules", default=None,
                     help="JSON file of SHACL-lite rules "
                          "[{pred, subj_regex, obj_regex}, ...]: validate the "
@@ -222,6 +226,17 @@ def main() -> None:
             log_activity(f"is_a rollup -> {rollup_path}")
         else:
             log_activity("is_a rollup skipped: no is_a edges in ontologies")
+    neg_path = None
+    if args.negatives > 0:
+        neg = T.negative_samples(
+            spark.read.parquet(triples_path).select(
+                F.col("subj"), F.col("pred"), F.col("obj")
+            ),
+            n_per_positive=args.negatives,
+        )
+        neg_path = os.path.join(args.out, "neg_samples")
+        neg.write.mode("overwrite").parquet(neg_path)
+        log_activity(f"negative samples -> {neg_path}")
     shapes_path = None
     if args.shape_rules:
         with open(args.shape_rules) as fh:
@@ -328,6 +343,7 @@ def main() -> None:
         "link_eval": eval_path,
         "merge_state": merge_info,
         "shape_violations": shapes_path,
+        "neg_samples": neg_path,
     }))
     spark.stop()
 
