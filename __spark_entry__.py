@@ -8,7 +8,7 @@ parse → validate → link against broadcast ontology dicts → triples).
 SURVEY.md §2 plus the training-data-pipeline extras (dedup, similarity,
 text analytics).  Every query is oracle-checked; the grading driver records
 at most 50 entries, so the full registry (``_all_queries`` /
-``_all_oracle_sql``, 116 queries) is split by the ``_RECORDED`` rotation
+``_all_oracle_sql``, 117 queries) is split by the ``_RECORDED`` rotation
 list: the 50 recorded names go to ``queries()``/``oracle_sql()`` and the
 remainder to ``extra_queries()``/``extra_oracle_sql()``, which
 ``scripts/check_correctness.py`` runs through the identical differential
@@ -1966,6 +1966,38 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_skipgrams"] = kg_skipgrams
 
+    def kg_node2vec(spark, sf_dir):
+        # second-order biased walks (p=0.25 return-biased, q=4.0 BFS-ish)
+        # over the kg_pagerank graph; oracle = the pinned pure-Python twin
+        # golden (phenoqc_spark/n2v_golden.py, scripts/gen_n2v_golden.py)
+        # which replicates the float ops bit-for-bit
+        from phenoqc_spark.operators.canonicalize import node2vec_walks
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+        m = spark.createDataFrame(_PR_MAPPING, "idx int, tid string")
+        doc_edges = (
+            docs.select(
+                F.format_string(
+                    "https://example.org/doc/%08d#%d", F.col("doc_id"), F.col("doc_id")
+                ).alias("src"),
+                (F.col("doc_id") % 4).cast("int").alias("idx"),
+            )
+            .join(F.broadcast(m), "idx")
+            .select("src", F.col("tid").alias("dst"))
+        )
+        xref = spark.createDataFrame(_PR_XREF, "src string, dst string")
+        out = node2vec_walks(
+            doc_edges.unionByName(xref),
+            walks_per_node=1,
+            walk_length=3,
+            p=0.25,
+            q=4.0,
+            seed=42,
+        )
+        return out.orderBy("start", "walk", "step", "node")
+
+    q["kg_node2vec"] = kg_node2vec
+
     def kg_merge_state(spark, sf_dir):
         # triple-store MERGE (upsert): two overlapping extraction batches
         # collapse to per-batch state then merge — matched (s,p,o) keys
@@ -2944,6 +2976,17 @@ FROM w a JOIN w b ON a.start = b.start AND a.walk = b.walk
 WHERE b.step <> a.step AND ABS(b.step - a.step) <= 2
 ORDER BY center, context, "offset"
 """
+    )
+
+    from phenoqc_spark.n2v_golden import N2V_400
+
+    _n2v_vals = ",\n  ".join(
+        f"('{s}', {w}, {st}, '{n}')" for s, w, st, n in N2V_400
+    )
+    o["kg_node2vec"] = (
+        "SELECT * FROM (VALUES\n  "
+        + _n2v_vals
+        + "\n) AS t(start, walk, step, node) ORDER BY start, walk, step, node"
     )
 
     o["kg_merge_state"] = """
@@ -4634,7 +4677,7 @@ ORDER BY 1, 2
 # kg_bgp, kg_bgp_path, kg_ntriples, agg_latest_event, kg_communities,
 # kg_merge_state, kg_modularity, txt_pmi, kg_negative_samples,
 # f_zvalue, td_host_cap, v_triple_shapes, kg_random_walks, agg_cube,
-# kg_turtle, kg_skipgrams) have never held a driver row —
+# kg_turtle, kg_skipgrams, kg_node2vec) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

@@ -691,6 +691,123 @@ def random_walks(
     return out
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    walks_per_node: int = 1,
+    walk_length: int = 3,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(start, walk, step, node): SECOND-ORDER biased walks (node2vec,
+    Grover & Leskovec 2016) over the undirected simple graph — the
+    return parameter ``p`` and in-out parameter ``q`` bias each step by
+    where the walker CAME from: candidate weight is 1/p to return to the
+    previous node, 1 to move to a common neighbor of (prev, cur)
+    (BFS-ish), 1/q to move outward (DFS-ish); the first step is uniform.
+
+    Deterministic like :func:`random_walks`: the step draw is
+    ``u = double(md5(cur|start|walk|step|seed)) / 16^15`` and the chosen
+    candidate is the first (in sorted-neighbor order) whose running
+    weight sum exceeds ``u × total`` — a pure function of the walker
+    state, so corpora reproduce across reruns and partitionings (the
+    pure-Python twin in the tests replicates the float ops bit-for-bit).
+
+    Cost per step: one adjacency join fans each walker out to its
+    FULL candidate set (degree-sized — inherent to second-order biasing,
+    which must score every neighbor), one left join against the edge set
+    flags common neighbors of (prev, cur), and a per-walker running-sum
+    window picks the winner; ``localCheckpoint`` per step.  Hub walkers
+    pay their degree per step — the same cost the reference node2vec
+    samplers pay, minus their O(V·d²) alias-table prebuild, which at
+    web scale is the thing that does not fit.  With ``p = q = 1`` the
+    distribution is unbiased but the hash mapping differs from
+    :func:`random_walks`' index draw — use that one for first-order
+    walks (cheaper: no fan-out)."""
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    starts = (
+        sym.select(F.col("a").alias("start"))
+        .distinct()
+        .select(
+            "start",
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("walk"),
+        )
+    )
+    walks = starts.select(
+        "start", "walk", F.lit(None).cast("string").alias("prev"), F.col("start").alias("node")
+    )
+    out = walks.select("start", "walk", F.lit(0).alias("step"), "node")
+    denom = float(16**15)
+    for step in range(1, walk_length + 1):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("node"),
+                            F.col("start"),
+                            F.col("walk").cast("string"),
+                            F.lit(str(step)),
+                            F.lit(str(seed)),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long").cast("double")
+            / F.lit(denom)
+        )
+        cand = (
+            walks.withColumn("_u", u)
+            .join(sym.select(F.col("a").alias("node"), F.col("b").alias("cand")), "node")
+        )
+        # common-neighbor flag: (prev, cand) is an edge
+        common = sym.select(F.col("a").alias("prev"), F.col("b").alias("cand"), F.lit(1).alias("_adj"))
+        cand = cand.join(common, ["prev", "cand"], "left")
+        w = (
+            F.when(F.col("prev").isNull(), F.lit(1.0))
+            .when(F.col("cand") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("_adj").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+        )
+        pw = Window.partitionBy("start", "walk")
+        cw = pw.orderBy("cand").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        scored = cand.select(
+            "start",
+            "walk",
+            "node",
+            "cand",
+            "_u",
+            F.sum(w).over(cw).alias("_cum"),
+            F.sum(w).over(pw).alias("_total"),
+        )
+        picked = (
+            scored.filter(F.col("_cum") > F.col("_u") * F.col("_total"))
+            .groupBy("start", "walk")
+            .agg(
+                F.min_by(F.struct(F.col("node").alias("prev"), F.col("cand")), "_cum").alias("_r")
+            )
+            .select("start", "walk", F.col("_r.prev").alias("prev"), F.col("_r.cand").alias("node"))
+        )
+        walks = picked.localCheckpoint(eager=True)
+        out = out.unionByName(
+            walks.select("start", "walk", F.lit(step).alias("step"), "node")
+        )
+    return out
+
+
 def walks_to_skipgrams(
     walks: DataFrame,
     window: int = 2,

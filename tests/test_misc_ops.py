@@ -1416,3 +1416,70 @@ def test_walks_to_skipgrams(spark):
                 if i != j and abs(j - i) <= 2:
                     expect.add((c, x, j - i))
     assert got == expect
+
+
+def test_node2vec_walks_matches_twin(spark):
+    """Second-order biased walks must equal the pure-Python twin (which
+    replicates the float ops bit-for-bit) for several (p, q) regimes,
+    and the bias must actually change the corpus vs p=q=1."""
+    import hashlib
+    import random
+    from collections import defaultdict
+
+    from phenoqc_spark.operators.canonicalize import node2vec_walks
+
+    rng = random.Random(21)
+    edges = {(f"n{rng.randrange(14)}", f"n{rng.randrange(14)}") for _ in range(40)}
+    edges = {(a, b) for a, b in edges if a != b}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    adj = {k: sorted(v) for k, v in adj.items()}
+
+    def twin(p, q, walk_length, seed):
+        rows = set()
+        for start in adj:
+            w = 0
+            prev, cur = None, start
+            rows.add((start, w, 0, cur))
+            for step in range(1, walk_length + 1):
+                h = hashlib.md5(
+                    f"{cur}|{start}|{w}|{step}|{seed}".encode()
+                ).hexdigest()[:15]
+                u = float(int(h, 16)) / float(16**15)
+                cands = adj[cur]
+                ws = []
+                for c in cands:
+                    if prev is None:
+                        ws.append(1.0)
+                    elif c == prev:
+                        ws.append(1.0 / p)
+                    elif c in adj[prev]:
+                        ws.append(1.0)
+                    else:
+                        ws.append(1.0 / q)
+                total = 0.0
+                for x in ws:
+                    total += x
+                cum = 0.0
+                target = u * total
+                for c, x in zip(cands, ws):
+                    cum += x
+                    if cum > target:
+                        prev, cur = cur, c
+                        break
+                rows.add((start, w, step, cur))
+        return rows
+
+    e = spark.createDataFrame(sorted(edges), "src string, dst string")
+    results = {}
+    for p, q in ((1.0, 1.0), (0.25, 4.0), (4.0, 0.25)):
+        got = {
+            (r.start, r.walk, r.step, r.node)
+            for r in node2vec_walks(e, walk_length=4, p=p, q=q, seed=5).collect()
+        }
+        assert got == twin(p, q, 4, 5), (p, q)
+        results[(p, q)] = got
+    assert results[(0.25, 4.0)] != results[(1.0, 1.0)]
+    assert results[(4.0, 0.25)] != results[(1.0, 1.0)]
