@@ -719,13 +719,20 @@ def node2vec_walks(
     FULL candidate set (degree-sized — inherent to second-order biasing,
     which must score every neighbor), one left join against the edge set
     flags common neighbors of (prev, cur), and a per-walker running-sum
-    window picks the winner; ``localCheckpoint`` per step.  Hub walkers
-    pay their degree per step — the same cost the reference node2vec
-    samplers pay, minus their O(V·d²) alias-table prebuild, which at
-    web scale is the thing that does not fit.  With ``p = q = 1`` the
-    distribution is unbiased but the hash mapping differs from
-    :func:`random_walks`' index draw — use that one for first-order
-    walks (cheaper: no fan-out)."""
+    window picks the winner; ``localCheckpoint`` per step.  Single-node
+    node2vec pays the same per-walker degree cost plus an O(V·d²)
+    alias-table prebuild this formulation skips.
+
+    HONEST scale caveat: on hub-skewed graphs the per-step fan-out is
+    Σ walkers-at-node × degree(node) — once many walkers sit on a
+    million-degree hub, one step materializes walkers×degree candidate
+    rows, which no biasing formulation survives without subsampling.
+    For hub-heavy KG graphs use :func:`random_walks` (first-order, O(1)
+    per step via the index draw, no fan-out) or pre-cap hub adjacency
+    (degree-capped candidate subsampling) before calling this; node2vec
+    biasing earns its cost on bounded-degree graphs.  With ``p = q = 1``
+    the distribution is unbiased but the hash mapping differs from
+    :func:`random_walks`' index draw — they are distinct corpora."""
     from pyspark.sql import Window
 
     e = (
