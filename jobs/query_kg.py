@@ -39,6 +39,10 @@ def main() -> None:
                     help="parquet path of a (node, ancestor) closure for --closure-pred")
     ap.add_argument("--closure-pred", default="is_a+",
                     help="virtual transitive predicate name (default is_a+)")
+    ap.add_argument("--where", default=None,
+                    help="SPARQL FILTER analogue: a Spark SQL boolean "
+                         "expression over the bound variables, e.g. "
+                         "\"t LIKE 'HP:%' AND d <> 'd1'\"")
     ap.add_argument("--distinct", action="store_true",
                     help="set semantics (SPARQL DISTINCT) instead of the default bag")
     ap.add_argument("--limit", type=int, default=50,
@@ -65,6 +69,8 @@ def main() -> None:
     if args.closure:
         closures = {args.closure_pred: spark.read.parquet(args.closure)}
     out = match_bgp(spark.read.parquet(args.triples), patterns, closures=closures)
+    if args.where:
+        out = out.filter(args.where)
     if args.distinct:
         out = out.distinct()
     if args.construct:
