@@ -338,3 +338,24 @@ def test_bucketed_state_merge_join_skips_state_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS tri_state_bucketed")
+
+
+def test_cap_per_host_plans_window_group_limit(spark):
+    """cap_per_host's row_number <= k must plan through WindowGroupLimit
+    (Partial before the exchange, Final after) — the map-side top-k that
+    collapses a mega-host before it shuffles; and exactly one Exchange,
+    on the host key."""
+    import re
+
+    from phenoqc_spark.operators.textstats import cap_per_host
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.format_string(
+            "https://h%d.example.org/%d", F.col("id") % 5, F.col("id")
+        ).alias("url"),
+    )
+    txt = cap_per_host(df, 10)._jdf.queryExecution().executedPlan().toString()
+    assert txt.count("WindowGroupLimit") >= 2, txt
+    assert "Partial" in txt.split("Exchange")[1], txt  # partial below the exchange
+    assert len(re.findall(r"\bExchange hashpartitioning", txt)) == 1, txt
