@@ -1724,6 +1724,81 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_pagerank_weighted"] = kg_pagerank_weighted
 
+    def kg_ppr(spark, sf_dir):
+        # PERSONALIZED PageRank (entity relatedness to a phenotype seed
+        # set) over the doc<->term graph: the kg_pagerank doc->term edges
+        # plus term->doc "mentioned_in" back-edges for doc_id % 13 == 2
+        # (13 coprime to 4, so every idx class contributes back-docs and
+        # mass cycles through both ontology branches) plus the xrefs.
+        # Teleport + dangling mass land on the uniform seed distribution;
+        # seed-unreachable nodes are exactly 0 and filtered out.  Oracle =
+        # the pinned pure-Python twin (phenoqc_spark/ppr_golden.py,
+        # scripts/gen_ppr_golden.py), 6-dp rounding.
+        from phenoqc_spark.operators.canonicalize import pagerank
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+        m = spark.createDataFrame(_PR_MAPPING, "idx int, tid string")
+        mentions = (
+            docs.select(
+                F.format_string(
+                    "https://example.org/doc/%08d#%d", F.col("doc_id"), F.col("doc_id")
+                ).alias("doc"),
+                (F.col("doc_id") % 4).cast("int").alias("idx"),
+                F.col("doc_id"),
+            )
+            .join(F.broadcast(m), "idx")
+        )
+        fwd = mentions.select(F.col("doc").alias("src"), F.col("tid").alias("dst"))
+        back = mentions.filter(F.col("doc_id") % 13 == 2).select(
+            F.col("tid").alias("src"), F.col("doc").alias("dst")
+        )
+        xref = spark.createDataFrame(_PR_XREF, "src string, dst string")
+        pr = pagerank(
+            fwd.unionByName(back).unionByName(xref),
+            iters=10,
+            seeds=["HP:0000822", "DOID:1612"],
+        )
+        return (
+            pr.filter(F.col("rank") > 0.0)
+            .select("node", F.round("rank", 6).alias("rank"))
+            .orderBy("node")
+        )
+
+    q["kg_ppr"] = kg_ppr
+
+    def kg_scc(spark, sf_dir):
+        # strongly connected components over a deterministic directed
+        # graph from documents (doc_id < 240): 12 rings of 20 with every
+        # other ring broken at one link, plus two chord families — three
+        # large SCCs (76/76/74) + 14 singletons, exercising trim,
+        # coloring, and backward-confirm paths.  Oracle = the pinned
+        # iterative-Tarjan twin (phenoqc_spark/scc_golden.py,
+        # scripts/gen_scc_golden.py); exact string match, no rounding.
+        from phenoqc_spark.operators.canonicalize import (
+            strongly_connected_components,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+        base = docs.select(F.col("doc_id").cast("long").alias("d"))
+        ring = base.filter(F.col("d") % 40 != 7).select(
+            F.format_string("n%03d", F.col("d")).alias("src"),
+            F.format_string("n%03d", (F.col("d") + 12) % 240).alias("dst"),
+        )
+        chord1 = base.filter(F.col("d") % 5 == 0).select(
+            F.format_string("n%03d", F.col("d")).alias("src"),
+            F.format_string("n%03d", (F.col("d") * 7 + 3) % 240).alias("dst"),
+        )
+        chord2 = base.filter(F.col("d") % 7 == 3).select(
+            F.format_string("n%03d", F.col("d")).alias("src"),
+            F.format_string("n%03d", (F.col("d") * 11 + 5) % 240).alias("dst"),
+        )
+        out = strongly_connected_components(
+            ring.unionByName(chord1).unionByName(chord2)
+        )
+        return out.orderBy("node")
+
+    q["kg_scc"] = kg_scc
+
     def kg_hits(spark, sf_dir):
         # Kleinberg HITS over the same doc->term (+xref) graph: docs are
         # hubs, ontology terms authorities.  Oracle = the pinned numpy
@@ -2727,6 +2802,26 @@ ORDER BY entity
         "SELECT * FROM (VALUES\n  "
         + _pr_vals
         + '\n) AS t(node, "rank") ORDER BY node'
+    )
+
+    from phenoqc_spark.ppr_golden import PPR_400
+
+    _ppr_vals = ",\n  ".join(
+        f"('{n}', CAST({r} AS DOUBLE))" for n, r in PPR_400
+    )
+    o["kg_ppr"] = (
+        "SELECT * FROM (VALUES\n  "
+        + _ppr_vals
+        + '\n) AS t(node, "rank") ORDER BY node'
+    )
+
+    from phenoqc_spark.scc_golden import SCC_240
+
+    _scc_vals = ",\n  ".join(f"('{n}', '{s}')" for n, s in SCC_240)
+    o["kg_scc"] = (
+        "SELECT * FROM (VALUES\n  "
+        + _scc_vals
+        + "\n) AS t(node, scc_id) ORDER BY node"
     )
 
     from phenoqc_spark.pagerank_golden import PAGERANK_W_400

@@ -15,7 +15,7 @@ component is then chosen as the primary-preferred member (see
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 
 def connected_components(
@@ -266,6 +266,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 1,
     weight: "str | None" = None,
+    seeds: "list | None" = None,
 ) -> DataFrame:
     """(node, rank): fixed-iteration power-method PageRank over the
     directed edge list — entity importance on the materialized KG (e.g.
@@ -293,6 +294,17 @@ def pagerank(
     by SUMMING weights, and a source whose total out-weight is 0 is
     treated as dangling.  ``weight=None`` is exactly the unweighted
     formulation above (w ≡ 1 ⇒ Σw(out) = out-degree).
+
+    ``seeds`` switches to PERSONALIZED PageRank (entity relatedness:
+    "which entities matter *relative to this phenotype set*"): the
+    teleport vector becomes uniform over the seed set instead of over
+    all nodes, dangling mass restarts at the seeds too, and the walk is
+    initialized from the seed distribution.  Σrank = 1 still holds and
+    rank decays with distance from the seeds (nodes unreachable from
+    the seed set get exactly 0).  The seed list is broadcast-joined
+    (bounded, driver-held — a seed set is a query parameter, not data);
+    seeds absent from the graph raise.  Same per-round plan shape as
+    the uniform case.
     """
     if weight is None:
         e = (
@@ -322,7 +334,36 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("a").agg(F.sum("_w").alias("deg")).filter(F.col("deg") > 0)
     links = e.join(out_deg, "a").persist()
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base_nodes = None
+    if seeds is not None:
+        spark = edges.sparkSession
+        ntype = nodes.schema["node"].dataType
+        sschema = T.StructType([T.StructField("node", ntype)])
+        seed_df = spark.createDataFrame(
+            [(s,) for s in sorted(set(seeds))], sschema
+        )
+        ns = nodes.join(F.broadcast(seed_df), "node", "left_semi").count()
+        if ns != seed_df.count():
+            missing = [
+                r.node
+                for r in seed_df.join(nodes, "node", "left_anti").collect()
+            ]
+            raise ValueError(f"pagerank seeds absent from the graph: {missing}")
+        base_nodes = (
+            nodes.join(
+                F.broadcast(seed_df.withColumn("_seed", F.lit(1))), "node", "left"
+            )
+            .select(
+                "node",
+                F.when(F.col("_seed").isNotNull(), F.lit(1.0 / ns))
+                .otherwise(F.lit(0.0))
+                .alias("_tp"),
+            )
+            .persist()
+        )
+        ranks = base_nodes.select("node", F.col("_tp").alias("rank"))
+    else:
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     dangling_nodes = nodes.join(
         out_deg.withColumnRenamed("a", "node"), "node", "left_anti"
     ).persist()
@@ -338,17 +379,30 @@ def pagerank(
         )
         row = dangling_nodes.join(ranks, "node").agg(F.sum("rank").alias("d")).collect()[0]
         dangling = float(row.d or 0.0)
-        base = (1.0 - damping) / n + damping * dangling / n
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
-                "rank"
-            ),
-        )
+        if base_nodes is not None:
+            # teleport + dangling restart both land on the seed
+            # distribution _tp instead of the uniform 1/n vector
+            ranks = base_nodes.join(contribs, "node", "left").select(
+                "node",
+                (
+                    F.col("_tp") * F.lit((1.0 - damping) + damping * dangling)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        else:
+            base = (1.0 - damping) / n + damping * dangling / n
+            ranks = nodes.join(contribs, "node", "left").select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
         if checkpoint_every and (i % checkpoint_every == 0):
             ranks = ranks.localCheckpoint(eager=True)
     links.unpersist()
     dangling_nodes.unpersist()
+    if base_nodes is not None:
+        base_nodes.unpersist()
     nodes.unpersist()
     return ranks
 
@@ -544,6 +598,166 @@ def bfs_distances(
         out = out.union(nxt.select("node", F.lit(d).cast("long").alias("distance")))
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    return out
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+    max_fixpoint_iters: int = 100,
+) -> DataFrame:
+    """(node, scc_id) over the DIRECTED edge list, scc_id = the max member
+    id of the node's strongly connected component.
+
+    Directed cycles are structural signals on a KG: mutual same-as /
+    subClassOf loops (terms that must canonicalize together even though
+    the relation is directional), circular xref chains between
+    ontologies, and redirect rings on the crawl graph.
+    :func:`connected_components` ignores direction, so it over-merges;
+    this is the directional refinement.
+
+    Algorithm — trim + forward coloring + backward confirmation (the
+    standard distributed "coloring" scheme, Orzan-style; no copied code):
+
+    1. **Trim**: peel nodes with in-degree 0 or out-degree 0 in the
+       active subgraph — singleton SCCs by definition.  Repeats until no
+       node peels, which alone dissolves the whole DAG part of the graph
+       (most of a KG) in ~depth rounds of cheap anti-joins.
+    2. **Color**: propagate ``color(v) = max(v, max color over in-edges)``
+       to fixpoint — color(v) = the max id that can reach v.  Every
+       color class has exactly one root (color(r) = r), and r is the max
+       id of its SCC.
+    3. **Confirm backward**: within each color class, nodes that can
+       reach their root (backward propagation of a boolean from the
+       roots, restricted to same-color edges) form the root's SCC.
+       Assign scc_id = color, remove, repeat from 1.
+
+    Every confirmed node leaves the active set each round, so the outer
+    loop runs at most #SCC-layers times; the documented worst case is a
+    decreasing-id chain of cycles (O(condensation-depth) rounds — same
+    frontier-bound family as :func:`bfs_distances`; no O(log n)
+    single-plan SCC exists short of FW-BW divide-and-conquer, which
+    recurses on driver-side subproblem lists and loses determinism of
+    output order for no benefit at KG cycle sizes).  All per-round state
+    (active edges, labels) is localCheckpoint-ed; assignments accumulate
+    as materialized per-round frames and union at the end.  Deterministic
+    for any ``max_rounds`` high enough to converge (raises if not).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    done: list[DataFrame] = []
+    for _round in range(max_rounds):
+        if nodes.limit(1).count() == 0:
+            break
+        # 1. trim: in-degree-0 or out-degree-0 nodes are singleton SCCs
+        while True:
+            srcs = e.select(F.col("a").alias("node")).distinct()
+            dsts = e.select(F.col("b").alias("node")).distinct()
+            inner = srcs.join(dsts, "node")  # has both in- and out-edges
+            trimmed = nodes.join(inner, "node", "left_anti")
+            n_trim = trimmed.limit(1).count()
+            if n_trim == 0:
+                break
+            done.append(
+                trimmed.select(
+                    "node", F.col("node").alias("scc_id")
+                ).localCheckpoint(eager=True)
+            )
+            nodes = nodes.join(trimmed, "node", "left_anti").localCheckpoint(eager=True)
+            e = (
+                e.join(nodes.withColumnRenamed("node", "a"), "a", "left_semi")
+                .join(nodes.withColumnRenamed("node", "b"), "b", "left_semi")
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+        if nodes.limit(1).count() == 0:
+            break
+        # 2. forward coloring to fixpoint: color(v) = max id reaching v
+        colors = nodes.select("node", F.col("node").alias("color"))
+        for _ in range(max_fixpoint_iters):
+            nbr = (
+                e.join(colors.withColumnRenamed("node", "a"), "a")
+                .groupBy(F.col("b").alias("node"))
+                .agg(F.max("color").alias("in_max"))
+            )
+            new_colors = (
+                colors.join(nbr, "node", "left")
+                .select(
+                    "node",
+                    F.greatest(
+                        F.col("color"), F.coalesce(F.col("in_max"), F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_colors.alias("n")
+                .join(colors.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.color") != F.col("o.color"))
+                .limit(1)
+                .count()
+            )
+            colors = new_colors
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc: coloring did not converge in {max_fixpoint_iters} iters"
+            )
+        # 3. backward confirmation: reach the root along same-color edges
+        reached = colors.filter(F.col("node") == F.col("color")).select(
+            "node", "color"
+        ).localCheckpoint(eager=True)
+        frontier = reached
+        for _ in range(max_fixpoint_iters):
+            # predecessors u of a reached node w, same color, not yet reached
+            preds = (
+                e.join(frontier.withColumnRenamed("node", "b"), "b")
+                .select(F.col("a").alias("node"), "color")
+                .distinct()
+                .join(
+                    colors.withColumnRenamed("color", "ucolor"), "node"
+                )
+                .filter(F.col("color") == F.col("ucolor"))
+                .select("node", "color")
+                .join(reached, "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if preds.limit(1).count() == 0:
+                break
+            reached = reached.union(preds).localCheckpoint(eager=True)
+            frontier = preds
+        done.append(
+            reached.select("node", F.col("color").alias("scc_id")).localCheckpoint(
+                eager=True
+            )
+        )
+        nodes = nodes.join(reached, "node", "left_anti").localCheckpoint(eager=True)
+        e = (
+            e.join(nodes.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(nodes.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"scc: did not converge in {max_rounds} rounds")
+    if not done:
+        return nodes.select("node", F.col("node").alias("scc_id"))
+    out = done[0]
+    for d in done[1:]:
+        out = out.union(d)
     return out
 
 

@@ -268,6 +268,86 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert order[0] == "a" and order[1] == "c" and got["d"] == min(got.values())
 
 
+def test_personalized_pagerank_matches_numpy(spark):
+    """seeds= switches teleport + dangling mass to the seed distribution;
+    same recurrence in numpy must agree, seed-unreachable nodes are
+    exactly 0, mass stays 1, and absent seeds raise."""
+    import numpy as np
+    import pytest
+
+    from phenoqc_spark.operators.canonicalize import pagerank
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),  # cycle reachable from seed a
+        ("b", "e"),                           # dangling sink off the cycle
+        ("x", "y"), ("y", "x"),               # component unreachable from a
+        ("z", "a"),                           # z reaches a but is unreachable
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    iters, damping, seeds = 12, 0.85, ["a"]
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, iters=iters, damping=damping, seeds=seeds).collect()
+    }
+
+    names = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(names)}
+    n = len(names)
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    tp = np.array([1.0 / len(seeds) if v in seeds else 0.0 for v in names])
+    r = tp.copy()
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        dangling = sum(r[idx[v]] for v in names if v not in out)
+        for s, ds in out.items():
+            for d in ds:
+                nxt[idx[d]] += r[idx[s]] / len(ds)
+        r = tp * ((1 - damping) + damping * dangling) + damping * nxt
+    for v in names:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # unreachable-from-seed nodes carry exactly zero mass
+    assert got["x"] == 0.0 and got["y"] == 0.0 and got["z"] == 0.0
+    # the seed holds the most mass; its cycle successors decay with hops
+    assert got["a"] > got["b"] > got["c"] > 0
+    with pytest.raises(ValueError, match="absent"):
+        pagerank(df, iters=2, seeds=["a", "nope"]).collect()
+
+
+def test_strongly_connected_components_known_graph(spark):
+    """Two 3-cycles joined by a DAG edge, a chain, and a 2-cycle: SCC ids
+    are the max member id; direction matters (undirected CC would merge
+    a..f into one blob)."""
+    from phenoqc_spark.operators.canonicalize import (
+        strongly_connected_components as scc,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),   # cycle {a,b,c}
+        ("c", "d"),                            # condensation DAG edge
+        ("d", "e"), ("e", "f"), ("f", "d"),   # cycle {d,e,f}
+        ("g", "h"),                            # pure chain -> singletons
+        ("i", "j"), ("j", "i"),               # 2-cycle
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted((r.node, r.scc_id) for r in scc(df).collect())
+    assert got == [
+        ("a", "c"), ("b", "c"), ("c", "c"),
+        ("d", "f"), ("e", "f"), ("f", "f"),
+        ("g", "g"), ("h", "h"),
+        ("i", "j"), ("j", "j"),
+    ]
+    # decreasing-id chain (worst case for the coloring order) still
+    # converges — every node its own SCC
+    chain = spark.createDataFrame(
+        [(f"n{9 - i}", f"n{9 - i - 1}") for i in range(9)], "src string, dst string"
+    )
+    got2 = {r.node: r.scc_id for r in scc(chain).collect()}
+    assert got2 == {f"n{i}": f"n{i}" for i in range(10)}
+
+
 def test_chain_components_converge(spark):
     # long chain exercises pointer jumping
     edges = spark.createDataFrame(
