@@ -1247,6 +1247,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_quality_scores"] = agg_quality_scores
 
+    def agg_profile(spark, sf_dir):
+        # one-pass numeric profile (count/nulls/min/max/mean/stddev +
+        # exact interpolated percentiles) over three events columns —
+        # single partial+final aggregate, column-pruned scan, one-row
+        # transfer; exact=True here because the oracle needs bit-stable
+        # quantiles (percentile_approx is the documented 100 TB default).
+        from phenoqc_spark.operators.quality import numeric_profile
+
+        ev = load_table(spark, sf_dir, "events")
+        prof = numeric_profile(ev, ["value", "user_id", "event_id"], exact=True)
+        return prof.select(
+            "column",
+            "n",
+            "n_null",
+            F.round("min", 6).alias("min"),
+            F.round("max", 6).alias("max"),
+            F.round("mean", 6).alias("mean"),
+            F.round("stddev", 6).alias("stddev"),
+            F.round("p25", 6).alias("p25"),
+            F.round("p50", 6).alias("p50"),
+            F.round("p75", 6).alias("p75"),
+            F.round("p95", 6).alias("p95"),
+        ).orderBy("column")
+
+    q["agg_profile"] = agg_profile
+
     def agg_sample_reservoir(spark, sf_dir):
         # A11: bounded deterministic sample (seed 42) — cardinality contract
         ev = load_table(spark, sf_dir, "events")
@@ -1608,6 +1634,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sim_pq_adc"] = sim_pq_adc
+
+    def emb_kmeans(spark, sf_dir):
+        # distributed Lloyd k-means over the embeddings table (k=10,
+        # 5 fixed rounds, md5-seeded deterministic init).  Oracle = the
+        # pinned numpy full-Lloyd twin (phenoqc_spark/kmeans_golden.py,
+        # scripts/gen_kmeans_golden.py) — different distance arithmetic
+        # (direct ||x-c||^2 vs the operator's x.c - ||c||^2/2 argmax),
+        # assignment margins ~1e-3 >> float wobble, generator asserts it.
+        from phenoqc_spark.operators.clustering import kmeans
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return kmeans(emb, k=10, iters=5).orderBy("vec_id")
+
+    q["emb_kmeans"] = emb_kmeans
 
     def td_mix_sample(spark, sf_dir):
         # deterministic stratified mixture over sources (the data-mixing
@@ -2815,6 +2855,17 @@ ORDER BY entity
         + '\n) AS t(node, "rank") ORDER BY node'
     )
 
+    from phenoqc_spark.kmeans_golden import KMEANS_500
+
+    _km_vals = ",\n  ".join(
+        f"(CAST({i} AS BIGINT), CAST({c} AS INT))" for i, c in KMEANS_500
+    )
+    o["emb_kmeans"] = (
+        "SELECT * FROM (VALUES\n  "
+        + _km_vals
+        + "\n) AS t(vec_id, cluster) ORDER BY vec_id"
+    )
+
     from phenoqc_spark.scc_golden import SCC_240
 
     _scc_vals = ",\n  ".join(f"('{n}', '{s}')" for n, s in SCC_240)
@@ -3661,6 +3712,28 @@ SELECT source,
        ROUND(SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
          AS short_doc_share
 FROM documents GROUP BY source ORDER BY source
+"""
+
+    o["agg_profile"] = """
+WITH p AS (
+  SELECT 'event_id' AS "column", CAST(event_id AS DOUBLE) AS x, event_id IS NULL AS isn FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS DOUBLE), user_id IS NULL FROM events
+  UNION ALL
+  SELECT 'value', CAST(value AS DOUBLE), value IS NULL FROM events
+)
+SELECT "column",
+       count(x) AS n,
+       sum(CASE WHEN isn THEN 1 ELSE 0 END) AS n_null,
+       round(min(x), 6) AS min,
+       round(max(x), 6) AS max,
+       round(avg(x), 6) AS mean,
+       round(stddev_samp(x), 6) AS stddev,
+       round(quantile_cont(x, 0.25), 6) AS p25,
+       round(quantile_cont(x, 0.50), 6) AS p50,
+       round(quantile_cont(x, 0.75), 6) AS p75,
+       round(quantile_cont(x, 0.95), 6) AS p95
+FROM p GROUP BY "column" ORDER BY "column"
 """
 
     o["agg_quality_scores"] = """
@@ -4772,7 +4845,8 @@ ORDER BY 1, 2
 # kg_bgp, kg_bgp_path, kg_ntriples, agg_latest_event, kg_communities,
 # kg_merge_state, kg_modularity, txt_pmi, kg_negative_samples,
 # f_zvalue, td_host_cap, v_triple_shapes, kg_random_walks, agg_cube,
-# kg_turtle, kg_skipgrams, kg_node2vec) have never held a driver row —
+# kg_turtle, kg_skipgrams, kg_node2vec, kg_ppr, kg_scc, emb_kmeans,
+# agg_profile) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

@@ -289,6 +289,69 @@ def class_distribution(
     )
 
 
+def numeric_profile(
+    df: DataFrame,
+    cols: List[str],
+    percentiles: "List[float] | None" = None,
+    exact: bool = False,
+    approx_accuracy: int = 10000,
+) -> DataFrame:
+    """One row per column: (column, n, n_null, min, max, mean, stddev,
+    p25, p50, p75, ...) — the full numeric-profiling extension of the
+    reference's per-column summary stats (statistics.py mean/median/mode
+    tier), shaped like a data-profiler output table.
+
+    ONE scan, one partial+final hash aggregate: every column's metrics
+    compute in the same agg (no per-column jobs), then the single wide
+    row is unpivoted with ``stack`` — still a one-row driver transfer
+    regardless of corpus size.
+
+    ``exact=False`` (the 100 TB default) uses ``percentile_approx``
+    (bounded-memory GK sketch, err ≤ 1/``approx_accuracy`` in rank
+    space).  ``exact=True`` uses exact interpolated ``percentile`` —
+    it buffers each column's values in the aggregation state, so
+    reserve it for profile-sized slices / oracle checks, not full-corpus
+    runs (the same memory caveat the reference's pandas describe()
+    carries implicitly).
+    """
+    ps = percentiles if percentiles is not None else [0.25, 0.5, 0.75, 0.95]
+    aggs = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        if exact:
+            pcts = F.percentile(col, F.array(*[F.lit(p) for p in ps]))
+        else:
+            pcts = F.percentile_approx(
+                col, F.array(*[F.lit(p) for p in ps]), F.lit(approx_accuracy)
+            )
+        aggs.append(
+            F.struct(
+                F.count(col).alias("n"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_null"),
+                F.min(col).alias("min"),
+                F.max(col).alias("max"),
+                F.avg(col).alias("mean"),
+                F.stddev_samp(col).alias("stddev"),
+                pcts.alias("pcts"),
+            ).alias(f"_prof_{c}")
+        )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        "'{c}', _prof_{c}.n, _prof_{c}.n_null, _prof_{c}.min, _prof_{c}.max, "
+        "_prof_{c}.mean, _prof_{c}.stddev, {pcts}".format(
+            c=c,
+            pcts=", ".join(f"_prof_{c}.pcts[{i}]" for i in range(len(ps))),
+        )
+        for c in cols
+    )
+    names = "column, n, n_null, min, max, mean, stddev, " + ", ".join(
+        f"p{int(p * 100)}" for p in ps
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS ({names})"
+    )
+
+
 def reservoir_sample(df: DataFrame, n: int = 10000, seed: int = 42) -> DataFrame:
     """Bounded deterministic sample for report/visualization inputs
     (reference: batch_processing.py:313-317,629-639 — ≤10k rows, seed 42).

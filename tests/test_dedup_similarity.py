@@ -1979,3 +1979,38 @@ def test_compact_dedup_state_recovers_crashed_swap(spark, tmp_path):
     res = compact_dedup_state(spark, path)
     assert res["rows_before"] == n0 and res["rows_after"] >= 1
     assert os.path.exists(path) and not os.path.exists(path + "__old")
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Three well-separated blobs: every member lands with its blob,
+    assignments are repartitioning-invariant, and k > n raises."""
+    import pytest
+
+    from phenoqc_spark.operators.clustering import kmeans
+
+    # 3 blobs of 8 points in 4-d, centers at 0, 10, 20 on each axis;
+    # deterministic +/-0.25 jitter from the point index
+    rows = []
+    for b in range(3):
+        for i in range(8):
+            base = float(10 * b)
+            jit = 0.25 if i % 2 == 0 else -0.25
+            rows.append((b * 8 + i, [base + jit, base - jit, base + jit, base - jit]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.cluster for r in kmeans(df, k=3, iters=4).collect()}
+    # cluster labels are init-order-dependent; check the partition, not ids
+    groups = {}
+    for vid, c in got.items():
+        groups.setdefault(c, set()).add(vid)
+    assert sorted(len(g) for g in groups.values()) == [8, 8, 8]
+    for g in groups.values():
+        blobs = {vid // 8 for vid in g}
+        assert len(blobs) == 1, f"cluster mixes blobs: {g}"
+    # md5-seeded init + fixed iters => identical under repartition(7)
+    got2 = {
+        r.vec_id: r.cluster
+        for r in kmeans(df.repartition(7), k=3, iters=4).collect()
+    }
+    assert got == got2
+    with pytest.raises(ValueError, match="only"):
+        kmeans(df, k=99, iters=1).collect()

@@ -355,3 +355,27 @@ def test_chain_components_converge(spark):
     )
     cc = connected_components(edges)
     assert cc.select("component").distinct().count() == 1
+
+
+def test_numeric_profile_exact_and_approx(spark):
+    """Known 1..100 column (+ nulls): exact percentiles interpolate like
+    numpy linear quantile; approx mode lands within sketch error; nulls
+    counted separately from n."""
+    import numpy as np
+
+    from phenoqc_spark.operators.quality import numeric_profile
+
+    rows = [(float(i),) for i in range(1, 101)] + [(None,), (None,)]
+    df = spark.createDataFrame(rows, "x double")
+    prof = {r.column: r for r in numeric_profile(df, ["x"], exact=True).collect()}
+    r = prof["x"]
+    assert (r.n, r.n_null, r.min, r.max) == (100, 2, 1.0, 100.0)
+    xs = np.arange(1, 101)
+    assert abs(r.mean - xs.mean()) < 1e-9
+    assert abs(r.stddev - xs.std(ddof=1)) < 1e-9
+    for name, p in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)]:
+        assert abs(getattr(r, name) - np.quantile(xs, p)) < 1e-9, name
+    ra = {r.column: r for r in numeric_profile(df, ["x"]).collect()}["x"]
+    for name, p in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)]:
+        # rank error <= n/accuracy = 100/10000 << 1 rank => within 1 value
+        assert abs(getattr(ra, name) - np.quantile(xs, p)) <= 1.0, name
