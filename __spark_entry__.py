@@ -1839,6 +1839,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_scc"] = kg_scc
 
+    def kg_spectral(spark, sf_dir):
+        # randomized spectral sketch of the kg_ppr doc<->term adjacency:
+        # σ̂ = sqrt(eig(ΩᵀAᵀAΩ)) from two distributed matvec aggregates
+        # with md5-derived Rademacher Ω.  Oracle = the pinned dense-numpy
+        # twin (phenoqc_spark/spectral_golden.py,
+        # scripts/gen_spectral_golden.py) — identical projection computed
+        # with matmuls instead of shuffles, 6-dp rounding.
+        from phenoqc_spark.operators.canonicalize import spectral_sketch
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+        m = spark.createDataFrame(_PR_MAPPING, "idx int, tid string")
+        mentions = docs.select(
+            F.format_string(
+                "https://example.org/doc/%08d#%d", F.col("doc_id"), F.col("doc_id")
+            ).alias("doc"),
+            (F.col("doc_id") % 4).cast("int").alias("idx"),
+            F.col("doc_id"),
+        ).join(F.broadcast(m), "idx")
+        fwd = mentions.select(F.col("doc").alias("src"), F.col("tid").alias("dst"))
+        back = mentions.filter(F.col("doc_id") % 13 == 2).select(
+            F.col("tid").alias("src"), F.col("doc").alias("dst")
+        )
+        xref = spark.createDataFrame(_PR_XREF, "src string, dst string")
+        sig = spectral_sketch(fwd.unionByName(back).unionByName(xref), r=8)
+        return spark.createDataFrame(
+            [(i, round(s, 6)) for i, s in enumerate(sig)], "component int, sigma double"
+        ).orderBy("component")
+
+    q["kg_spectral"] = kg_spectral
+
     def kg_hits(spark, sf_dir):
         # Kleinberg HITS over the same doc->term (+xref) graph: docs are
         # hubs, ontology terms authorities.  Oracle = the pinned numpy
@@ -2853,6 +2883,17 @@ ORDER BY entity
         "SELECT * FROM (VALUES\n  "
         + _ppr_vals
         + '\n) AS t(node, "rank") ORDER BY node'
+    )
+
+    from phenoqc_spark.spectral_golden import SPECTRAL_8
+
+    _sp_vals = ",\n  ".join(
+        f"(CAST({i} AS INT), CAST({s} AS DOUBLE))" for i, s in SPECTRAL_8
+    )
+    o["kg_spectral"] = (
+        "SELECT * FROM (VALUES\n  "
+        + _sp_vals
+        + "\n) AS t(component, sigma) ORDER BY component"
     )
 
     from phenoqc_spark.kmeans_golden import KMEANS_500
@@ -4846,7 +4887,7 @@ ORDER BY 1, 2
 # kg_merge_state, kg_modularity, txt_pmi, kg_negative_samples,
 # f_zvalue, td_host_cap, v_triple_shapes, kg_random_walks, agg_cube,
 # kg_turtle, kg_skipgrams, kg_node2vec, kg_ppr, kg_scc, emb_kmeans,
-# agg_profile) have never held a driver row —
+# agg_profile, kg_spectral) have never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

@@ -57,6 +57,10 @@ def main() -> None:
                     help="with --graph-stats: also run N synchronous "
                          "label-propagation rounds over the triple graph and "
                          "add a community column")
+    ap.add_argument("--scc", action="store_true",
+                    help="with --graph-stats: also add a scc_id column "
+                         "(strongly connected components — directed cycle "
+                         "groups like mutual same-as/subClassOf loops)")
     ap.add_argument("--negatives", type=int, default=0,
                     help="emit N filtered negative corruptions per distinct "
                          "(subj, pred, obj) triple to <out>/neg_samples — "
@@ -185,6 +189,17 @@ def main() -> None:
                 lp.withColumnRenamed("node", "entity")
                 .withColumnRenamed("label", "community"),
                 "entity", "left",
+            )
+        if args.scc:
+            from phenoqc_spark.operators.canonicalize import (
+                strongly_connected_components,
+            )
+
+            sc = strongly_connected_components(
+                tri_df.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            )
+            stats = stats.join(
+                sc.withColumnRenamed("node", "entity"), "entity", "left"
             )
         stats.write.mode("overwrite").parquet(graph_stats_path)
         log_activity(f"graph stats -> {graph_stats_path}")

@@ -761,6 +761,118 @@ def strongly_connected_components(
     return out
 
 
+def _omega(col, t: int, r: int):
+    """Deterministic Rademacher projection entry ω(node, t) = ±1/√r from
+    the first md5 nibble — the same portable-hash trick the walk
+    operators use (Spark ``F.md5`` ≡ Python ``hashlib.md5``, so twins
+    replicate it exactly without an xxhash port)."""
+    inv = 1.0 / (r ** 0.5)
+    first = F.substring(F.md5(F.concat_ws(":", col.cast("string"), F.lit(str(t)))), 1, 1)
+    return F.when(first.isin(*list("01234567")), F.lit(inv)).otherwise(F.lit(-inv))
+
+
+def spectral_features(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    r: int = 8,
+    weight: "str | None" = None,
+) -> DataFrame:
+    """(node, features array<double>): r-dimensional random-projection
+    node features Y = A·Ω — each node's feature vector is the Rademacher
+    sketch of its out-neighborhood (nodes with similar edge targets get
+    similar features; the input half of a randomized-SVD range finder).
+
+    Fully JVM: ω entries are md5-derived codegen expressions (no
+    broadcast Ω matrix, no Python), Y is ONE hash aggregate with r sum
+    columns — map-side partials bound the shuffle at O(r·partitions)
+    per distinct source.  Deterministic and partitioning-invariant.
+    """
+    w = (
+        F.col(weight).cast("double")
+        if weight is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("_w")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
+    y = e.groupBy(F.col("a").alias("node")).agg(
+        *[F.sum(F.col("_w") * _omega(F.col("b"), t, r)).alias(f"y{t}") for t in range(r)]
+    )
+    return y.select("node", F.array(*[F.col(f"y{t}") for t in range(r)]).alias("features"))
+
+
+def spectral_sketch(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    r: int = 8,
+    weight: "str | None" = None,
+) -> "list[float]":
+    """Top-r singular-value estimates of the (weighted) adjacency matrix
+    via one pass of randomized subspace projection:
+    σ̂ = sqrt(eig(ΩᵀAᵀAΩ) · r/n), i.e. the projected Gram spectrum
+    rescaled to unit-norm projection columns (each ±1/√r column has
+    squared norm n/r, n = #nodes with in-edges).
+
+    A graph-level structural fingerprint (connectivity mass, hub
+    dominance, effective rank) computable in TWO distributed matvecs —
+    the kind of cheap spectrum probe that guides partitioning and
+    embedding-rank choices before anyone pays for a real factorization:
+
+    - Y = A·Ω   — the :func:`spectral_features` aggregate (one shuffle);
+    - Z = AᵀY   — one join of the edge list with Y + one aggregate
+      (contributions flow src→dst, i.e. the transpose product);
+    - B = ΩᵀZ   — a single r×r aggregate row (r² sums), collected.
+
+    The r×r eigensolve runs on the driver (numpy, bounded), exactly like
+    PageRank's dangling scalar or the IVF codebook.  σ̂ are sketch
+    ESTIMATES: Rayleigh-quotient-type values through non-orthogonal
+    random directions, tracking the top σ for incoherent spectra but
+    fluctuating O(σ₁·√(r/n)) — they can land slightly above σ₁, they
+    are NOT bounds.  The differential twin replicates the identical
+    projection densely, so the oracle checks the distributed matvec
+    chain bit-for-bit, which is the part that can break.  Returns a
+    plain sorted-desc Python list (bounded, r values).
+    """
+    import numpy as np
+
+    w = (
+        F.col(weight).cast("double")
+        if weight is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("_w")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
+    y = e.groupBy(F.col("a").alias("node")).agg(
+        *[F.sum(F.col("_w") * _omega(F.col("b"), t, r)).alias(f"y{t}") for t in range(r)]
+    )
+    z = (
+        e.join(y.withColumnRenamed("node", "a"), "a")
+        .groupBy(F.col("b").alias("node"))
+        .agg(*[F.sum(F.col("_w") * F.col(f"y{t}")).alias(f"z{t}") for t in range(r)])
+        .persist()
+    )
+    n = z.count()
+    if n == 0:
+        z.unpersist()
+        return [0.0] * r
+    brow = z.agg(
+        *[
+            F.sum(_omega(F.col("node"), s, r) * F.col(f"z{t}")).alias(f"b_{s}_{t}")
+            for s in range(r)
+            for t in range(r)
+        ]
+    ).collect()[0]
+    z.unpersist()
+    B = np.array([[brow[f"b_{s}_{t}"] or 0.0 for t in range(r)] for s in range(r)])
+    B = (B + B.T) / 2.0
+    eig = np.linalg.eigvalsh(B)
+    sig = np.sqrt(np.clip(eig * (r / n), 0.0, None))[::-1]
+    return [float(v) for v in sig]
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

@@ -379,3 +379,49 @@ def test_numeric_profile_exact_and_approx(spark):
     for name, p in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)]:
         # rank error <= n/accuracy = 100/10000 << 1 rank => within 1 value
         assert abs(getattr(ra, name) - np.quantile(xs, p)) <= 1.0, name
+
+
+def test_spectral_sketch_and_features(spark):
+    """Sketch singular values match a dense numpy evaluation of the same
+    rescaled projection; features are partitioning-invariant; estimates
+    sit in a sane envelope of the true spectral norm (they are
+    Rayleigh-type estimates, not bounds)."""
+    import hashlib
+
+    import numpy as np
+
+    from phenoqc_spark.operators.canonicalize import (
+        spectral_features,
+        spectral_sketch,
+    )
+
+    edges = [(f"u{i}", f"v{(i * 3 + j) % 7}") for i in range(10) for j in range(3)]
+    df = spark.createDataFrame(sorted(set(edges)), "src string, dst string")
+    r = 4
+    got = spectral_sketch(df, r=r)
+
+    nodes = sorted({x for e in set(edges) for x in e})
+    pos = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for a, b in set(edges):
+        A[pos[a], pos[b]] = 1.0
+
+    def omega(v, t):
+        h = hashlib.md5(f"{v}:{t}".encode()).hexdigest()
+        return (1.0 if int(h[0], 16) < 8 else -1.0) / (r ** 0.5)
+
+    O = np.array([[omega(v, t) for t in range(r)] for v in nodes])
+    B = O.T @ (A.T @ (A @ O))
+    B = (B + B.T) / 2.0
+    n_in = int((A.sum(axis=0) > 0).sum())
+    want = np.sqrt(np.clip(np.linalg.eigvalsh(B) * (r / n_in), 0, None))[::-1]
+    assert np.allclose(got, want, atol=1e-9), (got, want.tolist())
+    # estimate envelope: same order of magnitude as the true top sigma
+    true_top = np.linalg.svd(A, compute_uv=False)[0]
+    assert 0.2 * true_top < got[0] < 2.0 * true_top
+    f1 = {r_.node: list(r_.features) for r_ in spectral_features(df, r=r).collect()}
+    f2 = {
+        r_.node: list(r_.features)
+        for r_ in spectral_features(df.repartition(5), r=r).collect()
+    }
+    assert f1 == f2 and len(f1) == 10  # only out-degree>0 nodes appear
