@@ -1869,6 +1869,58 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_spectral"] = kg_spectral
 
+    def kg_hyperanf(spark, sf_dir):
+        # HyperANF neighborhood function over the kg_scc graph (cycle-
+        # rich, so reach mass grows for several hops): per-node HLL
+        # reachability sketches, one edge×sketch join + union per hop.
+        # At this scale every sketch stays in sparse mode (reach sets
+        # ≤ 240 < the ~512 coupon threshold), so counts are EXACT and
+        # the oracle is a DuckDB recursive-CTE closure — a true
+        # differential, not a tolerance band.
+        from phenoqc_spark.operators.sketches import hyperanf
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+        base = docs.select(F.col("doc_id").cast("long").alias("d"))
+        ring = base.filter(F.col("d") % 40 != 7).select(
+            F.format_string("n%03d", F.col("d")).alias("src"),
+            F.format_string("n%03d", (F.col("d") + 12) % 240).alias("dst"),
+        )
+        chord1 = base.filter(F.col("d") % 5 == 0).select(
+            F.format_string("n%03d", F.col("d")).alias("src"),
+            F.format_string("n%03d", (F.col("d") * 7 + 3) % 240).alias("dst"),
+        )
+        chord2 = base.filter(F.col("d") % 7 == 3).select(
+            F.format_string("n%03d", F.col("d")).alias("src"),
+            F.format_string("n%03d", (F.col("d") * 11 + 5) % 240).alias("dst"),
+        )
+        return hyperanf(
+            ring.unionByName(chord1).unionByName(chord2), max_hops=6
+        ).orderBy("hops")
+
+    q["kg_hyperanf"] = kg_hyperanf
+
+    def txt_source_cardinality(spark, sf_dir):
+        # mergeable distinct-content state: per-source HLL sketches of
+        # md5(text), built as TWO half-batches (doc_id parity) and merged
+        # — exercising the incremental union path, not just the one-shot
+        # aggregate.  Per-source distincts ≲ 50 ⇒ sparse-mode-exact, so
+        # the oracle is DuckDB's exact COUNT(DISTINCT md5(text)).
+        from phenoqc_spark.operators.sketches import (
+            cardinality_sketches,
+            estimate_cardinalities,
+            merge_cardinality_sketches,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "source", F.md5("text").alias("h"), "doc_id"
+        )
+        a = cardinality_sketches(docs.filter(F.col("doc_id") % 2 == 0), ["source"], "h")
+        b = cardinality_sketches(docs.filter(F.col("doc_id") % 2 == 1), ["source"], "h")
+        state = merge_cardinality_sketches(a, b)
+        return estimate_cardinalities(state).orderBy("source")
+
+    q["txt_source_cardinality"] = txt_source_cardinality
+
     def kg_hits(spark, sf_dir):
         # Kleinberg HITS over the same doc->term (+xref) graph: docs are
         # hubs, ontology terms authorities.  Oracle = the pinned numpy
@@ -2884,6 +2936,38 @@ ORDER BY entity
         + _ppr_vals
         + '\n) AS t(node, "rank") ORDER BY node'
     )
+
+    o["kg_hyperanf"] = """
+WITH RECURSIVE es AS (
+  SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 3, '0') AS a,
+         'n' || lpad(CAST((doc_id + 12) % 240 AS VARCHAR), 3, '0') AS b
+  FROM documents WHERE doc_id < 240 AND doc_id % 40 <> 7
+  UNION
+  SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 3, '0'),
+         'n' || lpad(CAST((doc_id * 7 + 3) % 240 AS VARCHAR), 3, '0')
+  FROM documents WHERE doc_id < 240 AND doc_id % 5 = 0
+  UNION
+  SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 3, '0'),
+         'n' || lpad(CAST((doc_id * 11 + 5) % 240 AS VARCHAR), 3, '0')
+  FROM documents WHERE doc_id < 240 AND doc_id % 7 = 3
+),
+ns AS (SELECT a AS v FROM es UNION SELECT b FROM es),
+reach(src, dst, h) AS (
+  SELECT v, v, 0 FROM ns
+  UNION
+  SELECT r.src, e.b, r.h + 1 FROM reach r JOIN es e ON e.a = r.dst WHERE r.h < 6
+),
+mh AS (SELECT src, dst, MIN(h) AS h FROM reach GROUP BY 1, 2),
+ts(hops) AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) t(h))
+SELECT CAST(ts.hops AS INT) AS hops,
+       (SELECT count(*) FROM mh WHERE mh.h <= ts.hops) AS n_pairs
+FROM ts ORDER BY hops
+"""
+
+    o["txt_source_cardinality"] = """
+SELECT source, count(DISTINCT md5(text)) AS n_distinct
+FROM documents GROUP BY source ORDER BY source
+"""
 
     from phenoqc_spark.spectral_golden import SPECTRAL_8
 
@@ -4887,7 +4971,8 @@ ORDER BY 1, 2
 # kg_merge_state, kg_modularity, txt_pmi, kg_negative_samples,
 # f_zvalue, td_host_cap, v_triple_shapes, kg_random_walks, agg_cube,
 # kg_turtle, kg_skipgrams, kg_node2vec, kg_ppr, kg_scc, emb_kmeans,
-# agg_profile, kg_spectral) have never held a driver row —
+# agg_profile, kg_spectral, kg_hyperanf, txt_source_cardinality) have
+# never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
 _RECORDED = [

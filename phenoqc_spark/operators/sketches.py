@@ -1,0 +1,136 @@
+"""Mergeable HyperLogLog sketch operators (Apache DataSketches HLL via
+Spark's built-in ``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_union``
+/ ``hll_sketch_estimate`` — all JVM aggregates, zero Python).
+
+Why sketches are a first-class 100 TB primitive: COUNT(DISTINCT) over a
+petabyte corpus re-scans history on every refresh, while an HLL state
+table is a few KB per group, merges associatively (per-batch sketches →
+union into the running state — the same incremental-state pattern as the
+MinHash dedup signature table), and answers "distinct URLs per host so
+far" without touching old data again.
+
+Accuracy contract (measured, lgk=12): estimates are EXACT while a
+sketch is in sparse mode (≲512 distinct values — the coupon phase of
+the DataSketches HLL), then switch to estimation with ~1.6% relative
+standard error.  The oracle queries sit deliberately below the sparse
+threshold so the differential is exact; the caveat travels in every
+docstring rather than being discovered in production.
+
+No reference analogue (pandas has no mergeable distinct state) — this
+is a beyond-reference training-data-pipeline extra.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def cardinality_sketches(
+    df: DataFrame,
+    key_cols: List[str],
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """(keys..., sketch): one HLL sketch of ``value_col``'s distinct
+    values per key group — ONE partial+final hash aggregate (sketches
+    combine map-side, so the shuffle carries one ~KB sketch per
+    (key, partition), never values)."""
+    return df.groupBy(*key_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sketch")
+    )
+
+
+def merge_cardinality_sketches(*states: DataFrame) -> DataFrame:
+    """Union any number of compatible sketch states (same key columns) —
+    the incremental-ingest merge: yesterday's state ∪ today's batch.
+    Associative and idempotent per distinct value, so replaying a batch
+    cannot inflate counts (the property that makes checkpoint-resume
+    safe without an epoch ledger)."""
+    if not states:
+        raise ValueError("merge_cardinality_sketches: no states given")
+    keys = [c for c in states[0].columns if c != "sketch"]
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*keys).agg(
+        F.hll_union_agg(F.col("sketch"), True).alias("sketch")
+    )
+
+
+def estimate_cardinalities(state: DataFrame) -> DataFrame:
+    """(keys..., n_distinct) from a sketch state — pure JVM estimate."""
+    keys = [c for c in state.columns if c != "sketch"]
+    return state.select(
+        *keys, F.hll_sketch_estimate(F.col("sketch")).alias("n_distinct")
+    )
+
+
+def hyperanf(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+    lgk: int = 12,
+) -> DataFrame:
+    """(hops, n_pairs): the neighborhood function of the directed graph —
+    n_pairs(t) = |{(v, w) : w reachable from v in ≤ t hops}| (self
+    included, so n_pairs(0) = #nodes).  The Boldi-Vigna HyperANF idea
+    re-expressed on Spark aggregates: each node carries an HLL sketch of
+    its reachability set; one round is
+
+        R_t(v) = R_{t-1}(v) ∪ ⋃_{v→u} R_{t-1}(u)
+
+    i.e. one edge×sketch join + ``hll_union_agg`` + a full-outer merge
+    with the node's own sketch — two shuffles per hop carrying ~KB
+    sketches, never node sets.  This is how effective-diameter /
+    reachability-mass curves are computable on web-scale graphs where
+    exact closures (|pairs| ~ n²) cannot exist.
+
+    Fixed ``max_hops`` rounds (no early stop) so the output shape is
+    deterministic; sketch lineage is localCheckpoint-truncated per hop.
+    Counts are exact below the sparse threshold (see module docstring),
+    ~1.6% RSE above it.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    sk = nodes.groupBy("node").agg(
+        F.hll_sketch_agg(F.col("node"), F.lit(lgk)).alias("sk")
+    ).localCheckpoint(eager=True)
+
+    def total(s: DataFrame) -> int:
+        return int(
+            s.agg(F.sum(F.hll_sketch_estimate(F.col("sk"))).alias("t")).collect()[0].t
+        )
+
+    curve = [(0, total(sk))]
+    for t in range(1, max_hops + 1):
+        nbr = (
+            e.join(sk.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.hll_union_agg(F.col("sk"), True).alias("nsk"))
+        )
+        sk = (
+            sk.join(nbr, "node", "full_outer")
+            .select(
+                "node",
+                F.when(F.col("sk").isNull(), F.col("nsk"))
+                .when(F.col("nsk").isNull(), F.col("sk"))
+                .otherwise(F.hll_union(F.col("sk"), F.col("nsk"), True))
+                .alias("sk"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        curve.append((t, total(sk)))
+    spark = edges.sparkSession
+    return spark.createDataFrame(curve, "hops int, n_pairs bigint")

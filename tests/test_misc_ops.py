@@ -1483,3 +1483,67 @@ def test_node2vec_walks_matches_twin(spark):
         results[(p, q)] = got
     assert results[(0.25, 4.0)] != results[(1.0, 1.0)]
     assert results[(4.0, 0.25)] != results[(1.0, 1.0)]
+
+
+def test_hyperanf_exact_below_sparse_threshold(spark):
+    """Reach sets < the HLL coupon threshold => the curve equals the
+    exact BFS closure, hop by hop."""
+    from phenoqc_spark.operators.sketches import hyperanf
+
+    edges = sorted(
+        {(f"m{i}", f"m{(i * 5 + 2) % 23}") for i in range(23)}
+        | {(f"m{i}", f"m{(i + 1) % 23}") for i in range(0, 23, 3)}
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.hops: r.n_pairs for r in hyperanf(df, max_hops=4).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    nodes = {x for e in edges for x in e}
+    reach = {v: {v} for v in nodes}
+    assert got[0] == len(nodes)
+    for t in range(1, 5):
+        # R_t(v) = R_{t-1}(v) ∪ ⋃_{v→u} R_{t-1}(u), synchronous update
+        reach = {
+            v: reach[v].union(*(reach[u] for u in adj.get(v, ())))
+            for v in nodes
+        }
+        assert got[t] == sum(len(r) for r in reach.values()), t
+
+
+def test_cardinality_sketch_merge_idempotent_and_estimation_mode(spark):
+    """Replaying a batch into the state must not change estimates
+    (per-value idempotence); above the sparse threshold the estimate
+    stays within ~2% (documented ~1.6% RSE at lgk=12)."""
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators.sketches import (
+        cardinality_sketches,
+        estimate_cardinalities,
+        merge_cardinality_sketches,
+    )
+
+    df = spark.range(300).select(
+        (F.col("id") % 3).alias("g"), F.col("id").cast("string").alias("v")
+    )
+    a = cardinality_sketches(df.filter("id < 150"), ["g"], "v")
+    b = cardinality_sketches(df.filter("id >= 150"), ["g"], "v")
+    once = {
+        r.g: r.n_distinct
+        for r in estimate_cardinalities(merge_cardinality_sketches(a, b)).collect()
+    }
+    replay = {
+        r.g: r.n_distinct
+        for r in estimate_cardinalities(
+            merge_cardinality_sketches(a, b, b, a)
+        ).collect()
+    }
+    assert once == replay == {0: 100, 1: 100, 2: 100}
+    big = spark.range(20000).select(
+        F.lit(0).alias("g"), F.col("id").cast("string").alias("v")
+    )
+    est = estimate_cardinalities(
+        cardinality_sketches(big, ["g"], "v")
+    ).collect()[0].n_distinct
+    assert abs(est - 20000) / 20000 < 0.02, est
