@@ -4,7 +4,7 @@
         jobs/run_ingest_job.py --in /data/docs_landing \
         --out /data/docs_kept --state /data/dedup_state \
         --ckpt /data/ingest_ckpt [--threshold 0.8] [--num-hashes 64]
-        [--bands 16] [--compact-after]
+        [--bands 16] [--compact-after] [--cardinality-state DIR]
 
 Each run processes exactly the parquet files that have appeared under
 ``--in`` since the last run (Structured Streaming file-source offsets in
@@ -47,6 +47,11 @@ def main() -> None:
     ap.add_argument("--bands", type=int, default=16)
     ap.add_argument("--ngram", type=int, default=2)
     ap.add_argument("--compact-after", action="store_true")
+    ap.add_argument("--cardinality-state", default=None,
+                    help="also maintain a per-source distinct-content HLL "
+                         "sketch state at this path (own checkpoint under "
+                         "<ckpt>_card) and report per-source n_distinct — "
+                         "a merge-at-read state, replay-idempotent")
     ap.add_argument("--master", default=None)
     ap.add_argument("--cpus", default=None, help="shorthand for --master local[N]")
     args = ap.parse_args()
@@ -82,6 +87,34 @@ def main() -> None:
         "kept_total": spark.read.parquet(args.out).count(),
         "state_rows": spark.read.parquet(args.state).count(),
     }
+    if args.cardinality_state:
+        from pyspark.sql import functions as F
+
+        from phenoqc_spark.streaming.pipeline import (
+            read_cardinality_estimates,
+            stream_cardinality_state,
+        )
+
+        key = "source" if "source" in [f.name for f in schema.fields] else None
+        card_stream = spark.readStream.schema(schema).parquet(args.in_dir)
+        if key is None:
+            card_stream = card_stream.withColumn("source", F.lit("all"))
+        card_stream = card_stream.select("source", F.md5("text").alias("h"))
+        cq = stream_cardinality_state(
+            spark,
+            card_stream,
+            args.cardinality_state,
+            args.ckpt + "_card",
+            ["source"],
+            "h",
+        )
+        cq.awaitTermination()
+        stats["distinct_content_per_source"] = {
+            r.source: r.n_distinct
+            for r in read_cardinality_estimates(
+                spark, args.cardinality_state
+            ).collect()
+        }
     if args.compact_after:
         from phenoqc_spark.operators.dedup import compact_dedup_state
 

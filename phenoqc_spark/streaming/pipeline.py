@@ -303,3 +303,63 @@ def stream_merge_triples(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_cardinality_state(
+    spark: SparkSession,
+    df_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    key_cols: "list[str]",
+    value_col: str,
+    lgk: int = 12,
+    trigger_once: bool = True,
+):
+    """Streaming distinct-count state: each micro-batch's per-key HLL
+    sketches land in their own ``batch_id`` partition of the state table;
+    the MERGE happens at read time (:func:`read_cardinality_estimates`),
+    which is what makes replays exactly-once for free — HLL union is
+    associative and a replayed batch overwrites only its own partition
+    (dynamic partition overwrite), so there is no double-merge window at
+    all, unlike counter states that need an epoch ledger.
+
+    State size: one ~KB sketch row per (key, batch) — partitions stay
+    tiny at any corpus scale; if batch count itself grows unbounded,
+    rewriting the table through one
+    :func:`~phenoqc_spark.operators.sketches.merge_cardinality_sketches`
+    pass is a lossless compaction (same read-time semantics).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import cardinality_sketches
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cardinality_sketches(batch_df, key_cols, value_col, lgk)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_path)
+        )
+
+    writer = df_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cardinality_estimates(spark: SparkSession, state_path: str) -> DataFrame:
+    """(keys..., n_distinct) from a :func:`stream_cardinality_state`
+    table: union every batch partition's sketches per key and estimate —
+    one groupBy over KB-sized rows regardless of how much data the
+    sketches have absorbed."""
+    from ..operators.sketches import (
+        estimate_cardinalities,
+        merge_cardinality_sketches,
+    )
+
+    state = spark.read.parquet(state_path).drop("batch_id")
+    return estimate_cardinalities(merge_cardinality_sketches(state))

@@ -1547,3 +1547,36 @@ def test_cardinality_sketch_merge_idempotent_and_estimation_mode(spark):
         cardinality_sketches(big, ["g"], "v")
     ).collect()[0].n_distinct
     assert abs(est - 20000) / 20000 < 0.02, est
+
+
+def test_stream_cardinality_state_restart_and_exact(spark, tmp_path):
+    """Micro-batches accumulate per-key sketch partitions; estimates over
+    the merged state equal exact distinct counts (sparse zone), survive a
+    stream restart, and value overlap across batches is not double-counted."""
+    from phenoqc_spark.streaming.pipeline import (
+        read_cardinality_estimates,
+        stream_cardinality_state,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [("a", f"v{i}") for i in range(30)] + [("b", f"v{i}") for i in range(10)]
+    spark.createDataFrame(b1, "g string, v string").write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_cardinality_state(spark, stream, state, ckpt, ["g"], "v")
+        q.awaitTermination(120)
+        return {
+            r.g: r.n_distinct
+            for r in read_cardinality_estimates(spark, state).collect()
+        }
+
+    assert run_once() == {"a": 30, "b": 10}
+    # batch 2 overlaps batch 1 on a (v10..v39: 20 old + 10 new) — union
+    # across the restarted stream must not double-count the overlap
+    b2 = [("a", f"v{i}") for i in range(10, 40)] + [("c", "only")]
+    spark.createDataFrame(b2, "g string, v string").write.mode("append").parquet(src)
+    assert run_once() == {"a": 40, "b": 10, "c": 1}
