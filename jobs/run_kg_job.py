@@ -57,6 +57,11 @@ def main() -> None:
                     help="with --graph-stats: also run N synchronous "
                          "label-propagation rounds over the triple graph and "
                          "add a community column")
+    ap.add_argument("--hyperanf", type=int, default=0,
+                    help="with --graph-stats: run the HyperANF neighborhood "
+                         "function for N hops over the triple graph; writes "
+                         "the (hops, n_pairs) curve to <out>/reach_curve and "
+                         "reports the 90%% effective diameter")
     ap.add_argument("--scc", action="store_true",
                     help="with --graph-stats: also add a scc_id column "
                          "(strongly connected components — directed cycle "
@@ -203,6 +208,22 @@ def main() -> None:
             )
         stats.write.mode("overwrite").parquet(graph_stats_path)
         log_activity(f"graph stats -> {graph_stats_path}")
+    reach_path = None
+    eff_diam = None
+    if args.graph_stats and args.hyperanf > 0:
+        from phenoqc_spark.operators.sketches import effective_diameter, hyperanf
+
+        tri_df = spark.read.parquet(triples_path)
+        curve = hyperanf(
+            tri_df.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+            max_hops=args.hyperanf,
+        )
+        reach_path = os.path.join(args.out, "reach_curve")
+        curve.write.mode("overwrite").parquet(reach_path)
+        eff_diam = effective_diameter(
+            [(r.hops, r.n_pairs) for r in curve.collect()]
+        )
+        log_activity(f"reach curve -> {reach_path} (eff. diameter {eff_diam:.2f})")
     rollup_path = None
     if args.isa_rollup:
         from phenoqc_spark.ontology.obo import build_isa_edges
@@ -353,6 +374,8 @@ def main() -> None:
         "resumed": bool(args.resume),
         "report": report_path,
         "graph_stats": graph_stats_path,
+        "reach_curve": reach_path,
+        "effective_diameter": eff_diam,
         "term_rollup": rollup_path,
         "ntriples": nt_path,
         "link_eval": eval_path,

@@ -134,3 +134,28 @@ def hyperanf(
         curve.append((t, total(sk)))
     spark = edges.sparkSession
     return spark.createDataFrame(curve, "hops int, n_pairs bigint")
+
+
+def effective_diameter(curve, q: float = 0.9) -> float:
+    """Interpolated effective diameter from a :func:`hyperanf` curve —
+    the smallest (fractional) hop count at which ≥ ``q`` of the final
+    reachable-pair mass is covered (the standard HyperANF readout).
+
+    ``curve`` is the (hops, n_pairs) rows (any order); linear
+    interpolation between the two bracketing hops, 0.0 if the t=0 mass
+    already covers q (e.g. an edgeless graph).  Driver-side arithmetic
+    over ≤ max_hops numbers."""
+    pts = sorted((int(h), int(n)) for h, n in curve)
+    if not pts:
+        raise ValueError("effective_diameter: empty curve")
+    target = q * pts[-1][1]
+    prev_h, prev_n = pts[0]
+    if prev_n >= target:
+        return 0.0
+    for h, n in pts[1:]:
+        if n >= target:
+            if n == prev_n:
+                return float(h)
+            return prev_h + (target - prev_n) / (n - prev_n)
+        prev_h, prev_n = h, n
+    return float(pts[-1][0])

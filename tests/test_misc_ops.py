@@ -1580,3 +1580,14 @@ def test_stream_cardinality_state_restart_and_exact(spark, tmp_path):
     b2 = [("a", f"v{i}") for i in range(10, 40)] + [("c", "only")]
     spark.createDataFrame(b2, "g string, v string").write.mode("append").parquet(src)
     assert run_once() == {"a": 40, "b": 10, "c": 1}
+
+
+def test_effective_diameter_interpolation():
+    from phenoqc_spark.operators.sketches import effective_diameter
+
+    # 0.9 * 14 = 12.6 sits between hop 1 (11) and hop 2 (13) -> 1.8
+    assert abs(effective_diameter([(0, 6), (1, 11), (2, 13), (3, 14)], 0.9) - 1.8) < 1e-9
+    # already covered at t=0 (edgeless / single-hop-saturated graphs)
+    assert effective_diameter([(0, 5)], 0.9) == 0.0
+    # flat tail: exact hop returned, no div-by-zero
+    assert effective_diameter([(0, 4), (1, 10), (2, 10)], 1.0) == 1.0
