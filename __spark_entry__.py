@@ -1921,6 +1921,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["txt_source_cardinality"] = txt_source_cardinality
 
+    def txt_heavy_tokens(spark, sf_dir):
+        # Misra-Gries heavy-hitter state over per-source tokens, run in
+        # the EXACT zone (m=5000 ≥ distinct tokens per source ⇒ err
+        # ledger 0, lower == upper == exact count — the same oracle
+        # pattern as the HLL sparse zone).  Built as two half-batches
+        # merged through mg_merge, so the differential covers the fold +
+        # merge arithmetic, not just one aggregate.  Oracle = exact
+        # DuckDB token counts with the shared tokenization.
+        from phenoqc_spark.operators.sketches import (
+            mg_estimates,
+            mg_merge,
+            mg_summary,
+        )
+        from phenoqc_spark.operators.textstats import _tokens_expr
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "source", "doc_id", F.explode(_tokens_expr("text")).alias("token")
+        ).filter(F.length("token") > 0)
+        a = mg_summary(toks.filter(F.col("doc_id") % 2 == 0), ["source"], "token", m=5000)
+        b = mg_summary(toks.filter(F.col("doc_id") % 2 == 1), ["source"], "token", m=5000)
+        est = mg_estimates(mg_merge(a, b, m=5000))
+        return (
+            est.filter(F.col("cnt_lower") >= 50)
+            .orderBy("source", "token")
+        )
+
+    q["txt_heavy_tokens"] = txt_heavy_tokens
+
     def kg_hits(spark, sf_dir):
         # Kleinberg HITS over the same doc->term (+xref) graph: docs are
         # hubs, ontology terms authorities.  Oracle = the pinned numpy
@@ -2967,6 +2996,18 @@ FROM ts ORDER BY hops
     o["txt_source_cardinality"] = """
 SELECT source, count(DISTINCT md5(text)) AS n_distinct
 FROM documents GROUP BY source ORDER BY source
+"""
+
+    o["txt_heavy_tokens"] = """
+WITH toks AS (
+  SELECT source,
+         UNNEST(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS token
+  FROM documents
+), cnts AS (
+  SELECT source, token, COUNT(*) AS c FROM toks WHERE length(token) > 0 GROUP BY 1, 2
+)
+SELECT source, token, c AS cnt_lower, c AS cnt_upper
+FROM cnts WHERE c >= 50 ORDER BY source, token
 """
 
     from phenoqc_spark.spectral_golden import SPECTRAL_8
@@ -4971,7 +5012,8 @@ ORDER BY 1, 2
 # kg_merge_state, kg_modularity, txt_pmi, kg_negative_samples,
 # f_zvalue, td_host_cap, v_triple_shapes, kg_random_walks, agg_cube,
 # kg_turtle, kg_skipgrams, kg_node2vec, kg_ppr, kg_scc, emb_kmeans,
-# agg_profile, kg_spectral, kg_hyperanf, txt_source_cardinality) have
+# agg_profile, kg_spectral, kg_hyperanf, txt_source_cardinality,
+# txt_heavy_tokens) have
 # never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import List
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def cardinality_sketches(
@@ -159,3 +159,128 @@ def effective_diameter(curve, q: float = 0.9) -> float:
             return prev_h + (target - prev_n) / (n - prev_n)
         prev_h, prev_n = h, n
     return float(pts[-1][0])
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable frequency summaries)
+# ---------------------------------------------------------------------------
+
+_MG_ERR_TOKEN = None  # per-group error ledger rides as a token=NULL row
+
+
+def mg_summary(
+    df: DataFrame,
+    key_cols: List[str],
+    token_col: str,
+    m: int = 100,
+) -> DataFrame:
+    """(keys..., token, cnt) Misra-Gries frequency summary per key group:
+    at most ``m`` token rows plus one ``token IS NULL`` error-ledger row
+    whose cnt upper-bounds how much every kept count may undercount.
+
+    Built from the batch's exact counts (one hash aggregate) folded to a
+    valid MG summary: subtract the (m+1)-th largest count from every
+    token and keep the positive remainder — the classical reduction, so
+    ``cnt`` is a LOWER bound of the true in-batch frequency and
+    ``cnt + err`` an upper bound.  Every true heavy hitter with
+    frequency > N/(m+1) survives (the MG guarantee).  When a group has
+    ≤ m distinct tokens the summary is EXACT (err = 0) — the oracle
+    zone, like the HLL sparse mode above.
+
+    All plan: counts → window rank (cnt desc, token asc — total order,
+    deterministic) → broadcast-size join of the per-group pivot count.
+    Summary size is O(groups·m) rows regardless of corpus size.
+    """
+    counts = (
+        df.filter(F.col(token_col).isNotNull())
+        .groupBy(*key_cols, F.col(token_col).alias("token"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = counts.withColumn("_rn", F.row_number().over(w))
+    pivot = (
+        ranked.filter(F.col("_rn") == m + 1)
+        .select(*key_cols, F.col("cnt").alias("_pivot"))
+    )
+    folded = (
+        ranked.filter(F.col("_rn") <= m)
+        .join(pivot, key_cols, "left")
+        .select(
+            *key_cols,
+            "token",
+            (F.col("cnt") - F.coalesce(F.col("_pivot"), F.lit(0))).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    err = pivot.select(
+        *key_cols, F.lit(None).cast("string").alias("token"), F.col("_pivot").alias("cnt")
+    )
+    # groups with <= m distinct tokens have no pivot row -> no err row ->
+    # normalize: always emit an err row (0) so merge arithmetic is uniform
+    zero_err = (
+        counts.select(*key_cols).distinct()
+        .join(pivot.select(*key_cols), key_cols, "left_anti")
+        .select(*key_cols, F.lit(None).cast("string").alias("token"), F.lit(0).cast("long").alias("cnt"))
+    )
+    return folded.unionByName(err).unionByName(zero_err)
+
+
+def mg_merge(*summaries: DataFrame, m: int = 100) -> DataFrame:
+    """Merge MG summaries (same key columns): sum counters per token,
+    re-fold to ``m`` rows, and accumulate the error ledger — the
+    Agarwal et al. mergeable-summaries construction, so bounds stay
+    valid under ANY merge tree (batch → day → month states)."""
+    if not summaries:
+        raise ValueError("mg_merge: no summaries given")
+    keys = [c for c in summaries[0].columns if c not in ("token", "cnt")]
+    u = summaries[0]
+    for s in summaries[1:]:
+        u = u.unionByName(s)
+    summed = u.groupBy(*keys, "token").agg(F.sum("cnt").alias("cnt"))
+    toks = summed.filter(F.col("token").isNotNull())
+    errs = summed.filter(F.col("token").isNull())
+    w = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = toks.withColumn("_rn", F.row_number().over(w))
+    pivot = ranked.filter(F.col("_rn") == m + 1).select(
+        *keys, F.col("cnt").alias("_pivot")
+    )
+    folded = (
+        ranked.filter(F.col("_rn") <= m)
+        .join(pivot, keys, "left")
+        .select(
+            *keys,
+            "token",
+            (F.col("cnt") - F.coalesce(F.col("_pivot"), F.lit(0))).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    new_err = (
+        errs.join(pivot, keys, "left")
+        .select(
+            *keys,
+            F.lit(None).cast("string").alias("token"),
+            (F.col("cnt") + F.coalesce(F.col("_pivot"), F.lit(0))).alias("cnt"),
+        )
+    )
+    return folded.unionByName(new_err)
+
+
+def mg_estimates(summary: DataFrame) -> DataFrame:
+    """(keys..., token, cnt_lower, cnt_upper) from an MG summary — the
+    per-group error ledger joined back onto every kept token."""
+    keys = [c for c in summary.columns if c not in ("token", "cnt")]
+    toks = summary.filter(F.col("token").isNotNull())
+    errs = summary.filter(F.col("token").isNull()).select(
+        *keys, F.col("cnt").alias("_err")
+    )
+    join_on = keys if keys else None
+    if join_on:
+        j = toks.join(errs, join_on, "left")
+    else:
+        j = toks.crossJoin(errs)
+    return j.select(
+        *keys,
+        "token",
+        F.col("cnt").alias("cnt_lower"),
+        (F.col("cnt") + F.coalesce(F.col("_err"), F.lit(0))).alias("cnt_upper"),
+    )

@@ -1591,3 +1591,43 @@ def test_effective_diameter_interpolation():
     assert effective_diameter([(0, 5)], 0.9) == 0.0
     # flat tail: exact hop returned, no div-by-zero
     assert effective_diameter([(0, 4), (1, 10), (2, 10)], 1.0) == 1.0
+
+
+def test_misra_gries_bounds_merge_and_heavy_hitter_guarantee(spark):
+    """Exact when distinct <= m; over capacity the (lower, upper) bounds
+    bracket the truth, any token with freq > N/(m+1) survives, and bounds
+    stay valid under different merge trees."""
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators.sketches import mg_estimates, mg_merge, mg_summary
+
+    rows = [("g1", f"t{i % 7 if i % 3 else 0}") for i in range(300)]
+    rows += [("g2", f"u{i % 4}") for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, tok string")
+    exact = {(r.k, r.tok): r["count"] for r in df.groupBy("k", "tok").count().collect()}
+
+    est = mg_estimates(mg_summary(df, ["k"], "tok", m=20)).collect()
+    assert len(est) == len(exact)
+    for r in est:
+        assert r.cnt_lower == r.cnt_upper == exact[(r.k, r.token)]
+
+    # over capacity: m=3 on 7 distinct in g1; t0 (freq 100 > 300/4) must survive
+    est3 = {
+        r.token: (r.cnt_lower, r.cnt_upper)
+        for r in mg_estimates(mg_summary(df.filter("k='g1'"), ["k"], "tok", m=3)).collect()
+    }
+    assert "t0" in est3
+    for tok, (lo, hi) in est3.items():
+        assert lo <= exact[("g1", tok)] <= hi, (tok, lo, hi)
+
+    parts = [
+        mg_summary(df.filter(f"pmod(hash(tok), 3) = {i}"), ["k"], "tok", m=5)
+        for i in range(3)
+    ]
+    flat = mg_estimates(mg_merge(*parts, m=5)).collect()
+    nested = mg_estimates(
+        mg_merge(mg_merge(parts[2], parts[0], m=5), parts[1], m=5)
+    ).collect()
+    for got in (flat, nested):
+        for r in got:
+            assert r.cnt_lower <= exact[(r.k, r.token)] <= r.cnt_upper, r
