@@ -55,6 +55,10 @@ def main() -> None:
     ap.add_argument("--bias-var-ratio-threshold", type=float, default=2.0)
     ap.add_argument("--bias-ks-threshold", type=float, default=0.10)
     ap.add_argument("--bias-psi-threshold", type=float, default=0.10)
+    ap.add_argument("--profile", choices=["on", "off"], default="off",
+                    help="add a per-numeric-column profile (count/nulls/"
+                         "min/max/mean/stddev/p25/p50/p75/p95, approx "
+                         "GK percentiles) to the summary JSON")
     ap.add_argument("--quality-metrics", "--metrics", nargs="+", default=None,
                     choices=["accuracy", "redundancy", "traceability",
                              "timeliness", "imputation_bias", "all"],
@@ -236,6 +240,21 @@ def main() -> None:
                 ).collect()
             ]
 
+        profile_rows = []
+        if args.profile == "on":
+            from phenoqc_spark.operators.quality import numeric_profile
+
+            num_cols = [
+                f.name
+                for f in imputed.schema.fields
+                if f.dataType.typeName()
+                in ("integer", "long", "double", "float", "short", "decimal")
+            ]
+            if num_cols:
+                profile_rows = [
+                    r.asDict() for r in numeric_profile(imputed, num_cols).collect()
+                ]
+
         mapped = map_wide(
             imputed, pheno_cfg, resolver_bc, id_col=args.unique_identifiers[0]
         ) if pheno_cfg else imputed
@@ -268,6 +287,7 @@ def main() -> None:
                 "imputation_tuning": engine.tuning_summary,
                 "quality_metrics": quality_metrics_payload,
                 "class_distribution": class_dist_rows,
+                "numeric_profile": profile_rows,
                 "mapping_stats": stats_rows,
                 "processed": out_dir,
             }

@@ -579,6 +579,7 @@ def test_run_qc_job_end_to_end(spark, tmp_path, onto_dir):
          "--single-file", "--cpus", "2",
          "--impute-diagnostics", "on", "--diag-repeats", "2",
          "--mi-uncertainty", "on", "--mi-repeats", "2",
+         "--profile", "on",
          "--quality-metrics", "accuracy", "traceability"],
         capture_output=True, text=True, timeout=300, cwd="/root/repo",
     )
@@ -597,6 +598,11 @@ def test_run_qc_job_end_to_end(spark, tmp_path, onto_dir):
     assert any(r["column"] == "Age" for r in qm["imputation_uncertainty"]["rows"])
     # --quality-metrics selector (reference QUALITY_METRIC_CHOICES):
     # traceability sees the duplicated S3 identifier
+    # --profile: per-numeric-column stats for the imputed frame (Age is
+    # post-imputation, so n_null == 0 and the mean reflects the fill)
+    prof = {r["column"]: r for r in s0["numeric_profile"]}
+    assert "Age" in prof and prof["Age"]["n"] == 7 and prof["Age"]["n_null"] == 0
+    assert prof["Age"]["min"] >= 28 and prof["Age"]["max"] <= 50
     assert s0["extra_metrics"]["Accuracy Issues"] == 0
     assert s0["extra_metrics"]["Traceability Issues"] >= 2
     import glob
@@ -1631,3 +1637,34 @@ def test_misra_gries_bounds_merge_and_heavy_hitter_guarantee(spark):
     for got in (flat, nested):
         for r in got:
             assert r.cnt_lower <= exact[(r.k, r.token)] <= r.cnt_upper, r
+
+
+def test_misra_gries_bounds_randomized(spark):
+    """Seeded randomized trials: for random multisets and random m, every
+    MG estimate brackets the true count and every (N/(m+1))-heavy token
+    is present — the two MG invariants, beyond the hand-built cases."""
+    import random
+
+    from phenoqc_spark.operators.sketches import mg_estimates, mg_summary
+
+    rng = random.Random(42)
+    for trial in range(6):
+        n_tok = rng.randint(3, 30)
+        n = rng.randint(50, 400)
+        m = rng.randint(2, 12)
+        # zipf-ish draw over token ids
+        toks = [f"w{min(int(rng.paretovariate(1.2)), n_tok)}" for _ in range(n)]
+        df = spark.createDataFrame([("g", t) for t in toks], "k string, tok string")
+        exact = {}
+        for t in toks:
+            exact[t] = exact.get(t, 0) + 1
+        est = {
+            r.token: (r.cnt_lower, r.cnt_upper)
+            for r in mg_estimates(mg_summary(df, ["k"], "tok", m=m)).collect()
+        }
+        for tok, (lo, hi) in est.items():
+            assert lo <= exact[tok] <= hi, (trial, tok, lo, exact[tok], hi)
+        thresh = n / (m + 1)
+        for tok, c in exact.items():
+            if c > thresh:
+                assert tok in est, (trial, tok, c, thresh, m)
