@@ -53,6 +53,7 @@ def kmeans(
     id_col: str = "vec_id",
     k: int = 10,
     iters: int = 5,
+    init_centroids: "np.ndarray | list | None" = None,
 ) -> DataFrame:
     """(id, cluster) Lloyd k-means assignments after ``iters`` fixed
     rounds from the md5-seeded deterministic init.
@@ -60,17 +61,29 @@ def kmeans(
     Squared-euclidean objective in float64.  ``k`` seeds = the vectors
     of the k ids with smallest ``md5(cast(id AS string))`` — stable
     under repartitioning and re-runs, unlike ``rand()``-based inits.
+    A uniform draw can land two seeds in one natural blob at k ≈ #blobs
+    (coupon-collector); pass ``init_centroids`` (a k×d array, e.g.
+    centroids pre-clustered on a sample, the k-means‖ shape, or a
+    previous run's centroids for incremental refresh) to override.
     """
-    seed_rows = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
-        .limit(k)
-        .collect()
-    )
-    if len(seed_rows) < k:
-        raise ValueError(f"kmeans: k={k} but only {len(seed_rows)} rows")
-    d = len(seed_rows[0]._v)
-    centroids = np.array([list(r._v) for r in seed_rows], dtype=np.float64)
+    if init_centroids is not None:
+        centroids = np.asarray(init_centroids, dtype=np.float64)
+        if centroids.shape[0] != k:
+            raise ValueError(
+                f"kmeans: init_centroids has {centroids.shape[0]} rows, k={k}"
+            )
+        d = centroids.shape[1]
+    else:
+        seed_rows = (
+            df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+            .limit(k)
+            .collect()
+        )
+        if len(seed_rows) < k:
+            raise ValueError(f"kmeans: k={k} but only {len(seed_rows)} rows")
+        d = len(seed_rows[0]._v)
+        centroids = np.array([list(r._v) for r in seed_rows], dtype=np.float64)
 
     def make_assign(c_mat: np.ndarray):
         @F.pandas_udf("int")

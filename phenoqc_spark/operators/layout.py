@@ -74,3 +74,82 @@ def zorder_layout(
     else:
         out = out.repartitionByRange("_z")
     return out.sortWithinPartitions("_z").drop("_z")
+
+
+def compact_small_files(
+    spark,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: "list[str] | None" = None,
+    partition_by: "list[str] | None" = None,
+) -> dict:
+    """Table-maintenance rewrite: coalesce a parquet directory's many
+    small files into ≈``target_file_bytes`` files — the OPTIMIZE /
+    rewrite_data_files analogue for the plain-parquet state tables the
+    incremental operators append to (audit buckets, dedup signatures,
+    sketch states, triple stores).  Small-file pressure is a first-order
+    100 TB failure mode: a state touched by 10 000 micro-batches holds
+    10 000+ tiny files, and every read pays open/footer/seek per file.
+
+    Sizing comes from the Hadoop FileSystem content summary (actual
+    bytes, not estimates): n_out = ceil(total/target).  Without
+    ``sort_by`` the rewrite uses ``coalesce`` (narrow — no shuffle, no
+    row movement beyond file concatenation); with ``sort_by`` it
+    range-repartitions and sorts within partitions, restoring cluster
+    order (compose with :func:`zvalue_expr` upstream for z-order).
+    ``partition_by`` preserves a partition column layout (e.g. the
+    streaming states' ``batch_id`` replay contract).
+
+    The swap is the same write-sibling + two-rename discipline as
+    ``compact_dedup_state`` (atomic on HDFS/local, NOT object stores;
+    table must be quiescent; a crash between renames is recovered on the
+    next call).  Row count is re-verified after the rewrite and the swap
+    is aborted on any mismatch — compaction must be bit-boring.
+
+    Returns {"rows", "files_before", "files_after", "bytes"}.
+    """
+    import math
+
+    base = table_path.rstrip("/")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(base).getFileSystem(hconf)
+    if not fs.exists(hpath(base)) and fs.exists(hpath(base + "__old")):
+        if not fs.rename(hpath(base + "__old"), hpath(base)):
+            raise IOError(f"compact_small_files: could not recover {base}__old")
+    summary = fs.getContentSummary(hpath(base))
+    total_bytes = summary.getLength()
+    files_before = summary.getFileCount()
+    df = spark.read.parquet(base)
+    before = df.count()
+    n_out = max(1, math.ceil(total_bytes / float(target_file_bytes)))
+    if sort_by:
+        out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.coalesce(n_out)
+    tmp, old = base + "__compacting", base + "__old"
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    after = spark.read.parquet(tmp).count()
+    if after != before:
+        fs.delete(hpath(tmp), True)
+        raise RuntimeError(
+            f"compact_small_files: row count changed {before} -> {after}; aborted"
+        )
+    fs.delete(hpath(old), True)
+    if not fs.rename(hpath(base), hpath(old)):
+        raise IOError(f"compact_small_files: could not stage {base} aside")
+    if not fs.rename(hpath(tmp), hpath(base)):
+        fs.rename(hpath(old), hpath(base))  # roll back
+        raise IOError(f"compact_small_files: could not swap in {tmp}")
+    fs.delete(hpath(old), True)
+    files_after = fs.getContentSummary(hpath(base)).getFileCount()
+    return {
+        "rows": before,
+        "files_before": int(files_before),
+        "files_after": int(files_after),
+        "bytes": int(total_bytes),
+    }

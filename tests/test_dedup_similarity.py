@@ -2014,3 +2014,24 @@ def test_kmeans_recovers_separated_clusters(spark):
     assert got == got2
     with pytest.raises(ValueError, match="only"):
         kmeans(df, k=99, iters=1).collect()
+
+
+def test_kmeans_init_centroids_override(spark):
+    """Planted centers passed as init_centroids give perfect recovery in
+    one round and shape validation raises on a k mismatch."""
+    import pytest
+
+    from phenoqc_spark.operators.clustering import kmeans
+
+    rows = []
+    for b in range(3):
+        for i in range(6):
+            base = float(10 * b)
+            rows.append((b * 6 + i, [base + 0.1 * i, base - 0.1 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    init = [[0.0, 0.0], [10.0, 10.0], [20.0, 20.0]]
+    got = {r.vec_id: r.cluster for r in kmeans(df, k=3, iters=1, init_centroids=init).collect()}
+    for vid, c in got.items():
+        assert c == vid // 6, (vid, c)
+    with pytest.raises(ValueError, match="init_centroids"):
+        kmeans(df, k=4, iters=1, init_centroids=init).collect()

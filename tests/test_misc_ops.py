@@ -1668,3 +1668,51 @@ def test_misra_gries_bounds_randomized(spark):
         for tok, c in exact.items():
             if c > thresh:
                 assert tok in est, (trial, tok, c, thresh, m)
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Many-file table compacts to few files with identical contents;
+    sort_by restores cluster order; partition_by layout is preserved;
+    a crash-window __old state is recovered on the next call."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators.layout import compact_small_files
+
+    path = str(tmp_path / "state")
+    # 12 separate appends -> many small files
+    for b in range(12):
+        spark.range(b * 100, (b + 1) * 100).select(
+            F.col("id"), (F.col("id") % 5).alias("g")
+        ).write.mode("append").parquet(path)
+    before_rows = sorted(r.id for r in spark.read.parquet(path).collect())
+    n_files_before = len(glob.glob(path + "/*.parquet"))
+    assert n_files_before >= 12
+    res = compact_small_files(spark, path, target_file_bytes=10**9, sort_by=["id"])
+    assert res["rows"] == 1200 and res["files_after"] < res["files_before"]
+    after_rows = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert after_rows == before_rows
+    assert len(glob.glob(path + "/*.parquet")) == 1
+
+    # partitioned layout preserved
+    ppath = str(tmp_path / "pstate")
+    for b in range(4):
+        spark.range(50).select(
+            F.col("id"), F.lit(b).alias("batch_id")
+        ).write.mode("append").partitionBy("batch_id").parquet(ppath)
+    res2 = compact_small_files(
+        spark, ppath, target_file_bytes=10**9, partition_by=["batch_id"]
+    )
+    assert res2["rows"] == 200
+    assert sorted(os.path.basename(d) for d in glob.glob(ppath + "/batch_id=*")) == [
+        f"batch_id={b}" for b in range(4)
+    ]
+
+    # crash-window recovery: table staged aside as __old, then recompact
+    shutil.move(path, path + "__old")
+    res3 = compact_small_files(spark, path, target_file_bytes=10**9)
+    assert res3["rows"] == 1200 and os.path.exists(path)
+    assert not os.path.exists(path + "__old")
