@@ -1950,6 +1950,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["txt_heavy_tokens"] = txt_heavy_tokens
 
+    def txt_bm25(spark, sf_dir):
+        # Okapi BM25 retrieval for a pinned bag-of-words query — one
+        # corpus pass (|Q|+1 conditional aggregates per doc, no
+        # token-keyed join), stats broadcast back, TakeOrderedAndProject
+        # top-k.  Oracle = the identical Lucene-style formula in DuckDB
+        # over the shared tokenization, sorted by the rounded score with
+        # doc_id tie-break.
+        from phenoqc_spark.operators.textstats import bm25_topk
+
+        docs = load_table(spark, sf_dir, "documents")
+        return bm25_topk(
+            docs, ["hash", "merge", "window"], k=15
+        ).orderBy("rank")
+
+    q["txt_bm25"] = txt_bm25
+
     def kg_hits(spark, sf_dir):
         # Kleinberg HITS over the same doc->term (+xref) graph: docs are
         # hubs, ontology terms authorities.  Oracle = the pinned numpy
@@ -3008,6 +3024,38 @@ WITH toks AS (
 )
 SELECT source, token, c AS cnt_lower, c AS cnt_upper
 FROM cnts WHERE c >= 50 ORDER BY source, token
+"""
+
+    o["txt_bm25"] = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS token
+  FROM documents
+), t2 AS (SELECT * FROM toks WHERE length(token) > 0),
+per_doc AS (
+  SELECT doc_id, count(*) AS dl,
+         sum(CASE WHEN token = 'hash'   THEN 1 ELSE 0 END) AS tf0,
+         sum(CASE WHEN token = 'merge'  THEN 1 ELSE 0 END) AS tf1,
+         sum(CASE WHEN token = 'window' THEN 1 ELSE 0 END) AS tf2
+  FROM t2 GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM per_doc
+), scored AS (
+  SELECT doc_id, round(
+      ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+  6) AS score
+  FROM per_doc, stats
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 15
 """
 
     from phenoqc_spark.spectral_golden import SPECTRAL_8
@@ -5013,7 +5061,7 @@ ORDER BY 1, 2
 # f_zvalue, td_host_cap, v_triple_shapes, kg_random_walks, agg_cube,
 # kg_turtle, kg_skipgrams, kg_node2vec, kg_ppr, kg_scc, emb_kmeans,
 # agg_profile, kg_spectral, kg_hyperanf, txt_source_cardinality,
-# txt_heavy_tokens) have
+# txt_heavy_tokens, txt_bm25) have
 # never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.

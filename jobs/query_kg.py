@@ -58,6 +58,14 @@ def main() -> None:
                          "prefixes from --prefixes) or parquet (otherwise)")
     ap.add_argument("--prefixes", default=None,
                     help="JSON {prefix: namespace} for Turtle output")
+    ap.add_argument("--group-by", nargs="+", default=None,
+                    help="SPARQL GROUP BY analogue: bound variable names "
+                         "to group the solutions by (use with --agg)")
+    ap.add_argument("--agg", nargs="+", default=["count:*"],
+                    help="with --group-by: aggregates as fn:var items — "
+                         "count:*, count_distinct:v, min:v, max:v, sum:v, "
+                         "avg:v (SPARQL COUNT/MIN/MAX/SUM/AVG); result "
+                         "columns are named fn_var")
     args = ap.parse_args()
 
     from phenoqc_spark.operators.triples import match_bgp
@@ -73,6 +81,24 @@ def main() -> None:
         out = out.filter(args.where)
     if args.distinct:
         out = out.distinct()
+    if args.group_by:
+        from pyspark.sql import functions as F
+
+        aggs = []
+        for item in args.agg:
+            fn, _, var = item.partition(":")
+            name = f"{fn}_{var}".replace("*", "all")
+            if fn == "count" and var == "*":
+                aggs.append(F.count(F.lit(1)).alias(name))
+            elif fn == "count":
+                aggs.append(F.count(F.col(var)).alias(name))
+            elif fn == "count_distinct":
+                aggs.append(F.countDistinct(F.col(var)).alias(name))
+            elif fn in ("min", "max", "sum", "avg"):
+                aggs.append(getattr(F, fn)(F.col(var)).alias(name))
+            else:
+                raise SystemExit(f"--agg: unknown aggregate {item!r}")
+        out = out.groupBy(*args.group_by).agg(*aggs)
     if args.construct:
         from pyspark.sql import functions as F
 

@@ -8,7 +8,7 @@ SQL-oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # tiny deterministic stopword marker sets per language (n-gram heuristic)
 LANG_MARKERS = {
@@ -465,6 +465,82 @@ def tfidf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("doc_id", "token", "tf", "doc_freq", "tfidf", "rank")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: "list[str]",
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, score, rank): top-``k`` documents for a bag-of-words
+    query under Okapi BM25 — quality-biased retrieval over the corpus
+    (seed-document expansion, contamination triage, "find me more like
+    these terms" curation pulls).
+
+    Lucene-standard formulation: idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    score = Σ_t idf·tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)).
+
+    Scale shape — the query terms are LITERALS, so the whole plan is one
+    corpus pass: a single groupBy(doc) computes dl plus one conditional
+    ``sum(when(token = t))`` per query term (|Q|+1 algebraic aggregates,
+    map-side combining; no token-keyed join at all, hence no hub-token
+    skew surface).  df/N/avgdl derive from that per-doc frame via two
+    tiny aggregates broadcast back as 1-row cross joins; the final top-k
+    is a TakeOrderedAndProject, never a global sort.  Ties rank by
+    doc_id ascending (deterministic); docs matching no term score 0 and
+    are excluded.
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens_expr(text_col)).alias("token")
+    ).filter(F.length("token") > 0)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("_N"),
+        F.avg("dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            1.0
+            + (F.col("_N") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}")
+        part = (
+            idf
+            * tf
+            * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl")))
+        )
+        score = part if score is None else score + part
+    ranked = scored.select(
+        "doc_id", F.round(score, 6).alias("score")
+    ).filter(F.col("score") > 0)
+    # limit BEFORE the rank window: orderBy+limit plans as
+    # TakeOrderedAndProject (per-partition heaps, no global sort), and
+    # the single-partition row_number then touches only <= k rows
+    topk = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", "rank"
     )
 
 

@@ -924,6 +924,20 @@ def test_query_kg_cli(spark, tmp_path):
     head = json.loads([l for l in lines if '"rows_shown"' in l][0])
     assert head["rows_shown"] == 2
 
+    # GROUP BY / aggregate mode (SPARQL COUNT analogue): docs per
+    # ancestor-linked term, one row per t
+    proc = subprocess.run(
+        [sys.executable, "jobs/query_kg.py",
+         "--triples", str(trip), "--bgp", '[["?d", "has_term", "?t"]]',
+         "--group-by", "t", "--agg", "count:*", "count_distinct:d",
+         "--out", str(tmp_path / "grp")],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    grp = {r.t: (r.count_all, r.count_distinct_d)
+           for r in spark.read.parquet(str(tmp_path / "grp")).collect()}
+    assert grp == {"A1": (1, 1), "B": (1, 1), "Z": (1, 1)}
+
     # CONSTRUCT mode: bindings -> new triples, Turtle output with CURIEs
     proc = subprocess.run(
         [sys.executable, "jobs/query_kg.py",
@@ -1716,3 +1730,33 @@ def test_compact_small_files(spark, tmp_path):
     res3 = compact_small_files(spark, path, target_file_bytes=10**9)
     assert res3["rows"] == 1200 and os.path.exists(path)
     assert not os.path.exists(path + "__old")
+
+
+def test_bm25_ranking_semantics(spark):
+    """More query-term mass ranks higher; a rare term outweighs a
+    ubiquitous one at equal tf (idf); longer docs are penalized at equal
+    tf (length normalization); empty query raises."""
+    import pytest
+
+    from phenoqc_spark.operators.textstats import bm25_topk
+
+    docs = [
+        (1, "apple apple banana filler filler"),
+        (2, "apple filler filler filler filler"),
+        (3, "banana filler filler filler filler"),
+        (4, "filler filler filler filler filler"),
+        # long doc with same tf as doc 2 -> penalized below it
+        (5, "apple " + "filler " * 20),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r.doc_id, r.rank) for r in bm25_topk(df, ["apple", "banana"], k=10).collect()]
+    order = [d for d, _ in sorted(got, key=lambda x: x[1])]
+    assert order[0] == 1              # two terms, tf 2+1
+    assert order.index(2) < order.index(5)  # same tf, shorter doc wins
+    assert 4 not in order             # no query term -> excluded
+    # idf: 'banana' (df 2) outweighs 'apple' (df 3) at equal tf/dl
+    s = {r.doc_id: r.score for r in bm25_topk(df, ["apple"], k=10).collect()}
+    sb = {r.doc_id: r.score for r in bm25_topk(df, ["banana"], k=10).collect()}
+    assert sb[3] > s[2]
+    with pytest.raises(ValueError, match="empty"):
+        bm25_topk(df, [])
