@@ -507,7 +507,11 @@ def bm25_topk(
             F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{i}")
             for i, t in enumerate(terms)
         ],
-    )
+    ).persist()
+    # persist: per_doc feeds BOTH the stats aggregate and the scoring
+    # branch — without it the plan re-scans the whole corpus twice.  The
+    # cached frame is doc-count-sized scalars (|Q|+2 longs per doc), not
+    # corpus text; MEMORY_AND_DISK absorbs any overflow.
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("_N"),
         F.avg("dl").alias("_avgdl"),

@@ -359,3 +359,56 @@ def test_cap_per_host_plans_window_group_limit(spark):
     assert txt.count("WindowGroupLimit") >= 2, txt
     assert "Partial" in txt.split("Exchange")[1], txt  # partial below the exchange
     assert len(re.findall(r"\bExchange hashpartitioning", txt)) == 1, txt
+
+
+def test_bm25_single_corpus_pass_no_token_join(spark, sf_dir):
+    """bm25_topk's docstring claims: one corpus pass (|Q|+1 conditional
+    aggregates), stats broadcast back, NO token-keyed join anywhere, and
+    a TakeOrderedAndProject top-k instead of a global sort."""
+    from phenoqc_spark.operators.textstats import bm25_topk
+    from phenoqc_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = plan_text(bm25_topk(docs, ["hash", "merge"], k=10))
+    assert "SortMergeJoin" not in txt, txt
+    assert "ShuffledHashJoin" not in txt, txt
+    assert "BroadcastNestedLoopJoin" in txt, txt  # the 1-row stats join
+    assert "TakeOrderedAndProject" in txt, txt
+    # the corpus is scanned once: per_doc is persisted, so BOTH branches
+    # (stats aggregate and scoring) read the InMemoryRelation — formatted
+    # explain re-prints the cache-fill plan under each InMemoryTableScan,
+    # so count cache reads, not 'Scan parquet' text occurrences
+    import re
+
+    assert len(re.findall(r"InMemoryTableScan", txt)) >= 2, txt
+
+
+def test_kmeans_assignment_is_map_only(spark, sf_dir):
+    """The final k-means assignment pass never shuffles the corpus: scan
+    -> ArrowEvalPython -> project, zero Exchanges."""
+    from phenoqc_spark.operators.clustering import kmeans
+    from phenoqc_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    txt = plan_text(kmeans(emb, k=4, iters=1))
+    assert "Exchange" not in txt, txt
+    assert "ArrowEvalPython" in txt, txt
+
+
+def test_spectral_features_single_aggregate(spark):
+    """spectral_features is one partial+final hash aggregate over the
+    edge list — exactly one Exchange, zero joins, zero Python."""
+    import re
+
+    from phenoqc_spark.operators.canonicalize import spectral_features
+
+    edges = spark.createDataFrame(
+        [(f"a{i}", f"b{i % 3}") for i in range(20)], "src string, dst string"
+    )
+    txt = plan_text(spectral_features(edges, r=4))
+    assert len(set(re.findall(r"Exchange \((\d+)\)", txt))) == 1, txt
+    assert "Join" not in txt, txt
+    # no Python execution nodes (the test input's applySchemaToPythonRDD
+    # scan line is an artifact of createDataFrame, not the operator)
+    for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert node not in txt, txt
