@@ -1966,6 +1966,31 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["txt_bm25"] = txt_bm25
 
+    def agg_hist_quantiles(spark, sf_dir):
+        # mergeable histogram state in the EXACT zone: user_id is
+        # integral and the bins are width-1 over [0, 150), so the
+        # bin-edge discrete quantile IS quantile_disc — built as two
+        # half-batch states merged through histogram_merge (covering the
+        # roll-up path), estimates vs DuckDB's exact quantile_disc.
+        from phenoqc_spark.operators.sketches import (
+            histogram_merge,
+            histogram_quantiles,
+            histogram_sketches,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        a = histogram_sketches(
+            ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "user_id", 0.0, 150.0, 150
+        )
+        b = histogram_sketches(
+            ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "user_id", 0.0, 150.0, 150
+        )
+        state = histogram_merge(a, b)
+        out = histogram_quantiles(state, [0.25, 0.5, 0.9], 0.0, 150.0, 150)
+        return out.orderBy("event_type", "q")
+
+    q["agg_hist_quantiles"] = agg_hist_quantiles
+
     def kg_hits(spark, sf_dir):
         # Kleinberg HITS over the same doc->term (+xref) graph: docs are
         # hubs, ontology terms authorities.  Oracle = the pinned numpy
@@ -3024,6 +3049,19 @@ WITH toks AS (
 )
 SELECT source, token, c AS cnt_lower, c AS cnt_upper
 FROM cnts WHERE c >= 50 ORDER BY source, token
+"""
+
+    o["agg_hist_quantiles"] = """
+SELECT event_type, CAST(0.25 AS DOUBLE) AS q,
+       CAST(quantile_disc(user_id, 0.25) AS DOUBLE) AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(0.5 AS DOUBLE),
+       CAST(quantile_disc(user_id, 0.5) AS DOUBLE) FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(0.9 AS DOUBLE),
+       CAST(quantile_disc(user_id, 0.9) AS DOUBLE) FROM events GROUP BY event_type
+ORDER BY event_type, q
 """
 
     o["txt_bm25"] = """
@@ -5061,7 +5099,7 @@ ORDER BY 1, 2
 # f_zvalue, td_host_cap, v_triple_shapes, kg_random_walks, agg_cube,
 # kg_turtle, kg_skipgrams, kg_node2vec, kg_ppr, kg_scc, emb_kmeans,
 # agg_profile, kg_spectral, kg_hyperanf, txt_source_cardinality,
-# txt_heavy_tokens, txt_bm25) have
+# txt_heavy_tokens, txt_bm25, agg_hist_quantiles) have
 # never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.

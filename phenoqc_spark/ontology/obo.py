@@ -305,3 +305,48 @@ def build_isa_edges(
             for parent in term.get("parents", []):
                 edges.append((term["id"], parent))
     return edges
+
+
+def ontology_diff(spark, old_terms: List[dict], new_terms: List[dict]):
+    """Release-to-release ontology diff as a DataFrame of change rows
+    (term_id, change, field, old, new) — the operational answer to "what
+    did this month's HPO release change under my mappings?" (the fetcher
+    refreshes cached ontologies on a 30-day TTL, so version drift is a
+    standing fact of a long-running pipeline; reference downloads the
+    same artifacts in utils/ontology_utils.py without any drift report).
+
+    Change kinds: ``added`` / ``removed`` (term level, field ``term``),
+    ``renamed`` (field ``name``), ``synonyms`` / ``alt_ids`` / ``xrefs``
+    / ``parents`` with one row PER added(+)/removed(-) element (old="-",
+    new=value or vice versa) — long format so downstream impact joins
+    (e.g. which changed terms appear in the current triple store) are
+    plain equi-joins on term_id.
+
+    The term lists are parsed ontology dicts (bounded dimension data —
+    HPO ≈ 19k terms), so the diff itself is driver-side set arithmetic
+    like every other ontology build step; the RESULT is a DataFrame for
+    distributed impact analysis.  Deterministic output order
+    (term_id, change, field, new).
+    """
+    old_by = {t["id"]: t for t in old_terms if t.get("id")}
+    new_by = {t["id"]: t for t in new_terms if t.get("id")}
+    rows: List[tuple] = []
+    for tid in new_by.keys() - old_by.keys():
+        rows.append((tid, "added", "term", "-", new_by[tid].get("name") or "-"))
+    for tid in old_by.keys() - new_by.keys():
+        rows.append((tid, "removed", "term", old_by[tid].get("name") or "-", "-"))
+    for tid in new_by.keys() & old_by.keys():
+        o, n = old_by[tid], new_by[tid]
+        if (o.get("name") or "") != (n.get("name") or ""):
+            rows.append((tid, "renamed", "name", o.get("name") or "-", n.get("name") or "-"))
+        for field in ("synonyms", "alt_ids", "xrefs", "parents"):
+            olds = set(o.get(field) or [])
+            news = set(n.get(field) or [])
+            for v in sorted(news - olds):
+                rows.append((tid, "changed", field, "-", v))
+            for v in sorted(olds - news):
+                rows.append((tid, "changed", field, v, "-"))
+    rows.sort()
+    return spark.createDataFrame(
+        rows, "term_id string, change string, field string, old string, new string"
+    )

@@ -284,3 +284,90 @@ def mg_estimates(summary: DataFrame) -> DataFrame:
         F.col("cnt").alias("cnt_lower"),
         (F.col("cnt") + F.coalesce(F.col("_err"), F.lit(0))).alias("cnt_upper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram state (mergeable quantiles / distribution monitoring)
+# ---------------------------------------------------------------------------
+
+def histogram_sketches(
+    df: DataFrame,
+    key_cols: List[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """(keys..., bin, cnt): equal-width histogram of ``value_col`` over
+    [lo, hi) per key group — the third mergeable state next to HLL
+    (distinct) and Misra-Gries (frequency): distribution monitoring and
+    quantile estimation that refreshes per ingest batch without
+    re-scanning history.  ``bin`` -1 holds underflow, ``n_bins``
+    overflow; nulls are not counted.  One hash aggregate; state size is
+    O(groups·n_bins) regardless of corpus size.  Merging is plain count
+    addition (:func:`histogram_merge`) — associative, so any batch →
+    day → month roll-up tree is valid."""
+    if not hi > lo:
+        raise ValueError("histogram_sketches: need hi > lo")
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / n_bins
+    bin_ = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(n_bins))
+        .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"))
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*key_cols, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(*states: DataFrame) -> DataFrame:
+    """Sum histogram states (same keys, SAME lo/hi/n_bins binning —
+    the caller's contract, as with any fixed-layout sketch)."""
+    if not states:
+        raise ValueError("histogram_merge: no states given")
+    keys = [c for c in states[0].columns if c not in ("bin", "cnt")]
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    state: DataFrame,
+    qs: List[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """(keys..., q, value): discrete quantile estimates from a histogram
+    state — for each q, the LOWER EDGE of the first bin whose cumulative
+    count reaches ceil(q·n) (the ``quantile_disc`` rule applied to bins).
+
+    Resolution is one bin width; when values are integers and the bin
+    width is exactly 1, the estimate IS the exact discrete quantile —
+    the oracle zone.  Underflow/overflow bins clamp to lo / hi.  Plan:
+    one running-sum window per key over ≤ n_bins+2 rows per group (the
+    state, not the data), then a bin×quantile expansion — driver never
+    involved."""
+    keys = [c for c in state.columns if c not in ("bin", "cnt")]
+    width = (hi - lo) / n_bins
+    w = Window.partitionBy(*keys).orderBy("bin")
+    cum = state.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy(*keys))
+    )
+    qdf = cum.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy(*keys, "q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    value = (
+        F.when(F.col("bin") < 0, F.lit(float(lo)))
+        .when(F.col("bin") >= n_bins, F.lit(float(hi)))
+        .otherwise(F.lit(float(lo)) + F.col("bin") * F.lit(float(width)))
+    )
+    return hit.select(*keys, "q", value.alias("value"))

@@ -1760,3 +1760,51 @@ def test_bm25_ranking_semantics(spark):
     assert sb[3] > s[2]
     with pytest.raises(ValueError, match="empty"):
         bm25_topk(df, [])
+
+
+def test_histogram_state_quantiles_and_merge(spark):
+    """Width-1 integer bins reproduce exact discrete quantiles; merging
+    half-states equals the single-shot state; out-of-range values land
+    in the clamped under/overflow bins; coarse bins stay within one bin
+    width of the truth."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_sketches,
+    )
+
+    vals = [int(x) for x in (np.arange(500) * 37 % 100)]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v long")
+    one = histogram_sketches(df, ["k"], "v", 0.0, 100.0, 100)
+    a = histogram_sketches(df.filter("v % 2 = 0"), ["k"], "v", 0.0, 100.0, 100)
+    b = histogram_sketches(df.filter("v % 2 = 1"), ["k"], "v", 0.0, 100.0, 100)
+    merged = histogram_merge(a, b)
+    for state in (one, merged):
+        got = {
+            r.q: r.value
+            for r in histogram_quantiles(state, [0.1, 0.5, 0.9], 0.0, 100.0, 100).collect()
+        }
+        s = sorted(vals)
+        n = len(s)
+        for q, v in got.items():
+            import math
+
+            assert v == float(s[math.ceil(q * n) - 1]), (q, v)
+    # coarse 10-wide bins: within one bin width of the exact quantile
+    coarse = histogram_sketches(df, ["k"], "v", 0.0, 100.0, 10)
+    got10 = {
+        r.q: r.value
+        for r in histogram_quantiles(coarse, [0.5], 0.0, 100.0, 10).collect()
+    }
+    import math
+
+    exact_med = sorted(vals)[math.ceil(0.5 * len(vals)) - 1]
+    assert abs(got10[0.5] - exact_med) <= 10.0
+    # clamping: all values below lo -> every quantile reads lo
+    lowdf = spark.createDataFrame([("g", -5)] * 4, "k string, v long")
+    st = histogram_sketches(lowdf, ["k"], "v", 0.0, 10.0, 10)
+    assert histogram_quantiles(st, [0.5], 0.0, 10.0, 10).collect()[0].value == 0.0

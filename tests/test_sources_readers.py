@@ -191,3 +191,37 @@ def test_redundancy_spearman_ties_match_pandas(spark):
     ).collect()
     val = [r["value"] for r in got if r["metric"] == "correlation"]
     assert val and abs(val[0] - abs(expected)) < 1e-9
+
+
+def test_ontology_diff(spark, tmp_path):
+    """Release-to-release diff: added/removed terms, renames, and
+    per-element synonym/xref/parent changes in long format."""
+    from phenoqc_spark.ontology.obo import ontology_diff, parse_obo_terms
+
+    v1 = tmp_path / "v1.obo"
+    v1.write_text(
+        "[Term]\nid: HP:1\nname: Alpha\nsynonym: \"old syn\" EXACT []\n"
+        "xref: DOID:9\nis_a: HP:0\n\n"
+        "[Term]\nid: HP:2\nname: Beta\n\n"
+        "[Term]\nid: HP:3\nname: Gone\n"
+    )
+    v2 = tmp_path / "v2.obo"
+    v2.write_text(
+        "[Term]\nid: HP:1\nname: Alpha prime\nsynonym: \"new syn\" EXACT []\n"
+        "xref: DOID:9\nis_a: HP:0\nis_a: HP:5\n\n"
+        "[Term]\nid: HP:2\nname: Beta\n\n"
+        "[Term]\nid: HP:4\nname: Fresh\n"
+    )
+    out = ontology_diff(
+        spark, parse_obo_terms(str(v1)), parse_obo_terms(str(v2))
+    ).collect()
+    got = {(r.term_id, r.change, r.field, r.old, r.new) for r in out}
+    assert ("HP:4", "added", "term", "-", "Fresh") in got
+    assert ("HP:3", "removed", "term", "Gone", "-") in got
+    assert ("HP:1", "renamed", "name", "Alpha", "Alpha prime") in got
+    assert ("HP:1", "changed", "synonyms", "-", "new syn") in got
+    assert ("HP:1", "changed", "synonyms", "old syn", "-") in got
+    assert ("HP:1", "changed", "parents", "-", "HP:5") in got
+    # unchanged term and unchanged xref produce no rows
+    assert not [r for r in got if r[0] == "HP:2"]
+    assert not [r for r in got if r[2] == "xrefs"]
