@@ -1991,6 +1991,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_hist_quantiles"] = agg_hist_quantiles
 
+    def kg_link_predict(spark, sf_dir):
+        # link-prediction scores (common neighbors / Jaccard /
+        # Adamic-Adar) over the kg_scc ring+chord graph; pairs with ≥ 1
+        # shared neighbor.  Oracle = the identical formulas as plain
+        # SQL self-joins in DuckDB (natural log both sides, 6-dp).
+        from phenoqc_spark.operators.canonicalize import neighborhood_overlap
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+        base = docs.select(F.col("doc_id").cast("long").alias("d"))
+        ring = base.filter(F.col("d") % 40 != 7).select(
+            F.format_string("n%03d", F.col("d")).alias("src"),
+            F.format_string("n%03d", (F.col("d") + 12) % 240).alias("dst"),
+        )
+        chord1 = base.filter(F.col("d") % 5 == 0).select(
+            F.format_string("n%03d", F.col("d")).alias("src"),
+            F.format_string("n%03d", (F.col("d") * 7 + 3) % 240).alias("dst"),
+        )
+        chord2 = base.filter(F.col("d") % 7 == 3).select(
+            F.format_string("n%03d", F.col("d")).alias("src"),
+            F.format_string("n%03d", (F.col("d") * 11 + 5) % 240).alias("dst"),
+        )
+        out = neighborhood_overlap(
+            ring.unionByName(chord1).unionByName(chord2), min_common=1
+        )
+        return out.orderBy("node_a", "node_b")
+
+    q["kg_link_predict"] = kg_link_predict
+
     def kg_hits(spark, sf_dir):
         # Kleinberg HITS over the same doc->term (+xref) graph: docs are
         # hubs, ontology terms authorities.  Oracle = the pinned numpy
@@ -3049,6 +3077,43 @@ WITH toks AS (
 )
 SELECT source, token, c AS cnt_lower, c AS cnt_upper
 FROM cnts WHERE c >= 50 ORDER BY source, token
+"""
+
+    o["kg_link_predict"] = """
+WITH es AS (
+  SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 3, '0') AS a,
+         'n' || lpad(CAST((doc_id + 12) % 240 AS VARCHAR), 3, '0') AS b
+  FROM documents WHERE doc_id < 240 AND doc_id % 40 <> 7
+  UNION
+  SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 3, '0'),
+         'n' || lpad(CAST((doc_id * 7 + 3) % 240 AS VARCHAR), 3, '0')
+  FROM documents WHERE doc_id < 240 AND doc_id % 5 = 0
+  UNION
+  SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 3, '0'),
+         'n' || lpad(CAST((doc_id * 11 + 5) % 240 AS VARCHAR), 3, '0')
+  FROM documents WHERE doc_id < 240 AND doc_id % 7 = 3
+),
+sym AS (
+  SELECT a, b FROM es WHERE a <> b
+  UNION
+  SELECT b, a FROM es WHERE a <> b
+),
+deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY a),
+hub AS (SELECT s.a AS z, s.b AS n, d.deg AS zdeg FROM sym s JOIN deg d ON d.node = s.a),
+pairs AS (
+  SELECT l.n AS node_a, r.n AS node_b, count(*) AS common,
+         sum(1.0 / ln(l.zdeg)) AS aa
+  FROM hub l JOIN hub r ON l.z = r.z AND l.n < r.n
+  GROUP BY 1, 2
+  HAVING count(*) >= 1
+)
+SELECT p.node_a, p.node_b, p.common,
+       round(p.common / (da.deg + db.deg - p.common), 6) AS jaccard,
+       round(p.aa, 6) AS adamic_adar
+FROM pairs p
+JOIN deg da ON da.node = p.node_a
+JOIN deg db ON db.node = p.node_b
+ORDER BY p.node_a, p.node_b
 """
 
     o["agg_hist_quantiles"] = """
@@ -5099,7 +5164,7 @@ ORDER BY 1, 2
 # f_zvalue, td_host_cap, v_triple_shapes, kg_random_walks, agg_cube,
 # kg_turtle, kg_skipgrams, kg_node2vec, kg_ppr, kg_scc, emb_kmeans,
 # agg_profile, kg_spectral, kg_hyperanf, txt_source_cardinality,
-# txt_heavy_tokens, txt_bm25, agg_hist_quantiles) have
+# txt_heavy_tokens, txt_bm25, agg_hist_quantiles, kg_link_predict) have
 # never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.

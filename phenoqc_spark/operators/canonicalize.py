@@ -1666,3 +1666,70 @@ def soft_link_pr(
             "soft_recall",
         )
     )
+
+
+def neighborhood_overlap(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_degree: "int | None" = None,
+) -> DataFrame:
+    """(node_a, node_b, common, jaccard, adamic_adar) for every
+    UNDIRECTED node pair sharing ≥ ``min_common`` neighbors — the
+    classical link-prediction / entity-suggestion scores over the KG
+    (which unlinked term pairs co-occur through many shared documents or
+    xref hubs; Adamic-Adar down-weights promiscuous hubs by 1/ln(deg)).
+
+    Shape: symmetric edge list → per-hub neighbor-pair enumeration
+    (one self-join on the hub key) → one (a, b) hash aggregate; degrees
+    join back broadcast-sized or shuffled as Catalyst picks.  The
+    candidate fan-out through a hub z is C(deg z, 2) — that IS the
+    output semantics, so the guard is ``max_degree``: hubs above it are
+    skipped as common-neighbor witnesses (the standard recall-vs-cost
+    cut; a "the"-like hub witnesses every pair and scores none of them
+    meaningfully anyway, its AA weight already ≈ 0).
+
+    Pairs are canonical (node_a < node_b); self-pairs excluded; a common
+    neighbor always has degree ≥ 2, so ln(deg) > 0 and Adamic-Adar is
+    well-defined.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    hub = sym.select(F.col("a").alias("z"), F.col("b").alias("n")).join(
+        deg.select(F.col("node").alias("z"), F.col("deg").alias("zdeg")), "z"
+    )
+    if max_degree is not None:
+        hub = hub.filter(F.col("zdeg") <= max_degree)
+    pairs = (
+        hub.alias("l")
+        .join(hub.alias("r"), (F.col("l.z") == F.col("r.z")) & (F.col("l.n") < F.col("r.n")))
+        .select(
+            F.col("l.n").alias("node_a"),
+            F.col("r.n").alias("node_b"),
+            F.col("l.zdeg").alias("zdeg"),
+        )
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(1.0 / F.log(F.col("zdeg"))).alias("aa"),
+        )
+        .filter(F.col("common") >= min_common)
+    )
+    out = (
+        pairs.join(deg.select(F.col("node").alias("node_a"), F.col("deg").alias("da")), "node_a")
+        .join(deg.select(F.col("node").alias("node_b"), F.col("deg").alias("db")), "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "common",
+            F.round(F.col("common") / (F.col("da") + F.col("db") - F.col("common")), 6).alias(
+                "jaccard"
+            ),
+            F.round(F.col("aa"), 6).alias("adamic_adar"),
+        )
+    )
+    return out

@@ -456,3 +456,34 @@ def test_pagerank_warm_start_converges_faster(spark):
     stay = {r.node: r.rank for r in pagerank(df, iters=1, init_ranks=fix_old).collect()}
     fo = {r.node: r.rank for r in fix_old.collect()}
     assert all(abs(stay[v] - fo[v]) < 1e-6 for v in fo)
+
+
+def test_neighborhood_overlap_scores(spark):
+    """Hand-checkable star+path graph: common-neighbor counts, Jaccard
+    denominators, Adamic-Adar hub down-weighting, and the max_degree
+    witness cut."""
+    import math
+
+    from phenoqc_spark.operators.canonicalize import neighborhood_overlap
+
+    # hub h neighbors a,b,c ; path a-x-b gives (a,b) a second witness x
+    edges = [("h", "a"), ("h", "b"), ("h", "c"), ("a", "x"), ("x", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.node_a, r.node_b): (r.common, r.jaccard, r.adamic_adar)
+        for r in neighborhood_overlap(df).collect()
+    }
+    # degrees: h=3, a=2(h,x), b=2(h,x), c=1, x=2(a,b)
+    c_ab = got[("a", "b")]
+    assert c_ab[0] == 2  # witnesses h and x
+    assert abs(c_ab[1] - 2 / (2 + 2 - 2)) < 1e-9
+    assert abs(c_ab[2] - (1 / math.log(3) + 1 / math.log(2))) < 1e-6
+    assert got[("a", "c")][0] == 1 and got[("b", "c")][0] == 1
+    # a-x-b also witnesses (a,b) only; (h,x) share a and b as witnesses
+    assert got[("h", "x")][0] == 2
+    # cutting hubs with degree > 2 removes h as a witness: (a,c) vanishes
+    got_cut = {
+        (r.node_a, r.node_b): r.common
+        for r in neighborhood_overlap(df, max_degree=2).collect()
+    }
+    assert ("a", "c") not in got_cut and got_cut[("a", "b")] == 1
