@@ -53,6 +53,11 @@ def main() -> None:
     ap.add_argument("--pagerank-iters", type=int, default=0,
                     help="with --graph-stats: also run N PageRank power "
                          "iterations over the triple graph and add a rank column")
+    ap.add_argument("--ppr-seeds", default=None,
+                    help="with --graph-stats: comma-separated seed entities; "
+                         "adds a personalized-PageRank relatedness column "
+                         "(teleport to the seed set; iterations from "
+                         "--pagerank-iters, default 10 when unset)")
     ap.add_argument("--communities", type=int, default=0,
                     help="with --graph-stats: also run N synchronous "
                          "label-propagation rounds over the triple graph and "
@@ -182,6 +187,18 @@ def main() -> None:
             )
             stats = stats.join(
                 pr.withColumnRenamed("node", "entity"), "entity", "left"
+            )
+        if args.ppr_seeds:
+            from phenoqc_spark.operators.canonicalize import pagerank as _pr
+
+            seeds = [s.strip() for s in args.ppr_seeds.split(",") if s.strip()]
+            ppr = _pr(
+                tri_df.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+                iters=args.pagerank_iters or 10,
+                seeds=seeds,
+            ).withColumnRenamed("rank", "ppr")
+            stats = stats.join(
+                ppr.withColumnRenamed("node", "entity"), "entity", "left"
             )
         if args.communities > 0:
             from phenoqc_spark.operators.canonicalize import label_propagation
