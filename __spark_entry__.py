@@ -2019,6 +2019,38 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_link_predict"] = kg_link_predict
 
+    def kg_sgns_loss(spark, sf_dir):
+        # distributed SGNS embedding training on the kg_ppr doc<->term
+        # edge pairs: full-batch gradient descent with md5-seeded init
+        # and md5-drawn negatives, loss evaluated before each update.
+        # Oracle = the pinned dense-numpy twin
+        # (phenoqc_spark/sgns_golden.py, scripts/gen_sgns_golden.py) —
+        # the differential exercises the join+aggregate gradient chain.
+        from phenoqc_spark.operators.embeddings import sgns_train
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+        m = spark.createDataFrame(_PR_MAPPING, "idx int, tid string")
+        mentions = docs.select(
+            F.format_string(
+                "https://example.org/doc/%08d#%d", F.col("doc_id"), F.col("doc_id")
+            ).alias("doc"),
+            (F.col("doc_id") % 4).cast("int").alias("idx"),
+            F.col("doc_id"),
+        ).join(F.broadcast(m), "idx")
+        fwd = mentions.select(F.col("doc").alias("center"), F.col("tid").alias("context"))
+        back = mentions.filter(F.col("doc_id") % 13 == 2).select(
+            F.col("tid").alias("center"), F.col("doc").alias("context")
+        )
+        xref = spark.createDataFrame(_PR_XREF, "center string, context string")
+        _, losses = sgns_train(
+            fwd.unionByName(back).unionByName(xref), d=8, epochs=3, lr=0.05, negatives=2
+        )
+        return spark.createDataFrame(
+            [(e, round(l, 6)) for e, l in enumerate(losses)], "epoch int, loss double"
+        ).orderBy("epoch")
+
+    q["kg_sgns_loss"] = kg_sgns_loss
+
     def kg_hits(spark, sf_dir):
         # Kleinberg HITS over the same doc->term (+xref) graph: docs are
         # hubs, ontology terms authorities.  Oracle = the pinned numpy
@@ -3078,6 +3110,17 @@ WITH toks AS (
 SELECT source, token, c AS cnt_lower, c AS cnt_upper
 FROM cnts WHERE c >= 50 ORDER BY source, token
 """
+
+    from phenoqc_spark.sgns_golden import SGNS_LOSSES
+
+    _sg_vals = ",\n  ".join(
+        f"(CAST({e} AS INT), CAST({l} AS DOUBLE))" for e, l in SGNS_LOSSES
+    )
+    o["kg_sgns_loss"] = (
+        "SELECT * FROM (VALUES\n  "
+        + _sg_vals
+        + "\n) AS t(epoch, loss) ORDER BY epoch"
+    )
 
     o["kg_link_predict"] = """
 WITH es AS (
@@ -5164,7 +5207,8 @@ ORDER BY 1, 2
 # f_zvalue, td_host_cap, v_triple_shapes, kg_random_walks, agg_cube,
 # kg_turtle, kg_skipgrams, kg_node2vec, kg_ppr, kg_scc, emb_kmeans,
 # agg_profile, kg_spectral, kg_hyperanf, txt_source_cardinality,
-# txt_heavy_tokens, txt_bm25, agg_hist_quantiles, kg_link_predict) have
+# txt_heavy_tokens, txt_bm25, agg_hist_quantiles, kg_link_predict,
+# kg_sgns_loss) have
 # never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.

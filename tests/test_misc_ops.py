@@ -1808,3 +1808,26 @@ def test_histogram_state_quantiles_and_merge(spark):
     lowdf = spark.createDataFrame([("g", -5)] * 4, "k string, v long")
     st = histogram_sketches(lowdf, ["k"], "v", 0.0, 10.0, 10)
     assert histogram_quantiles(st, [0.5], 0.0, 10.0, 10).collect()[0].value == 0.0
+
+
+def test_sgns_train_learns_and_is_partition_invariant(spark):
+    """Full-batch SGNS: loss decreases monotonically on a structured
+    pair set, positive-pair scores rise after training, and results are
+    identical under repartitioning (deterministic md5 init + negatives,
+    fixed-order JVM dot products)."""
+    import numpy as np
+
+    from phenoqc_spark.operators.embeddings import sgns_train
+
+    pairs = [(f"u{i % 4}", f"v{i % 4}") for i in range(16)] + [
+        (f"u{i % 4}", f"v{(i + 1) % 4}") for i in range(8)
+    ]
+    df = spark.createDataFrame(sorted(set(pairs)), "center string, context string")
+    U1, l1 = sgns_train(df, d=4, epochs=4, lr=0.2, negatives=2)
+    assert all(a > b for a, b in zip(l1, l1[1:])), l1
+    U2, l2 = sgns_train(df.repartition(5), d=4, epochs=4, lr=0.2, negatives=2)
+    assert [round(x, 9) for x in l1] == [round(x, 9) for x in l2]
+    e1 = {r.node: np.array(r.vec) for r in U1.collect()}
+    e2 = {r.node: np.array(r.vec) for r in U2.collect()}
+    for n in e1:
+        assert np.allclose(e1[n], e2[n], atol=1e-12)
