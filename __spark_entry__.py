@@ -2051,6 +2051,80 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_sgns_loss"] = kg_sgns_loss
 
+    def kg_sgns_eval(spark, sf_dir):
+        # link-prediction AUC of the SGNS embeddings over the training
+        # rows, init vs after 3 epochs — the learning signal (0.493 →
+        # 0.692 on the pinned twin).  Scores are quantized to 9 dp
+        # before ranking so cross-impl float wobble is an exact tie,
+        # never an order flip.  Oracle = SGNS_AUC in the pinned twin.
+        from phenoqc_spark.operators.embeddings import (
+            _init_matrix,
+            pair_auc,
+            score_pairs,
+            sgns_train,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+        m = spark.createDataFrame(_PR_MAPPING, "idx int, tid string")
+        mentions = docs.select(
+            F.format_string(
+                "https://example.org/doc/%08d#%d", F.col("doc_id"), F.col("doc_id")
+            ).alias("doc"),
+            (F.col("doc_id") % 4).cast("int").alias("idx"),
+            F.col("doc_id"),
+        ).join(F.broadcast(m), "idx")
+        fwd = mentions.select(F.col("doc").alias("center"), F.col("tid").alias("context"))
+        back = mentions.filter(F.col("doc_id") % 13 == 2).select(
+            F.col("tid").alias("center"), F.col("doc").alias("context")
+        )
+        xref = spark.createDataFrame(_PR_XREF, "center string, context string")
+        pairs = fwd.unionByName(back).unionByName(xref)
+        U, W, _ = sgns_train(
+            pairs, d=8, epochs=3, lr=0.05, negatives=2, return_output_matrix=True
+        )
+
+        # rebuild the EXACT (c, t, y) training rows for eval (positive +
+        # md5-drawn negatives — mirrors sgns_train's default path)
+        p = pairs.selectExpr("center as c", "context as x").distinct()
+        vocab = sorted(
+            r.n
+            for r in p.selectExpr("c as n").union(p.selectExpr("x as n")).distinct().collect()
+        )
+        V = len(vocab)
+        vocab_arr = F.array(*[F.lit(v) for v in vocab])
+        negs = []
+        for j in range(2):
+            idx = (
+                F.conv(F.substring(F.md5(F.concat_ws("|", "c", "x", F.lit(f"n{j}"))), 1, 8), 16, 10)
+                .cast("long") % V
+            )
+            negs.append(F.element_at(vocab_arr, (idx + 1).cast("int")))
+        rows = p.select(
+            "c",
+            F.explode(
+                F.concat(
+                    F.array(F.struct(F.col("x").alias("t"), F.lit(1.0).alias("y"))),
+                    F.array(*[F.struct(nc.alias("t"), F.lit(0.0).alias("y")) for nc in negs]),
+                )
+            ).alias("s"),
+        ).select(F.col("c").alias("center"), F.col("s.t").alias("context"), F.col("s.y").alias("y"))
+
+        vnodes = (
+            p.selectExpr("c as node").union(p.selectExpr("x as node")).distinct()
+        )
+        out = []
+        for phase, (uu, ww) in (
+            ("init", (_init_matrix(vnodes, 8, "u"), _init_matrix(vnodes, 8, "w"))),
+            ("trained", (U, W)),
+        ):
+            scored = score_pairs(uu, ww, rows, keep_cols=["y"]).select(
+                F.round("s", 9).alias("s"), "y"
+            )
+            out.append((phase, round(pair_auc(scored), 6)))
+        return spark.createDataFrame(out, "phase string, auc double").orderBy("phase")
+
+    q["kg_sgns_eval"] = kg_sgns_eval
+
     def kg_hits(spark, sf_dir):
         # Kleinberg HITS over the same doc->term (+xref) graph: docs are
         # hubs, ontology terms authorities.  Oracle = the pinned numpy
@@ -3110,6 +3184,17 @@ WITH toks AS (
 SELECT source, token, c AS cnt_lower, c AS cnt_upper
 FROM cnts WHERE c >= 50 ORDER BY source, token
 """
+
+    from phenoqc_spark.sgns_golden import SGNS_AUC
+
+    _sga_vals = ",\n  ".join(
+        f"('{p_}', CAST({a} AS DOUBLE))" for p_, a in SGNS_AUC
+    )
+    o["kg_sgns_eval"] = (
+        "SELECT * FROM (VALUES\n  "
+        + _sga_vals
+        + "\n) AS t(phase, auc) ORDER BY phase"
+    )
 
     from phenoqc_spark.sgns_golden import SGNS_LOSSES
 
@@ -5208,7 +5293,7 @@ ORDER BY 1, 2
 # kg_turtle, kg_skipgrams, kg_node2vec, kg_ppr, kg_scc, emb_kmeans,
 # agg_profile, kg_spectral, kg_hyperanf, txt_source_cardinality,
 # txt_heavy_tokens, txt_bm25, agg_hist_quantiles, kg_link_predict,
-# kg_sgns_loss) have
+# kg_sgns_loss, kg_sgns_eval) have
 # never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.

@@ -38,7 +38,7 @@ from __future__ import annotations
 import hashlib
 from typing import List
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _hash_unit(key: str) -> float:
@@ -76,10 +76,13 @@ def sgns_train(
     center_col: str = "center",
     context_col: str = "context",
     neg_pairs: "DataFrame | None" = None,
+    return_output_matrix: bool = False,
 ):
     """Train SGNS embeddings on (center, context) pairs; returns
     ``(embeddings_df, losses)`` — the final input matrix U as a
-    (node, vec) DataFrame and the per-epoch full-batch loss list
+    (node, vec) DataFrame and the per-epoch full-batch loss list —
+    or ``(U, W, losses)`` with ``return_output_matrix=True`` (the output
+    matrix W is what :func:`score_pairs` needs for link scoring) —
     (Σ −ln σ(u·w) − Σ_neg ln σ(−u·w′), evaluated BEFORE each update,
     so losses[0] is the init loss and a decreasing curve is the
     training-works signal).
@@ -235,4 +238,72 @@ def sgns_train(
             .localCheckpoint(eager=True)
         )
         scored.unpersist()
+    if return_output_matrix:
+        return U, W, losses
     return U, losses
+
+
+def score_pairs(
+    emb_u: DataFrame,
+    emb_w: DataFrame,
+    pairs: DataFrame,
+    center_col: str = "center",
+    context_col: str = "context",
+    keep_cols: "List[str] | None" = None,
+) -> DataFrame:
+    """(center, context, [keep_cols...], s): dot-product scores of pairs
+    under (U, W) embedding tables — two joins + a JVM ``zip_with`` fold,
+    the scoring half of :func:`sgns_train` exposed for evaluation /
+    inference.  ``keep_cols`` ride through (e.g. an eval label), so
+    duplicate (center, context) rows with different labels score
+    per-row rather than fanning out on a join-back."""
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda l, r: l * r), F.lit(0.0), lambda acc, v: acc + v
+    )
+    keep = keep_cols or []
+    return (
+        pairs.select(
+            F.col(center_col).cast("string").alias("center"),
+            F.col(context_col).cast("string").alias("context"),
+            *[F.col(c) for c in keep],
+        )
+        .join(
+            emb_u.withColumnRenamed("node", "center").withColumnRenamed("vec", "u"),
+            "center",
+        )
+        .join(
+            emb_w.withColumnRenamed("node", "context").withColumnRenamed("vec", "w"),
+            "context",
+        )
+        .select("center", "context", *keep, dot(F.col("u"), F.col("w")).alias("s"))
+    )
+
+
+def pair_auc(scored: DataFrame, score_col: str = "s", label_col: str = "y") -> float:
+    """Exact tie-aware ROC-AUC of labeled pair scores (Mann-Whitney:
+    AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋) with average ranks on ties).
+
+    Plan: one groupBy on the score value (ties collapse), a running-sum
+    window over the DISTINCT-score rows, one scalar aggregate.  The
+    window is global — correct here because link-prediction EVAL frames
+    are sampled/bounded by construction (like ``reservoir_sample``
+    diagnostics); score a 10¹²-pair corpus through this and the global
+    sort is the bill, so don't.
+    """
+    g = scored.groupBy(F.col(score_col).alias("sv")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("double")).alias("np"),
+    )
+    w = Window.orderBy("sv").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = g.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "avg_rank", F.col("cum") - (F.col("n") - 1) / 2.0
+    )
+    row = ranked.agg(
+        F.sum(F.col("np") * F.col("avg_rank")).alias("rpos"),
+        F.sum("np").alias("npos"),
+        F.sum(F.col("n") - F.col("np")).alias("nneg"),
+    ).collect()[0]
+    n_pos, n_neg = float(row.npos or 0), float(row.nneg or 0)
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("pair_auc: need both positive and negative pairs")
+    return float((row.rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))

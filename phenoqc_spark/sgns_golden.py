@@ -8,3 +8,10 @@ SGNS_LOSSES = [
     (1, 1800.236795),
     (2, 1799.582598),
 ]
+
+# link-prediction AUC over the training rows, init vs after
+# 3 epochs (tie-aware Mann-Whitney)
+SGNS_AUC = [
+    ('init', 0.493071),
+    ('trained', 0.692484),
+]

@@ -112,3 +112,41 @@ with open(out_path, "w") as fh:
         + "]\n"
     )
 print(f"wrote {out_path}: {out}")
+
+# ---- AUC twin: link-prediction eval of the same rows, init vs trained ----
+U0 = np.array([[hu(f"{v}|u|{i}") / D for i in range(D)] for v in vocab])
+W0 = np.array([[hu(f"{v}|w|{i}") / D for i in range(D)] for v in vocab])
+
+
+def auc_of(Um, Wm):
+    # quantize to 9 dp before ranking: cross-impl float wobble (~1e-12)
+    # must become an exact tie, not an order flip worth 1/(n+*n-) of AUC
+    s = np.round((Um[ci] * Wm[ti]).sum(axis=1), 9)
+    order = np.argsort(s, kind="stable")
+    # average ranks with ties (1-based)
+    ranks = np.empty(len(s))
+    sorted_s = s[order]
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + 1 + j + 1) / 2.0
+        i = j + 1
+    n_pos = float((y == 1.0).sum())
+    n_neg = float((y == 0.0).sum())
+    rpos = ranks[y == 1.0].sum()
+    return (rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
+auc_rows = [("init", round(auc_of(U0, W0), 6)), ("trained", round(auc_of(U, W), 6))]
+assert auc_rows[1][1] > auc_rows[0][1], auc_rows
+with open(out_path, "a") as fh:
+    fh.write(
+        "\n# link-prediction AUC over the training rows, init vs after\n"
+        f"# {EPOCHS} epochs (tie-aware Mann-Whitney)\n"
+        "SGNS_AUC = [\n"
+        + "".join(f"    ({p!r}, {a!r}),\n" for p, a in auc_rows)
+        + "]\n"
+    )
+print("AUC:", auc_rows)

@@ -1855,3 +1855,24 @@ def test_sgns_train_neg_pairs_path(spark):
     assert losses[0] > losses[-1], losses
     emb = {r.node: np.array(r.vec) for r in U.collect()}
     assert set(emb) == {f"u{i}" for i in range(4)} | {f"v{i}" for i in range(4)}
+
+
+def test_pair_auc_exact(spark):
+    """Tie-aware AUC matches the hand formula on a case with ties and a
+    perfect separation; degenerate label sets raise."""
+    import pytest
+
+    from phenoqc_spark.operators.embeddings import pair_auc
+
+    # scores: pos {3, 2, 2}, neg {2, 1} — ties across labels at 2
+    df = spark.createDataFrame(
+        [(3.0, 1.0), (2.0, 1.0), (2.0, 1.0), (2.0, 0.0), (1.0, 0.0)], "s double, y double"
+    )
+    # pairwise: (3>2)=1,(3>1)=1,(2=2)=.5 x2,(2>1)=1 x2 -> (1+1+.5+1+.5+1)/6
+    assert abs(pair_auc(df) - 5.0 / 6.0) < 1e-12
+    perfect = spark.createDataFrame(
+        [(5.0, 1.0), (4.0, 1.0), (1.0, 0.0)], "s double, y double"
+    )
+    assert pair_auc(perfect) == 1.0
+    with pytest.raises(ValueError, match="both"):
+        pair_auc(spark.createDataFrame([(1.0, 1.0)], "s double, y double"))
