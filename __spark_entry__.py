@@ -2125,6 +2125,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_sgns_eval"] = kg_sgns_eval
 
+    def kg_ktruss(spark, sf_dir):
+        # 4-truss of a wheel-with-chords graph (doc_id < 120): peeling
+        # leaves the 180 edges whose triangles mutually survive — a
+        # proper irregular subgraph, so the cascade matters.  Oracle =
+        # the pinned sequential-peeling twin
+        # (phenoqc_spark/ktruss_golden.py, scripts/gen_ktruss_golden.py);
+        # exact string rows.
+        from phenoqc_spark.operators.canonicalize import ktruss
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+        base = docs.select(F.col("doc_id").cast("long").alias("d"))
+        e1 = base.select(
+            F.format_string("n%03d", F.col("d")).alias("src"),
+            F.format_string("n%03d", (F.col("d") + 1) % 120).alias("dst"),
+        )
+        e2 = base.select(
+            F.format_string("n%03d", F.col("d")).alias("src"),
+            F.format_string("n%03d", (F.col("d") + 2) % 120).alias("dst"),
+        )
+        e3 = base.filter(F.col("d") % 4 == 0).select(
+            F.format_string("n%03d", F.col("d")).alias("src"),
+            F.format_string("n%03d", (F.col("d") + 3) % 120).alias("dst"),
+        )
+        out = ktruss(e1.unionByName(e2).unionByName(e3), k=4)
+        return out.orderBy("node_a", "node_b")
+
+    q["kg_ktruss"] = kg_ktruss
+
     def kg_hits(spark, sf_dir):
         # Kleinberg HITS over the same doc->term (+xref) graph: docs are
         # hubs, ontology terms authorities.  Oracle = the pinned numpy
@@ -3184,6 +3212,15 @@ WITH toks AS (
 SELECT source, token, c AS cnt_lower, c AS cnt_upper
 FROM cnts WHERE c >= 50 ORDER BY source, token
 """
+
+    from phenoqc_spark.ktruss_golden import KTRUSS_120
+
+    _kt_vals = ",\n  ".join(f"('{a}', '{b}')" for a, b in KTRUSS_120)
+    o["kg_ktruss"] = (
+        "SELECT * FROM (VALUES\n  "
+        + _kt_vals
+        + "\n) AS t(node_a, node_b) ORDER BY node_a, node_b"
+    )
 
     from phenoqc_spark.sgns_golden import SGNS_AUC
 
@@ -5293,7 +5330,7 @@ ORDER BY 1, 2
 # kg_turtle, kg_skipgrams, kg_node2vec, kg_ppr, kg_scc, emb_kmeans,
 # agg_profile, kg_spectral, kg_hyperanf, txt_source_cardinality,
 # txt_heavy_tokens, txt_bm25, agg_hist_quantiles, kg_link_predict,
-# kg_sgns_loss, kg_sgns_eval) have
+# kg_sgns_loss, kg_sgns_eval, kg_ktruss) have
 # never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.

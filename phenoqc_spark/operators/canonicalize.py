@@ -1733,3 +1733,75 @@ def neighborhood_overlap(
         )
     )
     return out
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node_a, node_b) — the k-truss of the undirected simple graph:
+    the maximal subgraph in which EVERY edge closes ≥ k−2 triangles
+    (within the subgraph).  A stronger cohesion filter than k-core:
+    cores keep hubs with many weak one-off neighbors, trusses demand the
+    neighbors also interlink — the "tightly corroborated region" of a
+    KG (entities whose relations are mutually triangulated) and the
+    standard community-core primitive.
+
+    Iterative peeling: per round, per-edge triangle SUPPORT is computed
+    by enumerating triangles on the a<b-oriented edge list (one wedge
+    self-join + one closing left-semi-style join — the
+    :func:`graph_triangles` shape, each triangle charged to its three
+    edges via a 3-way union + hash aggregate), then every edge with
+    support < k−2 drops and the loop repeats on the survivors until a
+    fixpoint (edge removals cascade, exactly like the k-core node peel).
+    Rounds are bounded by the peel depth (≤ edge count, tiny in
+    practice); state is localCheckpoint-truncated per round.
+    Deterministic; raises if ``max_rounds`` is exceeded.
+    """
+    if k < 3:
+        raise ValueError("ktruss: k must be ≥ 3")
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull() & (F.col("x") != F.col("y"))
+    )
+    und = (
+        e.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        w1 = und.select(F.col("a").alias("p"), F.col("b").alias("u"))
+        w2 = und.select(F.col("a").alias("p"), F.col("b").alias("v"))
+        # wedges at apex p (u < v) closed by edge (u, v) → triangle (p,u,v)
+        tris = (
+            w1.join(w2, "p")
+            .filter(F.col("u") < F.col("v"))
+            .join(
+                und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+                ["u", "v"],
+                "left_semi",
+            )
+        )
+        support = (
+            tris.select(F.col("p").alias("a"), F.col("u").alias("b"))
+            .unionByName(tris.select(F.col("p").alias("a"), F.col("v").alias("b")))
+            .unionByName(tris.select(F.col("u").alias("a"), F.col("v").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("supp"))
+        )
+        keep = (
+            und.join(support, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("supp"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_before = und.count()
+        n_after = keep.count()
+        und = keep
+        if n_after == n_before or n_after == 0:
+            return und.select(
+                F.col("a").alias("node_a"), F.col("b").alias("node_b")
+            )
+    raise RuntimeError(f"ktruss: did not converge in {max_rounds} rounds")

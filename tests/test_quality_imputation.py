@@ -487,3 +487,29 @@ def test_neighborhood_overlap_scores(spark):
         for r in neighborhood_overlap(df, max_degree=2).collect()
     }
     assert ("a", "c") not in got_cut and got_cut[("a", "b")] == 1
+
+
+def test_ktruss_peeling(spark):
+    """K4 + pendant triangle + chain: 3-truss keeps all triangle edges,
+    4-truss peels down to the K4 (cascade: the pendant triangle's edges
+    have support 1); k < 3 raises."""
+    import pytest
+
+    from phenoqc_spark.operators.canonicalize import ktruss
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("d", "f"), ("e", "f"),
+        ("g", "h"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    t3 = sorted(map(tuple, ktruss(df, 3).collect()))
+    assert len(t3) == 9 and ("g", "h") not in t3
+    t4 = sorted(map(tuple, ktruss(df, 4).collect()))
+    assert t4 == [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")
+    ]
+    # 5-truss of K4 is empty (each edge closes only 2 triangles < 3)
+    assert ktruss(df, 5).count() == 0
+    with pytest.raises(ValueError, match="k must"):
+        ktruss(df, 2)
