@@ -2153,6 +2153,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_ktruss"] = kg_ktruss
 
+    def agg_reliability(spark, sf_dir):
+        # calibration curve of the pinned linear classifier's sigmoid
+        # scores against the embeddings table's real labels (binary:
+        # label < 5) — the model-eval readout before trusting a quality
+        # filter's keep threshold.  Oracle = the same score expression
+        # (DuckDB list_dot_product) binned with identical edge rules.
+        from phenoqc_spark.operators.classify import linear_score, reliability_curve
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        scored = linear_score(emb, _CLS_W, bias=_CLS_B).select(
+            "score", (F.col("label") < 5).cast("int").alias("y")
+        )
+        return reliability_curve(scored, "score", "y", n_bins=10).orderBy("bin")
+
+    q["agg_reliability"] = agg_reliability
+
     def kg_hits(spark, sf_dir):
         # Kleinberg HITS over the same doc->term (+xref) graph: docs are
         # hubs, ontology terms authorities.  Oracle = the pinned numpy
@@ -3211,6 +3227,20 @@ WITH toks AS (
 )
 SELECT source, token, c AS cnt_lower, c AS cnt_upper
 FROM cnts WHERE c >= 50 ORDER BY source, token
+"""
+
+    o["agg_reliability"] = f"""
+WITH s AS (
+  SELECT 1.0 / (1.0 + EXP(-(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             {_CLS_W_SQL}) + 0.05))) AS score,
+         CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings
+)
+SELECT LEAST(CAST(FLOOR(score * 10) AS INT), 9) AS bin,
+       count(*) AS n,
+       round(avg(score), 6) AS mean_score,
+       round(avg(y), 6) AS frac_pos
+FROM s GROUP BY 1 ORDER BY bin
 """
 
     from phenoqc_spark.ktruss_golden import KTRUSS_120
@@ -5330,7 +5360,7 @@ ORDER BY 1, 2
 # kg_turtle, kg_skipgrams, kg_node2vec, kg_ppr, kg_scc, emb_kmeans,
 # agg_profile, kg_spectral, kg_hyperanf, txt_source_cardinality,
 # txt_heavy_tokens, txt_bm25, agg_hist_quantiles, kg_link_predict,
-# kg_sgns_loss, kg_sgns_eval, kg_ktruss) have
+# kg_sgns_loss, kg_sgns_eval, kg_ktruss, agg_reliability) have
 # never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.

@@ -79,3 +79,38 @@ def classifier_filter(
     surviving-row projection straight onto the scan pipeline."""
     scored = linear_score(df, weights, bias, vec_col, score_col, link)
     return scored.filter(F.col(score_col) >= F.lit(float(threshold)))
+
+
+def reliability_curve(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """(bin, n, mean_score, frac_pos) — the calibration / reliability
+    diagram of probability scores against binary labels: bin b covers
+    [b/n_bins, (b+1)/n_bins) (scores of exactly 1.0 land in the last
+    bin), and a calibrated model has mean_score ≈ frac_pos per bin.
+    Expected calibration error is Σ n_b/N·|mean_score−frac_pos| over
+    the returned rows — left to the caller so the table stays the
+    single source.
+
+    One hash aggregate over (score, label) pairs; null scores/labels
+    are excluded.  The standard model-quality readout for
+    :func:`linear_score`-style quality filters before trusting their
+    keep/drop threshold at corpus scale.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    bin_ = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(s), 6).alias("mean_score"),
+            F.round(F.avg(y), 6).alias("frac_pos"),
+        )
+    )

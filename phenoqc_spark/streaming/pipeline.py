@@ -363,3 +363,61 @@ def read_cardinality_estimates(spark: SparkSession, state_path: str) -> DataFram
 
     state = spark.read.parquet(state_path).drop("batch_id")
     return estimate_cardinalities(merge_cardinality_sketches(state))
+
+
+def stream_histogram_state(
+    spark: SparkSession,
+    df_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    key_cols: "list[str]",
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    trigger_once: bool = True,
+):
+    """Streaming distribution state: per-batch fixed-bin histograms land
+    in their own ``batch_id`` partition; the SUM-merge happens at read
+    time (:func:`read_histogram_quantiles`), so a replayed batch
+    overwrites its partition and exactly-once holds with no ledger —
+    the same merge-at-read contract as :func:`stream_cardinality_state`
+    (bin-count addition is associative)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import histogram_sketches
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            histogram_sketches(batch_df, key_cols, value_col, lo, hi, n_bins)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_path)
+        )
+
+    writer = df_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_histogram_quantiles(
+    spark: SparkSession,
+    state_path: str,
+    qs: "list[float]",
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """(keys..., q, value) quantile estimates over a
+    :func:`stream_histogram_state` table — merge every batch partition's
+    bins and read the discrete quantiles; O(groups·n_bins) rows touched
+    regardless of how much data the bins have absorbed."""
+    from ..operators.sketches import histogram_merge, histogram_quantiles
+
+    state = spark.read.parquet(state_path).drop("batch_id")
+    return histogram_quantiles(histogram_merge(state), qs, lo, hi, n_bins)

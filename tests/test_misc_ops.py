@@ -1876,3 +1876,54 @@ def test_pair_auc_exact(spark):
     assert pair_auc(perfect) == 1.0
     with pytest.raises(ValueError, match="both"):
         pair_auc(spark.createDataFrame([(1.0, 1.0)], "s double, y double"))
+
+
+def test_stream_histogram_state_and_reliability_curve(spark, tmp_path):
+    """Streaming histogram batches merge at read into exact width-1
+    quantiles across a restart; reliability_curve bins calibrated vs
+    miscalibrated scores correctly (edge score 1.0 lands in the last
+    bin)."""
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators.classify import reliability_curve
+    from phenoqc_spark.streaming.pipeline import (
+        read_histogram_quantiles,
+        stream_histogram_state,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("g", float(v)) for v in range(50)], "k string, v double"
+    ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_histogram_state(spark, stream, state, ckpt, ["k"], "v", 0.0, 100.0, 100)
+        q.awaitTermination(120)
+        return {
+            (r.k, r.q): r.value
+            for r in read_histogram_quantiles(spark, state, [0.5], 0.0, 100.0, 100).collect()
+        }
+
+    assert run_once() == {("g", 0.5): 24.0}  # ceil(0.5*50)=25th value = 24
+    spark.createDataFrame(
+        [("g", float(v)) for v in range(50, 100)], "k string, v double"
+    ).write.mode("append").parquet(src)
+    assert run_once() == {("g", 0.5): 49.0}  # over 0..99: 50th value = 49
+
+    # reliability: scores exactly the label frequency per bin
+    rows = []
+    for b in range(4):
+        p = (b + 0.5) / 4
+        for i in range(20):
+            rows.append((p, 1.0 if i < p * 20 else 0.0))
+    rows.append((1.0, 1.0))  # edge case: lands in bin 3 of 4
+    df = spark.createDataFrame(rows, "score double, y double")
+    curve = {r.bin: r for r in reliability_curve(df, "score", "y", n_bins=4).collect()}
+    assert set(curve) == {0, 1, 2, 3}
+    for b in range(3):
+        assert abs(curve[b].mean_score - curve[b].frac_pos) < 0.08, curve[b]
+    assert curve[3].n == 21  # 20 + the score-1.0 edge row
