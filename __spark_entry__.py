@@ -2169,6 +2169,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_reliability"] = agg_reliability
 
+    def v_anomalies_mad(spark, sf_dir):
+        # robust median/MAD anomaly rows on events.value (Iglewicz-
+        # Hoberg 3.5 cut) — the z-score twin without self-masking.
+        # Oracle = the identical two-median formula in DuckDB.
+        from phenoqc_spark.operators.validation import anomalies_mad
+
+        ev = load_table(spark, sf_dir, "events")
+        return anomalies_mad(ev, ["value"], threshold=3.5).select(
+            "event_id", F.round("value", 6).alias("value")
+        ).orderBy("event_id")
+
+    q["v_anomalies_mad"] = v_anomalies_mad
+
+    def v_winsorize(spark, sf_dir):
+        # quantile clipping of events.value to [p1, p99] (exact mode for
+        # the oracle; percentile_approx is the corpus-scale default).
+        from phenoqc_spark.operators.validation import winsorize
+
+        ev = load_table(spark, sf_dir, "events")
+        out = winsorize(ev, ["value"], 0.01, 0.99, exact=True)
+        return out.select(
+            "event_id", F.round("value", 6).alias("value_w")
+        ).orderBy("event_id")
+
+    q["v_winsorize"] = v_winsorize
+
     def kg_hits(spark, sf_dir):
         # Kleinberg HITS over the same doc->term (+xref) graph: docs are
         # hubs, ontology terms authorities.  Oracle = the pinned numpy
@@ -3227,6 +3253,31 @@ WITH toks AS (
 )
 SELECT source, token, c AS cnt_lower, c AS cnt_upper
 FROM cnts WHERE c >= 50 ORDER BY source, token
+"""
+
+    o["v_anomalies_mad"] = """
+WITH m AS (SELECT median(value) AS med FROM events),
+mm AS (
+  SELECT (SELECT med FROM m) AS med,
+         median(abs(value - (SELECT med FROM m))) AS mad
+  FROM events
+)
+SELECT e.event_id, round(e.value, 6) AS value
+FROM events e, mm
+WHERE mm.mad IS NOT NULL AND mm.mad <> 0
+  AND abs((e.value - mm.med) / (1.4826 * mm.mad)) > 3.5
+ORDER BY e.event_id
+"""
+
+    o["v_winsorize"] = """
+WITH q AS (
+  SELECT quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+  FROM events
+)
+SELECT event_id,
+       round(CASE WHEN value IS NULL THEN NULL
+                  ELSE least(greatest(value, lo), hi) END, 6) AS value_w
+FROM events, q ORDER BY event_id
 """
 
     o["agg_reliability"] = f"""
@@ -5360,7 +5411,8 @@ ORDER BY 1, 2
 # kg_turtle, kg_skipgrams, kg_node2vec, kg_ppr, kg_scc, emb_kmeans,
 # agg_profile, kg_spectral, kg_hyperanf, txt_source_cardinality,
 # txt_heavy_tokens, txt_bm25, agg_hist_quantiles, kg_link_predict,
-# kg_sgns_loss, kg_sgns_eval, kg_ktruss, agg_reliability) have
+# kg_sgns_loss, kg_sgns_eval, kg_ktruss, agg_reliability,
+# v_anomalies_mad, v_winsorize) have
 # never held a driver row —
 # promote them first; then cycle back v_required_missing / v_duplicates /
 # txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.

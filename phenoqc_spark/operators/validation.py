@@ -200,6 +200,90 @@ def anomalies_zscore(
     return joined.filter(cond).select(*df.columns)
 
 
+def anomalies_mad(
+    df: DataFrame, numeric_cols: List[str], threshold: float = 3.5
+) -> DataFrame:
+    """Rows where any robust z-score |x − median| / (1.4826·MAD) exceeds
+    ``threshold`` — the median/MAD twin of :func:`anomalies_zscore`.
+
+    The classical z-score is self-masking: the outliers being hunted
+    inflate μ and σ, so a single extreme value can hide a cluster of
+    moderate ones.  Median and MAD have a 50% breakdown point, making
+    this the robust default (Iglewicz-Hoberg's 3.5 cut); 1.4826 scales
+    MAD to σ under normality so thresholds stay comparable.
+
+    Same two-pass shape as the z-score variant: one stats aggregate
+    (exact ``median`` — reserve for profile-sized slices or swap
+    ``percentile_approx`` at full-corpus scale), a broadcast join of the
+    stats row, a codegen filter; columns with MAD = 0 are skipped like
+    σ = 0 columns.  MAD is median(|x − median|), computed in the same
+    aggregate pass via a median over the derived absolute deviation —
+    two exact medians, one stats row.
+    """
+    med_aggs = [F.median(F.col(c)).alias(f"_med_{c}") for c in numeric_cols]
+    meds = df.agg(*med_aggs)
+    with_dev = df.crossJoin(F.broadcast(meds))
+    mad_aggs = [
+        F.median(F.abs(F.col(c) - F.col(f"_med_{c}"))).alias(f"_mad_{c}")
+        for c in numeric_cols
+    ]
+    mads = with_dev.agg(
+        *[F.first(f"_med_{c}").alias(f"_med_{c}") for c in numeric_cols], *mad_aggs
+    )
+    joined = df.crossJoin(F.broadcast(mads))
+    cond = None
+    for c in numeric_cols:
+        mad = F.col(f"_mad_{c}")
+        rz = (F.col(c) - F.col(f"_med_{c}")) / (F.lit(1.4826) * mad)
+        p = mad.isNotNull() & (mad != 0) & (F.abs(rz) > threshold)
+        cond = p if cond is None else (cond | p)
+    return joined.filter(cond).select(*df.columns)
+
+
+def winsorize(
+    df: DataFrame,
+    numeric_cols: List[str],
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    exact: bool = False,
+    approx_accuracy: int = 10000,
+) -> DataFrame:
+    """Clip each column to its [lower_q, upper_q] quantiles — the
+    outlier-taming companion to the anomaly REPORTS: where flagging
+    feeds review, winsorizing feeds models that must not see a 10⁶×
+    tail (the standard robust-preprocessing step the reference's
+    z-score detection implies but never applies).
+
+    One stats aggregate (``percentile_approx`` by default — the
+    full-corpus path; ``exact=True`` interpolated percentiles for
+    oracle-grade slices), broadcast back, per-column
+    ``least(greatest(x, lo), hi)`` codegen; nulls pass through
+    untouched.  Non-listed columns are untouched.
+    """
+    ps = F.array(F.lit(float(lower_q)), F.lit(float(upper_q)))
+    aggs = []
+    for c in numeric_cols:
+        col = F.col(c).cast("double")
+        pc = (
+            F.percentile(col, ps)
+            if exact
+            else F.percentile_approx(col, ps, F.lit(approx_accuracy))
+        )
+        aggs.append(pc.alias(f"_q_{c}"))
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in numeric_cols:
+        lo = F.col(f"_q_{c}")[0]
+        hi = F.col(f"_q_{c}")[1]
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(c).isNotNull(), F.least(F.greatest(F.col(c), lo), hi)
+            ).otherwise(F.col(c)),
+        )
+    return out.select(*df.columns)
+
+
 # ---------------------------------------------------------------------------
 # A1/A2 — missing data
 # ---------------------------------------------------------------------------

@@ -187,3 +187,33 @@ def test_schema_flag_native_matches_jsonschema_udf(spark):
         for r in V.schema_violation_flag(df2, s4_udf, columns=["v"]).collect()
     }
     assert native4 == udf4 == {2.0: True, 2.5: True}
+
+
+def test_anomalies_mad_robust_vs_zscore(spark):
+    """A single extreme outlier inflates sigma enough to mask a moderate
+    one from the z-score; median/MAD flags both.  MAD=0 columns are
+    skipped."""
+    from phenoqc_spark.operators.validation import anomalies_mad, anomalies_zscore
+
+    vals = [10.0] * 20 + [11.0] * 20 + [30.0, 100000.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v double")
+    z = {r.i for r in anomalies_zscore(df, ["v"], threshold=3.0).collect()}
+    m = {r.i for r in anomalies_mad(df, ["v"], threshold=3.5).collect()}
+    assert 41 in z and 40 not in z          # sigma self-masked the 30.0
+    assert m == {40, 41}                     # robust stats catch both
+    const = spark.createDataFrame([(i, 5.0) for i in range(10)], "i int, v double")
+    assert anomalies_mad(const, ["v"]).count() == 0  # MAD = 0 -> skip
+
+
+def test_winsorize_clips_and_preserves_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators.validation import winsorize
+
+    rows = [(i, float(i)) for i in range(100)] + [(100, None)]
+    df = spark.createDataFrame(rows, "i int, v double")
+    out = {r.i: r.v for r in winsorize(df, ["v"], 0.1, 0.9, exact=True).collect()}
+    # exact p10/p90 of 0..99 are 9.9 and 89.1 (linear interpolation;
+    # float representation of 0.9*99 is 89.10000000000001)
+    assert abs(out[0] - 9.9) < 1e-9 and abs(out[99] - 89.1) < 1e-9
+    assert out[50] == 50.0 and out[100] is None
