@@ -53,6 +53,13 @@ def main() -> None:
     ap.add_argument("--pagerank-iters", type=int, default=0,
                     help="with --graph-stats: also run N PageRank power "
                          "iterations over the triple graph and add a rank column")
+    ap.add_argument("--embed-epochs", type=int, default=0,
+                    help="train SGNS entity embeddings on the triple graph "
+                         "(positives = (subj, obj) pairs, negatives = the "
+                         "filtered corruption sampler) for N full-batch "
+                         "epochs and write (node, vec) to <out>/embeddings; "
+                         "reports the per-epoch loss curve")
+    ap.add_argument("--embed-dim", type=int, default=16)
     ap.add_argument("--ppr-seeds", default=None,
                     help="with --graph-stats: comma-separated seed entities; "
                          "adds a personalized-PageRank relatedness column "
@@ -225,6 +232,24 @@ def main() -> None:
             )
         stats.write.mode("overwrite").parquet(graph_stats_path)
         log_activity(f"graph stats -> {graph_stats_path}")
+    embed_path = None
+    embed_losses = None
+    if args.embed_epochs > 0:
+        from phenoqc_spark.operators.embeddings import sgns_train
+        from phenoqc_spark.operators.triples import negative_samples
+
+        tri_df = spark.read.parquet(triples_path)
+        pos = tri_df.select(F.col("subj").alias("center"), F.col("obj").alias("context"))
+        neg = negative_samples(tri_df, n_per_positive=1).select(
+            F.col("subj").alias("center"), F.col("neg_obj").alias("context")
+        )
+        emb, losses = sgns_train(
+            pos, d=args.embed_dim, epochs=args.embed_epochs, neg_pairs=neg
+        )
+        embed_path = os.path.join(args.out, "embeddings")
+        emb.write.mode("overwrite").parquet(embed_path)
+        embed_losses = [round(l, 2) for l in losses]
+        log_activity(f"embeddings -> {embed_path} (losses {embed_losses})")
     reach_path = None
     eff_diam = None
     if args.graph_stats and args.hyperanf > 0:
@@ -391,6 +416,8 @@ def main() -> None:
         "resumed": bool(args.resume),
         "report": report_path,
         "graph_stats": graph_stats_path,
+        "embeddings": embed_path,
+        "embed_losses": embed_losses,
         "reach_curve": reach_path,
         "effective_diameter": eff_diam,
         "term_rollup": rollup_path,
