@@ -1927,3 +1927,39 @@ def test_stream_histogram_state_and_reliability_curve(spark, tmp_path):
     for b in range(3):
         assert abs(curve[b].mean_score - curve[b].frac_pos) < 0.08, curve[b]
     assert curve[3].n == 21  # 20 + the score-1.0 edge row
+
+
+def test_run_kg_job_graph_and_embed_flags(spark, tmp_path):
+    """The round-4 KG-job flags end to end in one run: --graph-stats
+    --scc --ppr-seeds --hyperanf write their tables, --embed-epochs
+    trains and writes entity embeddings with a decreasing loss curve."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "kg"
+    proc = subprocess.run(
+        [sys.executable, "jobs/run_kg_job.py",
+         "--generate-rows", "3000", "--out", str(out),
+         "--graph-stats", "--scc", "--hyperanf", "2",
+         "--ppr-seeds", "HP:0000822",
+         "--embed-epochs", "2", "--embed-dim", "4"],
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+        capture_output=True, text=True, timeout=540, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    head = json.loads(
+        [l for l in proc.stdout.strip().splitlines() if '"run_id"' in l][-1]
+    )
+    assert head["triples_total"] > 0
+    gs = spark.read.parquet(head["graph_stats"])
+    assert {"scc_id", "ppr"} <= set(gs.columns)
+    assert gs.filter(gs.ppr > 0).count() >= 1  # seed-reachable mass exists
+    curve = {r.hops: r.n_pairs for r in spark.read.parquet(head["reach_curve"]).collect()}
+    assert curve[0] > 0 and curve[2] >= curve[1] >= curve[0]
+    assert head["effective_diameter"] is not None
+    emb = spark.read.parquet(head["embeddings"])
+    assert emb.count() == gs.count()  # one vector per graph entity
+    assert len(emb.first().vec) == 4
+    l0, l1 = head["embed_losses"]
+    assert l1 < l0  # training moved the loss
