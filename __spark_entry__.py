@@ -5382,98 +5382,82 @@ ORDER BY 1, 2
 # here is still run through the IDENTICAL differential check by
 # scripts/check_correctness.py.
 #
-# Round-4 rotation: promoted the 8 round-3 extras, the 3 imputation
-# queries (upgraded from rows-only to pinned numpy-twin hash oracles) and
-# the new kg_triples_unicode; demoted 12 r1-r3-green queries whose
-# operators remain covered:
-#   v_required_missing, v_anomalies_zscore ⊂ u_issue_union (same ops);
-#   txt_tokens, txt_langid ⊂ td_prep (same ops in the composition);
-#   txt_fingerprint, f_hash_lineage ⊂ dd_exact_groups/mm_features
-#     (same md5/sha256 hash paths);
-#   agg_topk_terms ⊂ txt_tfidf (same tokenize+groupBy+rank, richer);
-#   agg_impute_median ⊂ agg_impute_mean (same single-pass fill shape);
-#   v_duplicates, v_missing_counts, agg_window_running,
-#   agg_sample_reservoir: unit-tested, driver-proven in r1-r3.
+# Round-5 rotation: the round-4 operator wave grew the registry to 134
+# while the driver records 50 rows/round, leaving 69 queries that had
+# never held an authoritative driver row.  This round records 50 of
+# those 69 — the graph / ontology-semantics / SPARQL / walks / event-log
+# / aggregation-idiom waves plus txt_bm25, txt_pmi, emb_kmeans and the
+# td_curate flagship chain — and retires ALL 50 round-4 rows (each has
+# 1-4 green driver rounds; their operators stay covered by the identical
+# local gate in scripts/check_correctness.py, which runs recorded +
+# extras the same way).
 #
-# Round-5 rotation candidates (currently in extras, all hash-green via the
-# local gate): the r4 additions (kg_pagerank, td_importance, td_pack_shards,
-# txt_url_canon, td_curate, txt_chunks, kg_triangles, kg_clustering,
-# kg_kcore, sim_hash_embed, dd_exact_bloom, agg_sessionize,
-# agg_asof_join, agg_range_join, agg_percentiles, agg_pivot,
-# agg_rollup, kg_bfs, f_json_extract, u_snapshot_diff,
-# kg_pagerank_weighted, kg_hits, agg_drift_psi, agg_drift_panel,
-# td_classifier_filter, dd_near_dedup_best, dd_span_winnow,
-# kg_ancestor_closure, kg_term_rollup, kg_term_similarity,
-# txt_dup_spans, kg_term_ic, kg_resnik, kg_phenomizer_bma, kg_soft_pr,
-# kg_bgp, kg_bgp_path, kg_ntriples, agg_latest_event, kg_communities,
-# kg_merge_state, kg_modularity, txt_pmi, kg_negative_samples,
-# f_zvalue, td_host_cap, v_triple_shapes, kg_random_walks, agg_cube,
-# kg_turtle, kg_skipgrams, kg_node2vec, kg_ppr, kg_scc, emb_kmeans,
-# agg_profile, kg_spectral, kg_hyperanf, txt_source_cardinality,
-# txt_heavy_tokens, txt_bm25, agg_hist_quantiles, kg_link_predict,
-# kg_sgns_loss, kg_sgns_eval, kg_ktruss, agg_reliability,
-# v_anomalies_mad, v_winsorize) have
-# never held a driver row —
-# promote them first; then cycle back v_required_missing / v_duplicates /
-# txt_tokens / agg_topk_terms etc. so no query goes two rounds unrecorded.
+# Still never driver-recorded after this round (19 — record in round 6,
+# then cycle back the long-retired r1-r4 names so no query goes two
+# rounds unrecorded): td_importance, td_pack_shards, txt_url_canon,
+# txt_chunks, sim_hash_embed, dd_exact_bloom, u_snapshot_diff,
+# agg_drift_psi, agg_drift_panel, td_classifier_filter,
+# dd_near_dedup_best, dd_span_winnow, txt_dup_spans, f_zvalue,
+# td_host_cap, txt_source_cardinality, txt_heavy_tokens,
+# v_anomalies_mad, v_winsorize.
 _RECORDED = [
-    # KG construction
-    "kg_triples_full",
-    "kg_triples_unicode",
-    "kg_triples_array",
-    "kg_mapping_stats",
-    "kg_canonicalize_cc",
-    "kg_canonical_triples",
-    "kg_accuracy_gt",
-    "kg_degree_stats",
-    # validation
-    "v_range_accuracy",
-    "v_referential_integrity",
-    "v_conflicts",
-    "v_timeliness",
-    "v_schema_flag",
-    "v_cell_violations",
-    "v_format_multi",
-    # aggregation / quality
-    "agg_class_distribution",
-    "agg_impute_mean",
-    "agg_impute_mode",
-    "agg_impute_knn",
-    "agg_impute_mice",
-    "agg_impute_svd",
-    "agg_redundancy",
-    "agg_time_window",
-    "agg_quality_scores",
-    "u_issue_union",
-    "q1_pricing",
-    "q3_shipping",
-    # dedup
-    "dd_exact_groups",
-    "dd_ngram_jaccard",
-    "dd_minhash_lsh",
-    "dd_near_dedup",
-    "dd_simhash",
-    "dd_paragraph",
-    "dd_embedding_neardup",
-    # similarity
-    "sim_knn_bruteforce",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_pq_adc",
-    # multimodal
-    "mm_frame_plan",
-    "mm_features",
-    # text analytics / training-data prep
-    "txt_quality",
-    "txt_source_stats",
-    "txt_redact",
-    "txt_repetition",
-    "txt_tfidf",
-    "txt_hosts",
-    "txt_unigram_nll",
-    "td_contamination",
-    "td_mix_sample",
-    "td_prep",
+    # graph kit (iterative + combinatorial over the KG)
+    "kg_pagerank",
+    "kg_pagerank_weighted",
+    "kg_ppr",
+    "kg_hits",
+    "kg_communities",
+    "kg_modularity",
+    "kg_triangles",
+    "kg_clustering",
+    "kg_kcore",
+    "kg_ktruss",
+    "kg_scc",
+    "kg_bfs",
+    "kg_hyperanf",
+    "kg_spectral",
+    "kg_link_predict",
+    # ontology semantics
+    "kg_ancestor_closure",
+    "kg_term_rollup",
+    "kg_term_ic",
+    "kg_resnik",
+    "kg_phenomizer_bma",
+    "kg_soft_pr",
+    "kg_term_similarity",
+    # SPARQL surface / serializers / shapes / state
+    "kg_bgp",
+    "kg_bgp_path",
+    "kg_ntriples",
+    "kg_turtle",
+    "v_triple_shapes",
+    "kg_merge_state",
+    # walks / embedding training
+    "kg_random_walks",
+    "kg_skipgrams",
+    "kg_node2vec",
+    "kg_negative_samples",
+    "kg_sgns_loss",
+    "kg_sgns_eval",
+    # event-log kit
+    "agg_sessionize",
+    "agg_asof_join",
+    "agg_range_join",
+    "agg_latest_event",
+    # aggregation idioms
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_cube",
+    "agg_profile",
+    "f_json_extract",
+    "agg_hist_quantiles",
+    "agg_reliability",
+    # text analytics / training-data prep / clustering
+    "txt_bm25",
+    "txt_pmi",
+    "td_curate",
+    "emb_kmeans",
 ]
 
 

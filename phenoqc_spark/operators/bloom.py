@@ -51,7 +51,46 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import BinaryType, BooleanType, IntegerType, StructField, StructType
 
-__all__ = ["bloom_from_state", "bloom_might_contain", "dedup_exact_incremental_bloom"]
+__all__ = [
+    "bloom_from_state",
+    "bloom_might_contain",
+    "dedup_exact_incremental_bloom",
+    "prefer_bloom",
+]
+
+
+def prefer_bloom(
+    state_rows: int,
+    batch_rows: int,
+    state_is_remote: bool = True,
+    reps_per_build: int = 1,
+) -> bool:
+    """Should an ingest loop prefilter the incremental exact dedup with a
+    Bloom filter, or just run the plain state anti-join?
+
+    The bloom's win is STRUCTURAL, not local wall-clock: the state never
+    enters an Exchange (<1 MB vs 519 MB shuffled per 1M-doc batch at a
+    16M-hash state, BENCH/DEDUP.md), which matters when the state is a
+    remote Iceberg/Delta table re-shuffled per tick on a real cluster.
+    On a single node with the state already local, the plain anti-join is
+    honestly ~2.6× FASTER (6.0 s vs 2.3 s at 16M hashes) because the
+    bloom pays an Arrow probe plus a bitmap build that one local shuffle
+    does not.  Heuristic encoded here:
+
+    - tiny state (≤ ~1M hashes): the anti-join broadcast path in
+      ``dedup_exact_incremental`` already avoids shuffling anything big —
+      bloom never pays off;
+    - local state: plain join wins on wall-clock; prefer bloom only when
+      the filter is REUSED across many batches per build
+      (``reps_per_build ≥ 4`` amortizes the build);
+    - remote state at ≥ state≫batch scale: bloom wins — each tick's
+      Exchange of the full state is the dominant cost it removes.
+    """
+    if state_rows <= 1_000_000:
+        return False
+    if not state_is_remote:
+        return reps_per_build >= 4
+    return state_rows >= 10 * max(1, batch_rows)
 
 
 def _bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
@@ -122,7 +161,7 @@ def bloom_from_state(
     # no dropDuplicates: re-setting a present hash's bits is idempotent,
     # so duplicate state rows cost nothing and the build's only shuffle
     # is the bucket grouping itself
-    hashes = state.select(
+    hashes = state.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col).alias("_h"),
         F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_buckets)).cast("int").alias("_b"),
     )
@@ -163,12 +202,18 @@ def bloom_might_contain(
     @F.pandas_udf(BooleanType())
     def probe(h: pd.Series, b: pd.Series) -> pd.Series:
         bm = bc.value
-        if len(h) == 0:
-            return pd.Series(np.zeros(0, dtype=bool))
-        pos = _positions(h, k, m_bucket)
-        gpos = b.to_numpy().astype(np.int64)[:, None] * np.int64(m_bucket) + pos
+        out = np.zeros(len(h), dtype=bool)
+        # null hash (md5 of null text — realistic web-crawl input where
+        # extraction failed) can never be IN the hash state: answer the
+        # definitely-unseen False instead of crashing bytes.fromhex
+        mask = h.notna().to_numpy()
+        if not mask.any():
+            return pd.Series(out)
+        pos = _positions(h[mask], k, m_bucket)
+        gpos = b.to_numpy().astype(np.int64)[mask][:, None] * np.int64(m_bucket) + pos
         hits = (bm[gpos >> 3] & np.left_shift(1, gpos & 7).astype(np.uint8)) != 0
-        return pd.Series(hits.all(axis=1))
+        out[mask] = hits.all(axis=1)
+        return pd.Series(out)
 
     bucket = F.pmod(F.xxhash64(F.col(hash_col)), F.lit(n_buckets)).cast("int")
     return df.withColumn(out_col, probe(F.col(hash_col), bucket))
@@ -196,6 +241,14 @@ def dedup_exact_incremental_bloom(
     the newest state rows is still CORRECT here only if the state passed
     in matches it; the verify join runs against ``seen_hashes`` as given,
     so keep the pair consistent).
+
+    **When NOT to use this**: on a single node with a local, small
+    (≤ ~1M-hash) state, the plain
+    :func:`~phenoqc_spark.operators.dedup.dedup_exact_incremental`
+    anti-join is ~2.6× faster in wall-clock (BENCH/DEDUP.md) — the
+    bloom's win is the removed state Exchange, which only dominates for
+    a remote state re-shuffled per ingest tick.  Use
+    :func:`prefer_bloom` to pick per regime.
     """
     from .dedup import dedup_exact
 

@@ -128,7 +128,19 @@ def sgns_train(
     if neg_pairs is None:
         # the literal negative array needs the vocab driver-side —
         # bounded-vocab contract (see docstring); the neg_pairs path
-        # never materializes the vocabulary
+        # never materializes the vocabulary.  ENFORCE the bound: past
+        # ~10k nodes the literal array becomes a multi-MB plan
+        # expression replicated into every task — fail fast and point at
+        # the web-scale path instead of degrading silently.
+        V_probe = vnodes.count()
+        if V_probe > 10_000:
+            raise ValueError(
+                f"sgns_train: vocabulary has {V_probe} nodes — the literal-"
+                "vocab negative sampler is bounded to ~10k (the vocab is "
+                "inlined into the plan). Pre-draw corruptions with "
+                "triples.negative_samples and pass them as neg_pairs=, "
+                "which never materializes the vocabulary driver-side."
+            )
         vocab = sorted(r.node for r in vnodes.collect())
         V = len(vocab)
     else:

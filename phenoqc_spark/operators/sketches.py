@@ -212,15 +212,19 @@ def mg_summary(
         )
         .filter(F.col("cnt") > 0)
     )
+    # the error-ledger rows' NULL token casts to the SOURCE column type —
+    # a "string" cast would silently widen a non-string token column in
+    # the unionByName, changing the summary schema vs the input
+    tok_type = counts.schema["token"].dataType
     err = pivot.select(
-        *key_cols, F.lit(None).cast("string").alias("token"), F.col("_pivot").alias("cnt")
+        *key_cols, F.lit(None).cast(tok_type).alias("token"), F.col("_pivot").alias("cnt")
     )
     # groups with <= m distinct tokens have no pivot row -> no err row ->
     # normalize: always emit an err row (0) so merge arithmetic is uniform
     zero_err = (
         counts.select(*key_cols).distinct()
         .join(pivot.select(*key_cols), key_cols, "left_anti")
-        .select(*key_cols, F.lit(None).cast("string").alias("token"), F.lit(0).cast("long").alias("cnt"))
+        .select(*key_cols, F.lit(None).cast(tok_type).alias("token"), F.lit(0).cast("long").alias("cnt"))
     )
     return folded.unionByName(err).unionByName(zero_err)
 
@@ -258,7 +262,7 @@ def mg_merge(*summaries: DataFrame, m: int = 100) -> DataFrame:
         errs.join(pivot, keys, "left")
         .select(
             *keys,
-            F.lit(None).cast("string").alias("token"),
+            F.lit(None).cast(u.schema["token"].dataType).alias("token"),
             (F.col("cnt") + F.coalesce(F.col("_pivot"), F.lit(0))).alias("cnt"),
         )
     )

@@ -543,9 +543,15 @@ def bm25_topk(
     # the single-partition row_number then touches only <= k rows
     topk = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return topk.withColumn("rank", F.row_number().over(w)).select(
+    out = topk.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "score", "rank"
     )
+    # register the persisted per-doc frame on the result so long-lived
+    # sessions can free it via dedup.release_intermediates (same
+    # lifecycle contract as the LSH dedup operators)
+    from .dedup import _register_persisted
+
+    return _register_persisted(out, [per_doc])
 
 
 _TRACKING_PARAMS = (
@@ -623,8 +629,9 @@ def url_host_stats(df: DataFrame, url_col: str = "url", text_col: str | None = "
 
     JVM ``try_parse_url`` for host/path (malformed URLs bucket under the NULL host instead of raising); one hash-groupBy (text contributes
     only its md5, as in :func:`corpus_source_stats`).  Share-of-corpus
-    comes from a window over the grouped result (host-count sized), not a
-    second scan.
+    comes from a lazy 1-row total broadcast-cross-joined back onto the
+    grouped result — NOT an unpartitioned window, which would funnel the
+    host-grained frame (10⁷–10⁸ rows at web scale) through one task.
     """
     has_text = text_col is not None and text_col in df.columns
     proj = [
@@ -641,11 +648,13 @@ def url_host_stats(df: DataFrame, url_col: str = "url", text_col: str | None = "
         aggs.append(
             F.round(1.0 - F.countDistinct("_h") / F.count(F.lit(1)), 6).alias("dup_rate")
         )
-    from pyspark.sql import Window
-
     grouped = df.select(*proj).groupBy("host").agg(*aggs)
-    total = F.sum("n_docs").over(Window.partitionBy())
-    return grouped.withColumn("corpus_share", F.round(F.col("n_docs") / total, 6))
+    total = grouped.agg(F.sum("n_docs").alias("_total"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .withColumn("corpus_share", F.round(F.col("n_docs") / F.col("_total"), 6))
+        .drop("_total")
+    )
 
 
 def unigram_logprob_score(

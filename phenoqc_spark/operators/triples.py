@@ -349,6 +349,24 @@ def match_bgp(
     return result.drop(*[c for c in result.columns if c.startswith("_exists_")])
 
 
+# The FULL set of characters RFC/W3C N-Triples forbids inside <IRIREF>:
+# [\x00-\x20<>"{}|^`\\] — raw crawl URLs (subjects are url#sampleid) can
+# carry any of them, so every one percent-encodes; % first so encoded
+# output never double-encodes.  Chained F.replace stays whole-stage
+# codegen (constant search/replacement per step, no UDF).
+_IRI_ENCODE = [("%", "%25")] + [
+    (c, "%{:02X}".format(ord(c)))
+    for c in [chr(i) for i in range(0x21)] + ['<', '>', '"', '{', '}', '|', '^', '`', '\\']
+]
+
+
+def _iri_escape(col):
+    c = F.col(col).cast("string")
+    for ch, enc in _IRI_ENCODE:
+        c = F.replace(c, F.lit(ch), F.lit(enc))
+    return c
+
+
 def to_ntriples(
     triples_df: DataFrame,
     subj: str = "subj",
@@ -366,8 +384,9 @@ def to_ntriples(
 
     Escaping: literal objects get the N-Triples string escapes
     (``\\ " \\n \\r \\t``, backslash first); IRI components percent-encode
-    the characters N-Triples forbids inside ``<>`` (space, ``< > "``) —
-    engine-generated ids (term CURIEs, urls) never contain the rest.
+    the FULL IRIREF-forbidden set ``[\\x00-\\x20<>"{}|^`\\\\]`` — raw
+    crawl URLs legitimately carry tabs, braces, carets and backslashes,
+    and every serialized line must stay a valid N-Triples statement.
 
     Scale shape: pure per-row JVM string expressions (whole-stage
     codegen, no UDF, no shuffle); pair with
@@ -375,10 +394,7 @@ def to_ntriples(
     N-Triples documents.
     """
     def iri(col):
-        c = F.col(col).cast("string")
-        for ch, enc in (("%", "%25"), (" ", "%20"), ("<", "%3C"), (">", "%3E"), ('"', "%22")):
-            c = F.replace(c, F.lit(ch), F.lit(enc))
-        return F.concat(F.lit("<" + base), c, F.lit(">"))
+        return F.concat(F.lit("<" + base), _iri_escape(col), F.lit(">"))
 
     def lit_term(col):
         c = F.col(col).cast("string")
@@ -566,10 +582,7 @@ def to_turtle(
     (whole-stage codegen, no UDF, no shuffle) — the prefix table is tiny
     and folds into the plan as literals."""
     def iri_str(col):
-        c = F.col(col).cast("string")
-        for ch, enc in (("%", "%25"), (" ", "%20"), ("<", "%3C"), (">", "%3E"), ('"', "%22")):
-            c = F.replace(c, F.lit(ch), F.lit(enc))
-        return F.concat(F.lit(base), c)
+        return F.concat(F.lit(base), _iri_escape(col))
 
     def term(col):
         full = iri_str(col)

@@ -275,10 +275,14 @@ def winsorize(
     for c in numeric_cols:
         lo = F.col(f"_q_{c}")[0]
         hi = F.col(f"_q_{c}")[1]
+        # cast the clipped value back to the column's ORIGINAL dataType —
+        # least/greatest against double quantile bounds would otherwise
+        # silently widen int columns, changing the output schema vs input
         out = out.withColumn(
             c,
             F.when(
-                F.col(c).isNotNull(), F.least(F.greatest(F.col(c), lo), hi)
+                F.col(c).isNotNull(),
+                F.least(F.greatest(F.col(c), lo), hi).cast(df.schema[c].dataType),
             ).otherwise(F.col(c)),
         )
     return out.select(*df.columns)

@@ -76,7 +76,16 @@ def _graph_summary(graph_stats: DataFrame, top_n: int = 10):
             .limit(top_n)
             .collect()
         )
-    return summary, top, top_rank
+    top_comm = []
+    if "community" in cols:
+        top_comm = (
+            graph_stats.groupBy("community")
+            .agg(F.count(F.lit(1)).alias("size"))
+            .orderBy(F.desc("size"), F.asc("community"))
+            .limit(top_n)
+            .collect()
+        )
+    return summary, top, top_rank, top_comm
 
 
 def _rollup_rows(term_rollup: DataFrame, top_n: int = 20):
@@ -144,7 +153,7 @@ def generate_report(
                 f"| {r.column} | {r.ontology} | {r.total_terms} | {r.mapped_terms} | {r.success_rate_pct} |"
             )
     if graph_stats is not None:
-        summary, top, top_rank = _graph_summary(graph_stats)
+        summary, top, top_rank, top_comm = _graph_summary(graph_stats)
         lines += ["", "## Graph diagnostics", ""]
         lines += [f"- {k}: **{v}**" for k, v in summary]
         lines += [
@@ -167,6 +176,15 @@ def generate_report(
                 "|---|---|",
             ]
             lines += [f"| {r.entity} | {r.rank:.6f} |" for r in top_rank]
+        if top_comm:
+            lines += [
+                "",
+                "### Largest communities (label propagation)",
+                "",
+                "| community | members |",
+                "|---|---|",
+            ]
+            lines += [f"| {r.community} | {r.size:,} |" for r in top_comm]
     if term_rollup is not None:
         lines += [
             "",
@@ -221,6 +239,23 @@ def generate_curation_report(
                 f"| {stage} | {n:,} | {delta:+,} | {100.0 * delta / prev:+.2f}% |"
             )
         prev = n
+    # headline dedup rates: fraction of the PRE-stage corpus each dedup
+    # stage removed (the numbers a crawl-curation review asks for first)
+    dedup_lines = []
+    prev_stage, prev_n = None, None
+    for stage, n in stage_report.items():
+        if (
+            n is not None
+            and prev_n
+            and stage in ("url_dedup", "exact_dedup", "near_dedup", "paragraph_dedup")
+        ):
+            dedup_lines.append(
+                f"- {stage} removed **{prev_n - n:,}** of {prev_n:,} docs "
+                f"(**{100.0 * (prev_n - n) / prev_n:.2f}%** dup rate after {prev_stage})"
+            )
+        prev_stage, prev_n = stage, n
+    if dedup_lines:
+        lines += ["", "## Dedup rates", ""] + dedup_lines
     if source_stats is not None:
         cols = [c for c in source_stats.columns if c != "source"]
         lines += [
@@ -346,7 +381,7 @@ def generate_html_report(
             f"<th>mapped</th><th>rate</th></tr>{rows_html}</table>"
         )
     if graph_stats is not None:
-        summary, top, top_rank = _graph_summary(graph_stats)
+        summary, top, top_rank, top_comm = _graph_summary(graph_stats)
         g_tiles = "".join(
             f'<div style="border:1px solid {_GRID};border-radius:8px;padding:12px 16px;">'
             f'<div style="color:{_MUTED};font-size:12px;">{_html.escape(k)}</div>'
@@ -367,6 +402,13 @@ def generate_html_report(
                     [(r.entity, r.rank) for r in top_rank],
                     "Top entities by PageRank",
                     value_fmt="{:.4f}",
+                )
+            )
+        if top_comm:
+            sections.append(
+                _svg_hbar(
+                    [(str(r.community), r.size) for r in top_comm],
+                    "Largest communities (label propagation)",
                 )
             )
     if term_rollup is not None:
@@ -494,7 +536,7 @@ def generate_pdf_report(
             unit="%",
         )
     if graph_stats is not None:
-        summary, top, top_rank = _graph_summary(graph_stats)
+        summary, top, top_rank, top_comm = _graph_summary(graph_stats)
         from .pdfgen import PAGE_H
 
         if y > PAGE_H - 180:
@@ -520,6 +562,13 @@ def generate_pdf_report(
                 [(r.entity, r.rank) for r in top_rank],
                 "Top entities by PageRank",
                 value_fmt="{:.4f}",
+            )
+        if top_comm:
+            y = _pdf_hbar(
+                c,
+                y,
+                [(str(r.community), r.size) for r in top_comm],
+                "Largest communities (label propagation)",
             )
     if term_rollup is not None:
         from .pdfgen import PAGE_H

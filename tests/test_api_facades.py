@@ -262,6 +262,9 @@ def test_curation_report(spark, tmp_path):
     # exact dedup keeps the 8 distinct texts: a -16 drop on the funnel row
     assert "| exact_dedup | 8 | -16 | -66.67% |" in md
     assert "## Per-source stats" in md and "| src0 |" in md and "dup_rate" in md
+    # headline dedup-rate section, derived from the funnel
+    assert "## Dedup rates" in md
+    assert "exact_dedup removed **16** of 24 docs (**66.67%** dup rate after input)" in md
     lazy_md = generate_curation_report(
         {"input": None, "exact_dedup": None}, str(tmp_path / "lazy.md")
     )

@@ -1466,7 +1466,8 @@ def test_dedup_exact_incremental_bloom_equivalence(spark):
             (1000 + i, f"seen document number {i}" if i % 3 == 0 else f"fresh {i} body")
             for i in range(90)
         ]
-        + [(2000, "fresh 7 body")],  # intra-batch dup of 1007
+        + [(2000, "fresh 7 body")]  # intra-batch dup of 1007
+        + [(3000, None)],  # failed-extraction row: md5(null) is null
         "doc_id long, text string",
     )
     want = {r.doc_id for r in D.dedup_exact_incremental(batch, state).collect()}

@@ -173,6 +173,7 @@ def test_report(spark, tmp_path, resolver):
     assert "## Graph diagnostics" in md_g and "Hub entities" in md_g
     assert "graph nodes" in md_g and "mean clustering coeff" in md_g
     assert "communities (label propagation)" in md_g
+    assert "Largest communities (label propagation)" in md_g
     html_g = generate_html_report(
         spark,
         str(tmp_path / "triples"),
@@ -181,6 +182,7 @@ def test_report(spark, tmp_path, resolver):
         graph_stats=gs,
     )
     assert "Graph diagnostics" in html_g and "Hub entities (top 10 by degree)" in html_g
+    assert "Largest communities" in html_g
     pdf_g = generate_pdf_report(
         spark,
         str(tmp_path / "triples"),
@@ -189,6 +191,7 @@ def test_report(spark, tmp_path, resolver):
         graph_stats=gs,
     )
     assert b"Graph diagnostics" in pdf_g and b"Hub entities" in pdf_g
+    assert b"Largest communities" in pdf_g
 
     # with a PageRank rank column (run_kg_job --pagerank-iters) the
     # reports add a top-entities-by-rank section
@@ -771,6 +774,17 @@ def test_to_ntriples_escaping(spark):
         spark.createDataFrame([("100%", "p", "o")], "subj string, pred string, obj string")
     ).collect()[0].ntriple
     assert pct.startswith("<http://example.org/100%25> ")
+    # the FULL IRIREF-forbidden set: raw crawl URLs carrying backslash,
+    # control chars, and {}|^` must still serialize to a valid line
+    ugly = to_ntriples(
+        spark.createDataFrame(
+            [("u\\v{w}|x^y`z\tq\nr", "p", "o")], "subj string, pred string, obj string"
+        )
+    ).collect()[0].ntriple
+    assert ugly.startswith("<http://example.org/u%5Cv%7Bw%7D%7Cx%5Ey%60z%09q%0Ar> ")
+    import re
+
+    assert not re.search(r'[\x00-\x20<>"{}|^`\\]', ugly.split(">")[0][1:])
 
 
 def test_run_kg_job_ntriples_and_gold_eval(spark, tmp_path, onto_dir):
@@ -1652,6 +1666,19 @@ def test_misra_gries_bounds_merge_and_heavy_hitter_guarantee(spark):
         for r in got:
             assert r.cnt_lower <= exact[(r.k, r.token)] <= r.cnt_upper, r
 
+    # non-string token column: the summary (and a merge of summaries)
+    # keeps the source token type — the NULL error-ledger rows must not
+    # widen it to string
+    idf = spark.createDataFrame(
+        [("g", i % 5) for i in range(40)], "k string, tok int"
+    )
+    s1 = mg_summary(idf, ["k"], "tok", m=3)
+    assert s1.schema["token"].dataType == idf.schema["tok"].dataType
+    merged = mg_merge(s1, mg_summary(idf, ["k"], "tok", m=3), m=3)
+    assert merged.schema["token"].dataType == idf.schema["tok"].dataType
+    for r in mg_estimates(merged).collect():
+        assert isinstance(r.token, int)
+
 
 def test_misra_gries_bounds_randomized(spark):
     """Seeded randomized trials: for random multisets and random m, every
@@ -1760,6 +1787,16 @@ def test_bm25_ranking_semantics(spark):
     assert sb[3] > s[2]
     with pytest.raises(ValueError, match="empty"):
         bm25_topk(df, [])
+    # the persisted per-doc frame is registered for release (same
+    # lifecycle as the dedup operators) so ingest loops don't accumulate
+    # doc-count-sized caches
+    from phenoqc_spark.operators.dedup import release_intermediates
+
+    res = bm25_topk(df, ["apple"], k=3)
+    handles = getattr(res, "_phenoqc_persisted", [])
+    assert len(handles) == 1 and handles[0].storageLevel.useMemory
+    release_intermediates(res)
+    assert not handles[0].storageLevel.useMemory
 
 
 def test_histogram_state_quantiles_and_merge(spark):
@@ -1855,6 +1892,25 @@ def test_sgns_train_neg_pairs_path(spark):
     assert losses[0] > losses[-1], losses
     emb = {r.node: np.array(r.vec) for r in U.collect()}
     assert set(emb) == {f"u{i}" for i in range(4)} | {f"v{i}" for i in range(4)}
+
+
+def test_sgns_literal_vocab_bound_enforced(spark):
+    """The literal-vocab negative sampler refuses vocabularies past ~10k
+    nodes (the array would inline into the plan) and points the caller at
+    the neg_pairs web-scale path; the same input trains fine WITH
+    neg_pairs."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators.embeddings import sgns_train
+
+    big = spark.range(10_200).select(
+        F.concat(F.lit("c"), F.col("id")).alias("center"),
+        F.concat(F.lit("x"), F.col("id")).alias("context"),
+    )
+    with pytest.raises(ValueError, match="neg_pairs"):
+        sgns_train(big, d=2, epochs=1)
 
 
 def test_pair_auc_exact(spark):

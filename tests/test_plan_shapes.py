@@ -412,3 +412,21 @@ def test_spectral_features_single_aggregate(spark):
     # scan line is an artifact of createDataFrame, not the operator)
     for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
         assert node not in txt, txt
+
+
+def test_url_host_stats_share_is_broadcast_not_global_window(spark):
+    """url_host_stats' corpus_share must come from a 1-row broadcast
+    cross join onto the host-grouped frame — an unpartitioned Window
+    would funnel the 10^7-host result through one task at web scale."""
+    from phenoqc_spark.operators.textstats import url_host_stats
+
+    docs = spark.createDataFrame(
+        [(f"http://h{i % 5}.org/p{i}", f"body {i % 7}") for i in range(40)],
+        "url string, text string",
+    )
+    out = url_host_stats(docs)
+    txt = plan_text(out)
+    assert "Window" not in txt, txt
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastExchange" in txt, txt
+    # semantics unchanged: shares sum to 1
+    assert abs(sum(r.corpus_share for r in out.collect()) - 1.0) < 1e-4

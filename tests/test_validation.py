@@ -217,3 +217,11 @@ def test_winsorize_clips_and_preserves_nulls(spark):
     # float representation of 0.9*99 is 89.10000000000001)
     assert abs(out[0] - 9.9) < 1e-9 and abs(out[99] - 89.1) < 1e-9
     assert out[50] == 50.0 and out[100] is None
+    # integer columns keep their dataType (no silent double widening from
+    # the least/greatest-against-double-quantile expressions)
+    idf = spark.createDataFrame([(i, i) for i in range(100)], "i int, v int")
+    iout = winsorize(idf, ["v"], 0.1, 0.9, exact=True)
+    assert iout.schema["v"].dataType == idf.schema["v"].dataType
+    vals = {r.i: r.v for r in iout.collect()}
+    assert isinstance(vals[50], int) and vals[50] == 50
+    assert vals[0] == 9 and vals[99] == 89  # clipped bounds, int-truncated
