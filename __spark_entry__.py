@@ -1899,6 +1899,70 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_hyperanf"] = kg_hyperanf
 
+    def kg_harmonic(spark, sf_dir):
+        # HyperBall harmonic centrality over the same cycle-rich 240-node
+        # graph as kg_hyperanf: per-node HLL balls of the INCOMING
+        # reachability set, H(v) = sum over t of (|B_t|-|B_{t-1}|)/t.
+        # Sparse-mode-exact at this scale, so the oracle is the exact
+        # recursive-CTE distance closure: sum(cnt_at_distance/h).
+        from phenoqc_spark.operators.sketches import hyperball_centrality
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+        base = docs.select(F.col("doc_id").cast("long").alias("d"))
+        ring = base.filter(F.col("d") % 40 != 7).select(
+            F.format_string("n%03d", F.col("d")).alias("src"),
+            F.format_string("n%03d", (F.col("d") + 12) % 240).alias("dst"),
+        )
+        chord1 = base.filter(F.col("d") % 5 == 0).select(
+            F.format_string("n%03d", F.col("d")).alias("src"),
+            F.format_string("n%03d", (F.col("d") * 7 + 3) % 240).alias("dst"),
+        )
+        chord2 = base.filter(F.col("d") % 7 == 3).select(
+            F.format_string("n%03d", F.col("d")).alias("src"),
+            F.format_string("n%03d", (F.col("d") * 11 + 5) % 240).alias("dst"),
+        )
+        return hyperball_centrality(
+            ring.unionByName(chord1).unionByName(chord2), max_hops=6
+        ).orderBy("node")
+
+    q["kg_harmonic"] = kg_harmonic
+
+    def kg_web_links(spark, sf_dir):
+        # crawl link-graph extraction: deterministic HTML (binary, as the
+        # input_hint's pages table carries it) with one link of every
+        # resolution class per page — absolute, root-relative,
+        # document-relative, scheme-relative CDN, plus fragment/javascript
+        # links that must be DROPPED and a nested tag in one anchor that
+        # must strip.  The oracle recomputes the expected edges from the
+        # same id formulas — independent of the operator's regex path.
+        from phenoqc_spark.operators.textstats import extract_links
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+        y = (F.col("doc_id") * 7 + 1) % 500
+        z = (F.col("doc_id") * 3 + 2) % 500
+        w = F.col("doc_id") % 97
+        html = F.concat(
+            F.lit('<html><body><p>intro</p><a href="'),
+            F.format_string("https://host%02d.example.org/dir/p%d.html", (y % 23).cast("int"), y),
+            F.lit('">link '), y.cast("string"), F.lit("</a>"),
+            F.lit('<a href="/root/p'), z.cast("string"), F.lit('">root '), z.cast("string"), F.lit("</a>"),
+            F.lit('<a href="rel/q'), w.cast("string"), F.lit('.html">rel '), w.cast("string"), F.lit("</a>"),
+            F.lit('<a href="//cdn.example.org/asset.js"><b>cdn</b> asset</a>'),
+            F.lit('<a href="#frag">skip</a><a href="javascript:void(0)">skip</a>'),
+            F.lit("</body></html>"),
+        )
+        pages = docs.select(
+            F.format_string(
+                "https://host%02d.example.org/dir/p%d.html",
+                (F.col("doc_id") % 23).cast("int"),
+                F.col("doc_id"),
+            ).alias("url"),
+            F.encode(html, "utf-8").alias("html"),
+        )
+        return extract_links(pages).orderBy("src_url", "dst_url", "anchor")
+
+    q["kg_web_links"] = kg_web_links
+
     def txt_source_cardinality(spark, sf_dir):
         # mergeable distinct-content state: per-source HLL sketches of
         # md5(text), built as TWO half-batches (doc_id parity) and merged
@@ -1949,6 +2013,50 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["txt_heavy_tokens"] = txt_heavy_tokens
+
+    def txt_cms_counts(spark, sf_dir):
+        # Count-Min point-frequency state per source, built as two
+        # half-batches (doc_id parity) merged through cms_merge so the
+        # differential covers the fold + linear merge, probed for 4
+        # tokens (3 present, 1 unseen).  The sketch positions are
+        # md5-deterministic, so the oracle RECOMPUTES the whole sketch in
+        # SQL — an exact differential at any collision rate, not a bound.
+        from phenoqc_spark.operators.sketches import cms_estimate, cms_merge, cms_state
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ")
+            ).alias("token"),
+        ).filter(F.length("token") > 0)
+        a = cms_state(toks.filter(F.col("doc_id") % 2 == 0), ["source"], "token", w=1024, d=3)
+        b = cms_state(toks.filter(F.col("doc_id") % 2 == 1), ["source"], "token", w=1024, d=3)
+        state = cms_merge(a, b)
+        probes = spark.createDataFrame(
+            [("join",), ("hash",), ("customer",), ("zzz_unseen",)], "token string"
+        )
+        return cms_estimate(state, probes, w=1024, d=3).orderBy("source", "token")
+
+    q["txt_cms_counts"] = txt_cms_counts
+
+    def txt_bpe_merges(spark, sf_dir):
+        # distributed BPE tokenizer training: 30 merges over the corpus
+        # word vocabulary (one corpus pass; each step = one pair-count
+        # aggregate + one JVM replace on the vocab frame).  Oracle = the
+        # pinned pure-Python twin (scripts/gen_bpe_golden.py) — same
+        # tokenizer, same greedy-replace semantics, same tie-break.
+        from phenoqc_spark.operators.bpe import bpe_train
+
+        docs = load_table(spark, sf_dir, "documents")
+        merges, _ = bpe_train(docs, n_merges=30)
+        rows = [(i, a, b, n) for i, (a, b, n) in enumerate(merges)]
+        return spark.createDataFrame(
+            rows, "step int, left_sym string, right_sym string, n bigint"
+        ).orderBy("step")
+
+    q["txt_bpe_merges"] = txt_bpe_merges
 
     def txt_bm25(spark, sf_dir):
         # Okapi BM25 retrieval for a pinned bag-of-words query — one
@@ -3211,6 +3319,77 @@ ORDER BY entity
         + '\n) AS t(node, "rank") ORDER BY node'
     )
 
+    o["kg_web_links"] = """
+WITH d AS (
+  SELECT doc_id,
+         printf('https://host%02d.example.org/dir/p%d.html',
+                CAST(doc_id % 23 AS INT), doc_id) AS src_url,
+         (doc_id * 7 + 1) % 500 AS y,
+         (doc_id * 3 + 2) % 500 AS z,
+         doc_id % 97 AS w
+  FROM documents WHERE doc_id < 500
+)
+SELECT src_url, dst_url, anchor FROM (
+  SELECT src_url,
+         printf('https://host%02d.example.org/dir/p%d.html', CAST(y % 23 AS INT), y) AS dst_url,
+         'link ' || CAST(y AS VARCHAR) AS anchor
+  FROM d
+  UNION ALL
+  SELECT src_url,
+         printf('https://host%02d.example.org/root/p%d', CAST(doc_id % 23 AS INT), z),
+         'root ' || CAST(z AS VARCHAR)
+  FROM d
+  UNION ALL
+  SELECT src_url,
+         printf('https://host%02d.example.org/dir/rel/q%d.html', CAST(doc_id % 23 AS INT), w),
+         'rel ' || CAST(w AS VARCHAR)
+  FROM d
+  UNION ALL
+  SELECT src_url, 'https://cdn.example.org/asset.js', 'cdn asset' FROM d
+)
+ORDER BY src_url, dst_url, anchor
+"""
+
+    o["kg_harmonic"] = """
+WITH RECURSIVE es AS (
+  SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 3, '0') AS a,
+         'n' || lpad(CAST((doc_id + 12) % 240 AS VARCHAR), 3, '0') AS b
+  FROM documents WHERE doc_id < 240 AND doc_id % 40 <> 7
+  UNION
+  SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 3, '0'),
+         'n' || lpad(CAST((doc_id * 7 + 3) % 240 AS VARCHAR), 3, '0')
+  FROM documents WHERE doc_id < 240 AND doc_id % 5 = 0
+  UNION
+  SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 3, '0'),
+         'n' || lpad(CAST((doc_id * 11 + 5) % 240 AS VARCHAR), 3, '0')
+  FROM documents WHERE doc_id < 240 AND doc_id % 7 = 3
+),
+es2 AS (SELECT a, b FROM es WHERE a <> b),
+-- explicit DISTINCT: under WITH RECURSIVE, DuckDB compiles a plain
+-- UNION CTE without cross-branch dedup
+ns AS (SELECT DISTINCT v FROM (SELECT a AS v FROM es2 UNION ALL SELECT b FROM es2)),
+reach(src, dst, h) AS (
+  SELECT v, v, 0 FROM ns
+  UNION
+  SELECT r.src, e.b, r.h + 1 FROM reach r JOIN es2 e ON e.a = r.dst WHERE r.h < 6
+),
+mh AS (SELECT src, dst, MIN(h) AS h FROM reach GROUP BY 1, 2),
+-- per-node per-distance reacher counts (w -> ... -> v), self excluded
+dc AS (
+  SELECT dst AS node, h, count(*) AS cnt FROM mh WHERE h >= 1 GROUP BY 1, 2
+),
+hv AS (
+  SELECT node, round(sum(cnt * 1.0 / h), 6) AS centrality,
+         sum(cnt) AS n_reachers
+  FROM dc GROUP BY node
+)
+SELECT ns.v AS node,
+       COALESCE(hv.centrality, 0.0) AS centrality,
+       CAST(COALESCE(hv.n_reachers, 0) AS BIGINT) AS n_reachers
+FROM ns LEFT JOIN hv ON hv.node = ns.v
+ORDER BY node
+"""
+
     o["kg_hyperanf"] = """
 WITH RECURSIVE es AS (
   SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 3, '0') AS a,
@@ -3241,6 +3420,44 @@ FROM ts ORDER BY hops
     o["txt_source_cardinality"] = """
 SELECT source, count(DISTINCT md5(text)) AS n_distinct
 FROM documents GROUP BY source ORDER BY source
+"""
+
+    from phenoqc_spark.bpe_golden import BPE_MERGES_30 as _BPE
+
+    _bpe_vals = ",\n  ".join(f"({s}, '{a}', '{b}', {n})" for (s, a, b, n) in _BPE)
+    o["txt_bpe_merges"] = (
+        "SELECT CAST(step AS INT) AS step, left_sym, right_sym,\n"
+        "       CAST(n AS BIGINT) AS n\n"
+        "FROM (VALUES\n  " + _bpe_vals + "\n) AS t(step, left_sym, right_sym, n)\n"
+        "ORDER BY step"
+    )
+
+    o["txt_cms_counts"] = """
+WITH toks AS (
+  SELECT source,
+         UNNEST(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS token
+  FROM documents
+), cells AS (
+  SELECT source, d.depth,
+         CAST(('0x' || substr(md5(token || '|' || CAST(d.depth AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS pos,
+         COUNT(*) AS cnt
+  FROM toks CROSS JOIN (VALUES (0),(1),(2)) d(depth)
+  WHERE length(token) > 0
+  GROUP BY 1, 2, 3
+), probes AS (
+  SELECT p.token, d.depth,
+         CAST(('0x' || substr(md5(p.token || '|' || CAST(d.depth AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS pos
+  FROM (VALUES ('join'),('hash'),('customer'),('zzz_unseen')) p(token)
+  CROSS JOIN (VALUES (0),(1),(2)) d(depth)
+), grid AS (
+  SELECT s.source, pr.token, pr.depth, pr.pos
+  FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN probes pr
+)
+SELECT g.source AS source, g.token AS token,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+FROM grid g LEFT JOIN cells c
+  ON c.source = g.source AND c.depth = g.depth AND c.pos = g.pos
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
     o["txt_heavy_tokens"] = """
@@ -5392,14 +5609,16 @@ ORDER BY 1, 2
 # local gate in scripts/check_correctness.py, which runs recorded +
 # extras the same way).
 #
-# Still never driver-recorded after this round (19 — record in round 6,
+# Still never driver-recorded after this round (22 — record in round 6,
 # then cycle back the long-retired r1-r4 names so no query goes two
 # rounds unrecorded): td_importance, td_pack_shards, txt_url_canon,
 # txt_chunks, sim_hash_embed, dd_exact_bloom, u_snapshot_diff,
 # agg_drift_psi, agg_drift_panel, td_classifier_filter,
 # dd_near_dedup_best, dd_span_winnow, txt_dup_spans, f_zvalue,
 # td_host_cap, txt_source_cardinality, txt_heavy_tokens,
-# v_anomalies_mad, v_winsorize.
+# v_anomalies_mad, v_winsorize, plus the round-5 additions kg_harmonic
+# (HyperBall), txt_cms_counts (Count-Min state), kg_web_links
+# (crawl-graph extraction), txt_bpe_merges (distributed BPE training).
 _RECORDED = [
     # graph kit (iterative + combinatorial over the KG)
     "kg_pagerank",

@@ -136,6 +136,85 @@ def hyperanf(
     return spark.createDataFrame(curve, "hops int, n_pairs bigint")
 
 
+def hyperball_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+    lgk: int = 12,
+) -> DataFrame:
+    """(node, centrality, n_reachers): harmonic centrality by HyperBall
+    (Boldi-Vigna) — ``H(v) = Σ_{w≠v, w→…→v} 1 / d(w, v)`` truncated at
+    ``max_hops``, estimated from per-node HLL balls of the INCOMING
+    reachability set:
+
+        B_t(v) = B_{t-1}(v) ∪ ⋃_{u→v} B_{t-1}(u)
+        H(v)  += (|B_t(v)| - |B_{t-1}(v)|) / t      (each w first appears
+                                                     at t = d(w, v))
+
+    The centrality the crawl/KG literature actually recommends for
+    ranking pages and entities (well-defined on disconnected graphs,
+    unlike closeness) — computable at web scale because each round is
+    one edge×sketch join + ``hll_union_agg`` carrying ~KB sketches,
+    never node sets (the same shape as :func:`hyperanf`).
+
+    ``n_reachers`` is the final ball size minus self.  Counts are exact
+    below the HLL sparse threshold (~512 distinct per ball — the oracle
+    zone where the recursive-CTE differential is a true equality);
+    ~1.6% RSE above it, where exact closures cannot exist anyway.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    state = (
+        nodes.groupBy("node")
+        .agg(F.hll_sketch_agg(F.col("node"), F.lit(lgk)).alias("sk"))
+        .select(
+            "node",
+            "sk",
+            F.hll_sketch_estimate(F.col("sk")).alias("prev_est"),
+            F.lit(0.0).alias("hc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for t in range(1, max_hops + 1):
+        nbr = (
+            e.join(state.select(F.col("node").alias("a"), "sk"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.hll_union_agg(F.col("sk"), True).alias("nsk"))
+        )
+        merged = state.join(nbr, "node", "left").select(
+            "node",
+            F.when(F.col("nsk").isNull(), F.col("sk"))
+            .otherwise(F.hll_union(F.col("sk"), F.col("nsk"), True))
+            .alias("sk"),
+            "prev_est",
+            "hc",
+        )
+        state = merged.select(
+            "node",
+            "sk",
+            F.hll_sketch_estimate(F.col("sk")).alias("prev_est"),
+            (
+                F.col("hc")
+                + (F.hll_sketch_estimate(F.col("sk")) - F.col("prev_est")) / F.lit(float(t))
+            ).alias("hc"),
+        ).localCheckpoint(eager=True)
+    return state.select(
+        "node",
+        F.round(F.col("hc"), 6).alias("centrality"),
+        (F.col("prev_est") - 1).cast("long").alias("n_reachers"),
+    )
+
+
 def effective_diameter(curve, q: float = 0.9) -> float:
     """Interpolated effective diameter from a :func:`hyperanf` curve —
     the smallest (fractional) hop count at which ≥ ``q`` of the final
@@ -375,3 +454,106 @@ def histogram_quantiles(
         .otherwise(F.lit(float(lo)) + F.col("bin") * F.lit(float(width)))
     )
     return hit.select(*keys, "q", value.alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch state (mergeable point-frequency estimates)
+# ---------------------------------------------------------------------------
+
+def _cms_pos(tok_col, depth_col, w: int):
+    """Deterministic md5-derived probe position — the first 8 hex chars of
+    md5('tok|depth') mod w.  md5 (not xxhash64) so the DuckDB oracle can
+    recompute the sketch bit-for-bit (same pattern as the walk/SGNS
+    draws)."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", tok_col, depth_col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(w),
+    )
+
+
+def cms_state(
+    df: DataFrame,
+    key_cols: List[str],
+    token_col: str,
+    w: int = 2048,
+    d: int = 4,
+) -> DataFrame:
+    """(keys..., depth, pos, cnt): Count-Min sketch per key group in
+    sparse COO form — the complement of :func:`mg_summary`: MG keeps the
+    top-m heavy hitters with deterministic bounds, CMS answers point
+    frequency for ANY token (estimate ≥ truth; overestimate ≤ εN with
+    prob 1−δ at w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉ — Cormode-Muthukrishnan).
+
+    State shape: at most ``w·d`` occupied cells per key group regardless
+    of corpus size (empty cells are absent rows — COO, not a dense
+    array, so the state table stays a plain columnar frame that
+    ``unionByName + groupBy-sum`` merges associatively under any merge
+    tree, the same contract as the HLL/MG/histogram states).
+
+    Everything is JVM codegen: one explode(sequence) per depth, the md5
+    probe position, one hash aggregate.  No Python, no collect.
+    """
+    toks = df.filter(F.col(token_col).isNotNull()).select(
+        *key_cols,
+        F.col(token_col).cast("string").alias("_tok"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("depth"),
+    )
+    return (
+        toks.select(
+            *key_cols, "depth", _cms_pos(F.col("_tok"), F.col("depth"), w).alias("pos")
+        )
+        .groupBy(*key_cols, "depth", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*states: DataFrame) -> DataFrame:
+    """Merge CMS states (same key columns, same (w, d)): cells sum —
+    valid under any merge tree because the sketch is a linear projection
+    of the token frequency vector."""
+    if not states:
+        raise ValueError("cms_merge: no states given")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    keys = [c for c in u.columns if c not in ("cnt",)]
+    return u.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    state: DataFrame,
+    tokens: DataFrame,
+    token_col: str = "token",
+    w: int = 2048,
+    d: int = 4,
+) -> DataFrame:
+    """(keys..., token, est): CMS point-frequency estimates for every
+    (key group × probe token) — est = min over the d rows of the probed
+    cell (absent cell ⇒ 0 ⇒ estimate 0, correctly: CMS never
+    underestimates, so a zero row proves the token was unseen).
+
+    ``tokens`` is the probe list (small — broadcast into the join); the
+    state never shuffles on anything but its own (keys, depth, pos).
+    """
+    keys = [c for c in state.columns if c not in ("depth", "pos", "cnt")]
+    probes = tokens.select(F.col(token_col).cast("string").alias("token")).distinct().select(
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("depth"),
+    )
+    probes = probes.withColumn("pos", _cms_pos(F.col("token"), F.col("depth"), w))
+    groups = state.select(*keys).distinct() if keys else None
+    j = state.join(F.broadcast(probes), ["depth", "pos"], "right" if not keys else "inner")
+    if keys:
+        # absent cells for a (group, token, depth) probe mean count 0 in
+        # that row -> min is 0; realize them by probing every group
+        full = groups.crossJoin(F.broadcast(probes))
+        j = full.join(state, [*keys, "depth", "pos"], "left")
+    est = (
+        j.groupBy(*keys, "token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+    return est

@@ -570,6 +570,78 @@ _TRACKING_PARAMS = (
 )
 
 
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """(src_url, dst_url, anchor): the crawl link graph from raw HTML —
+    every ``<a href>`` on every page becomes a directed edge, with the
+    tag's visible text as the anchor label.  The edge list is what the
+    graph kit (PageRank / HITS / communities / HyperBall) consumes to
+    rank and cluster PAGES, and what anchor-text entity linking mines.
+
+    Resolution rules (the cases a crawl actually contains):
+
+    - absolute ``http(s)://…`` — kept as-is;
+    - scheme-relative ``//host/…`` — inherits the source scheme;
+    - root-relative ``/path`` — ``scheme://host`` + path;
+    - document-relative ``path`` — resolved against the source URL's
+      directory (RFC 3986 merge without dot-segment normalization —
+      the crawl-graph consumers canonicalize separately);
+    - ``#fragment`` / ``javascript:`` / ``mailto:`` / ``data:`` / empty —
+      dropped.
+
+    Scale shape: pure JVM per-row work — ``decode`` on the binary,
+    ``regexp_extract_all`` for hrefs and anchors, ``arrays_zip`` +
+    one ``explode`` — whole-stage codegen, no UDF, no shuffle; the page
+    body never leaves its partition.  Reference analogue: none (the
+    reference QCs tabular records); this is the web-scale KG input layer.
+    """
+    html = (
+        F.decode(F.col(html_col), "utf-8")
+        if dict(df.dtypes)[html_col] == "binary"
+        else F.col(html_col).cast("string")
+    )
+    tag_re = r'(?is)<a\s[^>]*?href\s*=\s*["\']([^"\']*)["\'][^>]*>(.*?)</a>'
+    hrefs = F.regexp_extract_all(html, F.lit(tag_re), 1)
+    anchors = F.regexp_extract_all(html, F.lit(tag_re), 2)
+    pairs = df.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(F.arrays_zip(hrefs.alias("href"), anchors.alias("raw"))).alias("z"),
+    ).select(
+        "src_url",
+        F.trim(F.col("z.href")).alias("href"),
+        F.trim(F.regexp_replace(F.col("z.raw"), r"<[^>]*>", "")).alias("anchor"),
+    )
+    scheme = F.coalesce(F.try_parse_url(F.col("src_url"), F.lit("PROTOCOL")), F.lit("http"))
+    host = F.try_parse_url(F.col("src_url"), F.lit("HOST"))
+    path = F.coalesce(F.try_parse_url(F.col("src_url"), F.lit("PATH")), F.lit("/"))
+    # the source document's directory: path up to (and incl.) the last /
+    base_dir = F.regexp_replace(path, r"[^/]*$", "")
+    lower = F.lower(F.col("href"))
+    dst = (
+        F.when(lower.startswith("http://") | lower.startswith("https://"), F.col("href"))
+        .when(F.col("href").startswith("//"), F.concat(scheme, F.lit(":"), F.col("href")))
+        .when(
+            F.col("href").startswith("/"),
+            F.concat(scheme, F.lit("://"), host, F.col("href")),
+        )
+        .otherwise(F.concat(scheme, F.lit("://"), host, base_dir, F.col("href")))
+    )
+    keep = (
+        (F.length("href") > 0)
+        & ~F.col("href").startswith("#")
+        & ~lower.startswith("javascript:")
+        & ~lower.startswith("mailto:")
+        & ~lower.startswith("data:")
+        & host.isNotNull()
+    )
+    return pairs.filter(keep).select(
+        "src_url", dst.alias("dst_url"), "anchor"
+    )
+
+
 def canonicalize_urls(
     df: DataFrame, url_col: str = "url", out_col: str = "url_canonical"
 ) -> DataFrame:

@@ -2019,3 +2019,133 @@ def test_run_kg_job_graph_and_embed_flags(spark, tmp_path):
     assert len(emb.first().vec) == 4
     l0, l1 = head["embed_losses"]
     assert l1 < l0  # training moved the loss
+
+
+def test_cms_bounds_merge_and_zero_proof(spark):
+    """CMS never underestimates; merging half-states equals the one-shot
+    sketch cell-for-cell (linearity); an unseen token whose cells are all
+    absent estimates exactly 0; estimates upper-bound truth."""
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators.sketches import cms_estimate, cms_merge, cms_state
+
+    rows = [("g", f"t{i % 17}") for i in range(500)] + [("g2", f"u{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "k string, tok string")
+    exact = {(r.k, r.tok): r["count"] for r in df.groupBy("k", "tok").count().collect()}
+
+    one = cms_state(df, ["k"], "tok", w=256, d=3)
+    halves = cms_merge(
+        cms_state(df.filter("pmod(hash(tok), 2) = 0"), ["k"], "tok", w=256, d=3),
+        cms_state(df.filter("pmod(hash(tok), 2) = 1"), ["k"], "tok", w=256, d=3),
+    )
+    a = {(r.k, r.depth, r.pos): r.cnt for r in one.collect()}
+    b = {(r.k, r.depth, r.pos): r.cnt for r in halves.collect()}
+    assert a == b  # linear projection: any merge tree gives the same cells
+
+    probes = spark.createDataFrame(
+        [("t0",), ("t16",), ("u1",), ("never_seen",)], "token string"
+    )
+    est = {
+        (r.k, r.token): r.est for r in cms_estimate(one, probes, w=256, d=3).collect()
+    }
+    # every estimate >= truth (0 for unseen pairs)
+    for (k, tok), e in est.items():
+        assert e >= exact.get((k, tok), 0), (k, tok, e)
+    # w=256 >> 20 distinct tokens: overwhelmingly likely collision-free,
+    # but assert only the guarantee-side plus the zero-proof
+    assert est[("g", "never_seen")] >= 0
+    assert est[("g2", "t0")] >= 0
+    # exactness at huge width (w=65536, 20 tokens: collision prob ~0)
+    wide = cms_state(df, ["k"], "tok", w=65536, d=4)
+    est_w = {
+        (r.k, r.token): r.est
+        for r in cms_estimate(wide, probes, w=65536, d=4).collect()
+    }
+    for (k, tok), e in est_w.items():
+        assert e == exact.get((k, tok), 0), (k, tok, e)
+
+
+def test_hyperball_harmonic_exact_on_small_digraph(spark):
+    """HyperBall harmonic centrality matches the exact hand computation on
+    a path + fan digraph (sparse-mode HLL => exact ball sizes)."""
+    from phenoqc_spark.operators.sketches import hyperball_centrality
+
+    # a -> b -> c ; d -> c ; e -> a
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "c"), ("e", "a")], "src string, dst string"
+    )
+    got = {r.node: (r.centrality, r.n_reachers) for r in hyperball_centrality(edges, max_hops=4).collect()}
+    # who reaches c: b (d1), d (d1), a (d2), e (d3) -> 1+1+0.5+1/3
+    assert abs(got["c"][0] - (1 + 1 + 0.5 + 1 / 3)) < 1e-6 and got["c"][1] == 4
+    # who reaches b: a (d1), e (d2) -> 1.5
+    assert abs(got["b"][0] - 1.5) < 1e-6 and got["b"][1] == 2
+    assert got["e"] == (0.0, 0)  # nothing reaches e
+    assert abs(got["a"][0] - 1.0) < 1e-6 and got["a"][1] == 1
+
+
+def test_extract_links_resolution_and_drops(spark):
+    """Crawl link extraction: absolute/scheme-relative/root-relative/
+    document-relative hrefs resolve per RFC merge; fragment/javascript/
+    mailto/data and empty hrefs drop; nested anchor tags strip; binary
+    html decodes."""
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators.textstats import extract_links
+
+    html = (
+        '<html><body>'
+        '<a href="https://other.org/x">abs</a>'
+        '<A HREF="//cdn.org/a.js">cdn</A>'
+        '<a class="z" href="/top/y.html">rooted</a>'
+        '<a href="sub/z.html"><b>nested</b> anchor</a>'
+        '<a href="#sec">no</a><a href="javascript:void(0)">no</a>'
+        '<a href="mailto:a@b.c">no</a><a href="data:text/plain,x">no</a>'
+        '<a href="">no</a>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [("https://site.org/dir/page.html", html)], "url string, body string"
+    ).select("url", F.encode("body", "utf-8").alias("html"))
+    got = {(r.dst_url, r.anchor) for r in extract_links(df).collect()}
+    assert got == {
+        ("https://other.org/x", "abs"),
+        ("https://cdn.org/a.js", "cdn"),
+        ("https://site.org/top/y.html", "rooted"),
+        ("https://site.org/dir/sub/z.html", "nested anchor"),
+    }
+    # string html column works too; malformed source URL (no host) drops
+    sdf = spark.createDataFrame(
+        [("not a url", '<a href="/x">y</a>')], "url string, html string"
+    )
+    assert extract_links(sdf).count() == 0
+
+
+def test_bpe_train_and_encode(spark):
+    """BPE training learns the classic subword merges on the
+    low/lower/newest corpus; the encoder applies them greedily; ties
+    break deterministically; runs merge left-to-right non-overlapping
+    (the padded-replace semantics, same as the pure-Python twin)."""
+    from phenoqc_spark.operators.bpe import apply_merges, bpe_train
+
+    df = spark.createDataFrame(
+        [("low lower lowest low low newest newer",), ("widest wide newest low",)],
+        "text string",
+    )
+    merges, vocab = bpe_train(df, n_merges=8)
+    assert merges[0][:2] == ("l", "o") and merges[1][:2] == ("lo", "w")
+    assert ("e", "s") in [(a, b) for a, b, _ in merges]
+    assert all(n >= 2 for _, _, n in merges)
+    enc = apply_merges(df, [(a, b) for a, b, _ in merges])
+    rows = {tuple(r.bpe_tokens) for r in enc.collect()}
+    toks0 = next(t for t in rows if t[0] == "low")
+    assert toks0[:3] == ("low", "low", "er")
+    # deterministic rerun
+    merges2, _ = bpe_train(df, n_merges=8)
+    assert merges2 == merges
+    # run semantics: 'aaaa' with merge (a,a) -> ['aa','a','a'] (replace
+    # scanning resumes after the emitted merge, consuming its trailing pad)
+    runs = spark.createDataFrame([("aaaa aaaa",)], "text string")
+    m, _ = bpe_train(runs, n_merges=1)
+    assert m[0][:2] == ("a", "a")
+    out = apply_merges(runs, [("a", "a")]).collect()[0].bpe_tokens
+    assert out == ["aa", "a", "a", "aa", "a", "a"]
