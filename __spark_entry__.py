@@ -1053,6 +1053,31 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dd_ngram_jaccard"] = dd_ngram_jaccard
 
+    def dd_containment(spark, sf_dir):
+        # directed quote detection: doc_id%10==0 are short canonical
+        # sentences, %10==1 are full pages with that sentence APPENDED —
+        # containment short→long is 1.0 while Jaccard is near 0 (the
+        # asymmetry the operator exists for).  Oracle recomputes directed
+        # |∩|/|src| over the same 3-gram shingle sets in SQL.
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+        quote = F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta canon "),
+            (F.col("doc_id") % 3).cast("string"),
+        )
+        docs = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 0, quote)
+            .when(F.col("doc_id") % 10 == 1, F.concat(F.col("text"), F.lit(" "), quote))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return (
+            D.containment_pairs(docs, n=3, threshold=0.8)
+            .orderBy("doc_src", "doc_dst")
+        )
+
+    q["dd_containment"] = dd_containment
+
     def dd_minhash_lsh(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id",
@@ -1962,6 +1987,55 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract_links(pages).orderBy("src_url", "dst_url", "anchor")
 
     q["kg_web_links"] = kg_web_links
+
+    def kg_anchor_texts(spark, sf_dir):
+        # anchor-text aggregation over the extracted crawl graph: for
+        # each landing page, in-degree and the lexicographically-first
+        # most-frequent anchor label — the classic entity-naming signal a
+        # web KG mines (anchors describe the TARGET).  One hash-groupBy
+        # on (dst, anchor) + one max_by; oracle recomputes from the same
+        # id formulas in SQL.
+        from phenoqc_spark.operators.textstats import extract_links
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+        y = (F.col("doc_id") * 7 + 1) % 100  # 5 source pages per target
+        html = F.concat(
+            F.lit('<a href="'),
+            F.format_string("https://host%02d.example.org/dir/p%d.html", (y % 23).cast("int"), y),
+            F.lit('">entity '), (F.col("doc_id") % 4).cast("string"), F.lit("</a>"),
+        )
+        pages = docs.select(
+            F.format_string(
+                "https://host%02d.example.org/dir/p%d.html",
+                (F.col("doc_id") % 23).cast("int"),
+                F.col("doc_id"),
+            ).alias("url"),
+            F.encode(html, "utf-8").alias("html"),
+        )
+        links = extract_links(pages)
+        per_anchor = links.groupBy("dst_url", "anchor").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        # deterministic top anchor: min of (-n, anchor) = highest count,
+        # lexicographically-first on ties — a partial-combining aggregate,
+        # never a window sort
+        top = F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("anchor").alias("a")))
+        return (
+            per_anchor.groupBy("dst_url")
+            .agg(
+                F.sum("n").alias("in_degree"),
+                top.alias("_top"),
+            )
+            .select(
+                "dst_url",
+                "in_degree",
+                F.col("_top.a").alias("top_anchor"),
+                (-F.col("_top.neg_n")).alias("top_anchor_n"),
+            )
+            .orderBy("dst_url")
+        )
+
+    q["kg_anchor_texts"] = kg_anchor_texts
 
     def txt_source_cardinality(spark, sf_dir):
         # mergeable distinct-content state: per-source HLL sketches of
@@ -3319,6 +3393,28 @@ ORDER BY entity
         + '\n) AS t(node, "rank") ORDER BY node'
     )
 
+    o["kg_anchor_texts"] = """
+WITH d AS (
+  SELECT doc_id, (doc_id * 7 + 1) % 100 AS y FROM documents WHERE doc_id < 500
+), links AS (
+  SELECT printf('https://host%02d.example.org/dir/p%d.html', CAST(y % 23 AS INT), y) AS dst_url,
+         'entity ' || CAST(doc_id % 4 AS VARCHAR) AS anchor
+  FROM d
+), pa AS (
+  SELECT dst_url, anchor, count(*) AS n FROM links GROUP BY 1, 2
+), ranked AS (
+  SELECT dst_url, anchor, n,
+         row_number() OVER (PARTITION BY dst_url ORDER BY n DESC, anchor ASC) AS rn
+  FROM pa
+), tot AS (
+  SELECT dst_url, SUM(n) AS in_degree FROM pa GROUP BY 1
+)
+SELECT r.dst_url AS dst_url, CAST(t.in_degree AS BIGINT) AS in_degree,
+       r.anchor AS top_anchor, CAST(r.n AS BIGINT) AS top_anchor_n
+FROM ranked r JOIN tot t ON t.dst_url = r.dst_url
+WHERE r.rn = 1 ORDER BY dst_url
+"""
+
     o["kg_web_links"] = """
 WITH d AS (
   SELECT doc_id,
@@ -4421,6 +4517,28 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
 ORDER BY doc_a, doc_b
+"""
+
+    o["dd_containment"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN 'alpha beta gamma delta epsilon zeta canon ' || CAST(doc_id % 3 AS VARCHAR)
+              WHEN doc_id % 10 = 1 THEN text || ' alpha beta gamma delta epsilon zeta canon ' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents WHERE doc_id < 60
+), w AS (
+  SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws
+  FROM d
+), s AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) AS g
+  FROM w WHERE len(ws) >= 3
+)
+SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst,
+       ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g), 6) AS containment
+FROM s a JOIN s b ON a.doc_id <> b.doc_id
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g) >= 0.8
+ORDER BY doc_src, doc_dst
 """
 
     o["dd_embedding_neardup"] = """
@@ -5618,7 +5736,9 @@ ORDER BY 1, 2
 # td_host_cap, txt_source_cardinality, txt_heavy_tokens,
 # v_anomalies_mad, v_winsorize, plus the round-5 additions kg_harmonic
 # (HyperBall), txt_cms_counts (Count-Min state), kg_web_links
-# (crawl-graph extraction), txt_bpe_merges (distributed BPE training).
+# (crawl-graph extraction), txt_bpe_merges (distributed BPE training),
+# kg_anchor_texts (anchor aggregation), dd_containment (directed
+# quote-detection containment).
 _RECORDED = [
     # graph kit (iterative + combinatorial over the KG)
     "kg_pagerank",

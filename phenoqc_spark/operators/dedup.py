@@ -321,6 +321,121 @@ def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(doc_src, doc_dst, containment): DIRECTED shingle containment
+    C(src→dst) = |S_src ∩ S_dst| / |S_src| for pairs ≥ ``threshold`` —
+    the quote/excerpt detector Jaccard structurally misses: a paragraph
+    wholly quoted inside a long page has containment 1.0 from the quote
+    side but Jaccard ≈ |quote|/|page| ≈ 0 (the Broder containment
+    measure; what CCNet-style pipelines use to drop wrapped copies of
+    short canonical texts).
+
+    Same scale skeleton as :func:`ngram_jaccard_pairs`: identical
+    shingle-sets collapse to one representative before the bucket self-
+    join (duplicate-heavy corpora would otherwise pay O(g²) per bucket),
+    candidates come from shared-shingle buckets (never all-pairs), the
+    optional ``max_doc_freq`` df-cut drops hub shingles from candidate
+    generation ONLY (exact verification always uses the full sets, so
+    reported containments never change), and the exact verify is one
+    ``array_intersect`` per candidate rep pair.  Both directions of a
+    candidate pair are scored; each direction passes independently.
+    Within-group (identical-set) members emit 1.0 both ways.
+    """
+    persisted = []
+    doc_sets = (
+        shingle_sets(df, n, text_col, id_col)
+        .select(
+            "doc_id",
+            "sh_set",
+            "n_sh",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.expr("transform(sh_set, x -> cast(xxhash64(x) as string))")
+                    ),
+                )
+            ).alias("set_hash"),
+        )
+        .filter(F.col("n_sh") > 0)
+    )
+    if persist:
+        doc_sets = doc_sets.persist()
+        persisted.append(doc_sets)
+    groups = doc_sets.groupBy("set_hash").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.min_by("n_sh", "doc_id").alias("n_sh"),
+        F.min_by("sh_set", "doc_id").alias("sh_set"),
+    )
+    rep_sh = groups.select("set_hash", "rep_id", F.explode("sh_set").alias("shingle"))
+    if max_doc_freq is not None:
+        keep = (
+            rep_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        rep_sh = rep_sh.join(keep, "shingle")
+    cand = (
+        rep_sh.alias("l")
+        .join(rep_sh.alias("r"), "shingle")
+        .filter(F.col("l.rep_id") < F.col("r.rep_id"))
+        .select(
+            F.col("l.set_hash").alias("sh_a"), F.col("r.set_hash").alias("sh_b")
+        )
+        .distinct()
+    )
+    ga = groups.select(
+        F.col("set_hash").alias("sh_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_a")
+    )
+    gb = groups.select(
+        F.col("set_hash").alias("sh_b"), F.col("sh_set").alias("set_b"), F.col("n_sh").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    scored = (
+        cand.join(ga, "sh_a")
+        .join(gb, "sh_b")
+        .select("sh_a", "sh_b", inter.alias("_i"), "n_a", "n_b")
+    )
+    fwd = scored.select(
+        F.col("sh_a").alias("sh_s"), F.col("sh_b").alias("sh_d"),
+        (F.col("_i") / F.col("n_a")).alias("containment"),
+    )
+    rev = scored.select(
+        F.col("sh_b").alias("sh_s"), F.col("sh_a").alias("sh_d"),
+        (F.col("_i") / F.col("n_b")).alias("containment"),
+    )
+    rep_pairs = fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+    members = doc_sets.select("set_hash", "doc_id")
+    within = (
+        members.alias("m1")
+        .join(members.alias("m2"), "set_hash")
+        .filter(F.col("m1.doc_id") != F.col("m2.doc_id"))
+        .select(
+            F.col("m1.doc_id").alias("doc_src"),
+            F.col("m2.doc_id").alias("doc_dst"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("set_hash").alias("sh_s"), F.col("doc_id").alias("doc_src")), "sh_s"
+        )
+        .join(members.select(F.col("set_hash").alias("sh_d"), F.col("doc_id").alias("doc_dst")), "sh_d")
+        .select("doc_src", "doc_dst", F.round("containment", 6).alias("containment"))
+    )
+    out = within.unionByName(cross)
+    return _register_persisted(out, persisted)
+
+
 def shingle_sets(df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"):
     """(doc_id, sh_set array<string>, n_sh) — the distinct word-n-gram set
     per doc as a pure per-row projection: split once, slide a window with

@@ -365,6 +365,64 @@ def read_cardinality_estimates(spark: SparkSession, state_path: str) -> DataFram
     return estimate_cardinalities(merge_cardinality_sketches(state))
 
 
+def stream_cms_state(
+    spark: SparkSession,
+    df_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    key_cols: "list[str]",
+    token_col: str,
+    w: int = 2048,
+    d: int = 4,
+    trigger_once: bool = True,
+):
+    """Streaming point-frequency state: each micro-batch's Count-Min
+    cells land in their own ``batch_id`` partition; the SUM-merge happens
+    at read time (:func:`read_cms_estimates`), so a replayed batch
+    overwrites its partition and exactly-once holds with no epoch ledger
+    — the same merge-at-read contract as
+    :func:`stream_cardinality_state` (CMS is a linear projection, so
+    cell addition is associative under any merge tree)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import cms_state
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cms_state(batch_df, key_cols, token_col, w, d)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_path)
+        )
+
+    writer = df_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms_estimates(
+    spark: SparkSession,
+    state_path: str,
+    tokens: DataFrame,
+    token_col: str = "token",
+    w: int = 2048,
+    d: int = 4,
+) -> DataFrame:
+    """(keys..., token, est) from a :func:`stream_cms_state` table: sum
+    every batch partition's cells per (keys, depth, pos), then probe —
+    one groupBy over w*d-bounded rows per key regardless of corpus
+    size."""
+    from ..operators.sketches import cms_estimate, cms_merge
+
+    state = spark.read.parquet(state_path).drop("batch_id")
+    return cms_estimate(cms_merge(state), tokens, token_col, w, d)
+
+
 def stream_histogram_state(
     spark: SparkSession,
     df_stream: DataFrame,

@@ -2036,3 +2036,42 @@ def test_kmeans_init_centroids_override(spark):
         assert c == vid // 6, (vid, c)
     with pytest.raises(ValueError, match="init_centroids"):
         kmeans(df, k=4, iters=1, init_centroids=init).collect()
+
+
+def test_containment_pairs_directed_asymmetry(spark):
+    """Containment catches a short doc quoted inside a long page (1.0
+    from the quote side) where Jaccard stays tiny; direction matters;
+    identical docs contain each other both ways; df-cut never changes a
+    reported value."""
+    long_page = "the quick brown fox jumps over the lazy dog " * 6
+    quote = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, long_page + " " + quote),
+            (3, quote),  # identical to 1
+            (4, "completely different content with nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_src, r.doc_dst): r.containment
+        for r in D.containment_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert got[(1, 2)] == 1.0 and got[(3, 2)] == 1.0  # quote -> page
+    assert (2, 1) not in got  # page -> quote fails the threshold
+    assert got[(1, 3)] == 1.0 and got[(3, 1)] == 1.0  # identical, both ways
+    assert not any(4 in p for p in got)
+    # jaccard on the same pair is far below the containment
+    j = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.01).collect()
+    }
+    assert j[(1, 2)] < 0.3  # vs containment 1.0 on the same pair
+    # df-cut drops candidates only, never changes scores
+    capped = {
+        (r.doc_src, r.doc_dst): r.containment
+        for r in D.containment_pairs(docs, n=3, threshold=0.8, max_doc_freq=50).collect()
+    }
+    for k, v in capped.items():
+        assert got[k] == v

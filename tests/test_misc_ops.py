@@ -2149,3 +2149,36 @@ def test_bpe_train_and_encode(spark):
     assert m[0][:2] == ("a", "a")
     out = apply_merges(runs, [("a", "a")]).collect()[0].bpe_tokens
     assert out == ["aa", "a", "a", "aa", "a", "a"]
+
+
+def test_stream_cms_state_restart_and_additive(spark, tmp_path):
+    """Streaming Count-Min: per-batch cell partitions merge additively at
+    read time; estimates upper-bound (and here, at wide w, equal) the
+    exact counts across a stream restart; a replayed batch overwrites its
+    own partition (no double counting)."""
+    from phenoqc_spark.streaming.pipeline import read_cms_estimates, stream_cms_state
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [("a", f"t{i % 5}") for i in range(50)] + [("b", "x")] * 7
+    spark.createDataFrame(b1, "g string, tok string").write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    probes = spark.createDataFrame([("t0",), ("t4",), ("x",)], "token string")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_cms_state(spark, stream, state, ckpt, ["g"], "tok", w=4096, d=4)
+        q.awaitTermination(120)
+        return {
+            (r.g, r.token): r.est
+            for r in read_cms_estimates(spark, state, probes, w=4096, d=4).collect()
+        }
+
+    est1 = run_once()
+    assert est1[("a", "t0")] == 10 and est1[("b", "x")] == 7 and est1[("b", "t0")] == 0
+    # second batch adds counts; the merged state is the SUM of batches
+    b2 = [("a", "t0")] * 3 + [("c", "t4")] * 2
+    spark.createDataFrame(b2, "g string, tok string").write.mode("append").parquet(src)
+    est2 = run_once()
+    assert est2[("a", "t0")] == 13 and est2[("c", "t4")] == 2 and est2[("b", "x")] == 7

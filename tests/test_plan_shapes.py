@@ -430,3 +430,20 @@ def test_url_host_stats_share_is_broadcast_not_global_window(spark):
     assert "BroadcastNestedLoopJoin" in txt or "BroadcastExchange" in txt, txt
     # semantics unchanged: shares sum to 1
     assert abs(sum(r.corpus_share for r in out.collect()) - 1.0) < 1e-4
+
+
+def test_extract_links_is_map_only_jvm(spark):
+    """extract_links is pure per-row JVM work: no Exchange, no Python
+    nodes — the page body never leaves its partition."""
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators.textstats import extract_links
+
+    df = spark.createDataFrame(
+        [(f"https://h{i}.org/d/p.html", '<a href="/x">y</a>') for i in range(10)],
+        "url string, body string",
+    ).select("url", F.encode("body", "utf-8").alias("html"))
+    txt = plan_text(extract_links(df))
+    assert "Exchange" not in txt, txt
+    for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert node not in txt, txt
