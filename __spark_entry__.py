@@ -2037,6 +2037,59 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_anchor_texts"] = kg_anchor_texts
 
+    def kg_redirects(spark, sf_dir):
+        # redirect-chain resolution over a deterministic crawl redirect
+        # map: p_i -> p_{i-1} chains (terminal every 10th page) plus a
+        # 3-cycle p0 -> p10 -> p20 -> p0, so chains below 30 DRAIN into
+        # the cycle (unresolved) while the rest resolve with exact hop
+        # counts.  Oracle follows the same map with a recursive CTE.
+        from phenoqc_spark.operators.canonicalize import resolve_redirects
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+        url = lambda c: F.format_string("https://ex.org/p%d", c)
+        chains = docs.filter(F.col("doc_id") % 10 != 0).select(
+            url(F.col("doc_id")).alias("src"),
+            url(F.col("doc_id") - 1).alias("dst"),
+        )
+        cyc = docs.filter(F.col("doc_id").isin(0, 10, 20)).select(
+            url(F.col("doc_id")).alias("src"),
+            url((F.col("doc_id") + 10) % 30).alias("dst"),
+        )
+        out = resolve_redirects(chains.unionByName(cyc), max_hops=16)
+        # the compare harness sorts row tuples — coalesce the NULL
+        # (final_url, hops) of unresolved rows into sortable sentinels
+        return out.select(
+            "src",
+            F.coalesce("final_url", F.lit("")).alias("final_url"),
+            F.coalesce("hops", F.lit(-1)).alias("hops"),
+            "unresolved",
+        ).orderBy("src")
+
+    q["kg_redirects"] = kg_redirects
+
+    def txt_html_text(spark, sf_dir):
+        # crawl text extraction: pages wrap the corpus text in markup
+        # with script/style payloads, a comment, and entities; html_text
+        # must recover exactly title + body text + decoded tail.  Oracle
+        # rebuilds the expected text from the same formulas.
+        from phenoqc_spark.operators.textstats import html_text
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 3000)
+        html = F.concat(
+            F.lit("<html><head><script>var x = '<p>no</p>';</script>"),
+            F.lit("<style>.a{color:red}</style></head><body><h1>Doc "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("</h1><!-- hidden --><p>"),
+            F.col("text"),
+            F.lit(" &amp; tail &lt;"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("&gt;</p></body></html>"),
+        )
+        pages = docs.select("doc_id", F.encode(html, "utf-8").alias("html"))
+        return html_text(pages).select("doc_id", "text").orderBy("doc_id")
+
+    q["txt_html_text"] = txt_html_text
+
     def txt_source_cardinality(spark, sf_dir):
         # mergeable distinct-content state: per-source HLL sketches of
         # md5(text), built as TWO half-batches (doc_id parity) and merged
@@ -3392,6 +3445,37 @@ ORDER BY entity
         + _ppr_vals
         + '\n) AS t(node, "rank") ORDER BY node'
     )
+
+    o["kg_redirects"] = """
+WITH RECURSIVE m AS (
+  SELECT printf('https://ex.org/p%d', doc_id) AS src,
+         printf('https://ex.org/p%d', doc_id - 1) AS dst
+  FROM documents WHERE doc_id < 2000 AND doc_id % 10 <> 0
+  UNION ALL
+  SELECT printf('https://ex.org/p%d', doc_id),
+         printf('https://ex.org/p%d', (doc_id + 10) % 30)
+  FROM documents WHERE doc_id IN (0, 10, 20)
+), walk AS (
+  SELECT src AS origin, dst AS cur, 1 AS hops FROM m
+  UNION ALL
+  SELECT w.origin, m.dst, w.hops + 1 FROM walk w JOIN m ON w.cur = m.src
+  WHERE w.hops < 16
+), term AS (
+  SELECT origin, cur, hops FROM walk WHERE cur NOT IN (SELECT src FROM m)
+)
+SELECT s.src AS src, COALESCE(t.cur, '') AS final_url,
+       CAST(COALESCE(t.hops, -1) AS BIGINT) AS hops,
+       t.origin IS NULL AS unresolved
+FROM (SELECT DISTINCT src FROM m) s LEFT JOIN term t ON t.origin = s.src
+ORDER BY src
+"""
+
+    o["txt_html_text"] = """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id % 7 AS VARCHAR) || ' ' || text ||
+       ' & tail <' || CAST(doc_id % 5 AS VARCHAR) || '>' AS text
+FROM documents WHERE doc_id < 3000 ORDER BY doc_id
+"""
 
     o["kg_anchor_texts"] = """
 WITH d AS (

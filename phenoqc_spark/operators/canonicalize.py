@@ -1751,15 +1751,23 @@ def ktruss(
     standard community-core primitive.
 
     Iterative peeling: per round, per-edge triangle SUPPORT is computed
-    by enumerating triangles on the a<b-oriented edge list (one wedge
-    self-join + one closing left-semi-style join — the
-    :func:`graph_triangles` shape, each triangle charged to its three
-    edges via a 3-way union + hash aggregate), then every edge with
+    by enumerating triangles on a DEGREE-ORDERED orientation (each edge
+    points from its lower-(degree, id) endpoint to the higher — the
+    compact-forward scheme :func:`graph_triangles` uses): wedges are
+    expanded only at a node's OUT-neighbors, so per-node fan-out is
+    bounded by the graph's arboricity, not its max degree.  This is the
+    difference between feasible and impossible on a real KG edge list —
+    a hub entity with 10⁶ id-ordered successors generates ~10¹² wedges
+    under naive a<b orientation (the round-5 1M-page run filled the
+    disk and died exactly there), but near-zero out-wedges under degree
+    ordering because every hub edge points INTO the hub.  Each triangle
+    is found once (its unique (deg, id)-minimum apex), charged to its
+    three edges via a 3-way union + hash aggregate; every edge with
     support < k−2 drops and the loop repeats on the survivors until a
-    fixpoint (edge removals cascade, exactly like the k-core node peel).
-    Rounds are bounded by the peel depth (≤ edge count, tiny in
-    practice); state is localCheckpoint-truncated per round.
-    Deterministic; raises if ``max_rounds`` is exceeded.
+    fixpoint (removals cascade, exactly like the k-core node peel).
+    Degrees are recomputed per round (peeling changes them).  State is
+    localCheckpoint-truncated per round.  Deterministic; raises if
+    ``max_rounds`` is exceeded.
     """
     if k < 3:
         raise ValueError("ktruss: k must be ≥ 3")
@@ -1772,22 +1780,42 @@ def ktruss(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):
-        w1 = und.select(F.col("a").alias("p"), F.col("b").alias("u"))
-        w2 = und.select(F.col("a").alias("p"), F.col("b").alias("v"))
-        # wedges at apex p (u < v) closed by edge (u, v) → triangle (p,u,v)
+        # degree-ordered orientation of the surviving edges: lo -> hi by
+        # (degree, id); recomputed per round because peeling shifts degrees
+        sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+        ranked = (
+            und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+            .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+        )
+        ka = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+        kb = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+        o = ranked.select(
+            F.when(ka < kb, ka).otherwise(kb).alias("s"),
+            F.when(ka < kb, kb).otherwise(ka).alias("t"),
+        ).localCheckpoint(eager=True)
+        w1 = o.select(F.col("s").alias("p"), F.col("t").alias("u"))
+        w2 = o.select(F.col("s").alias("p"), F.col("t").alias("v"))
+        # wedges at apex p over its (few) out-neighbors, u < v in
+        # (deg, id) order, closed by oriented edge (u, v) → triangle
         tris = (
             w1.join(w2, "p")
             .filter(F.col("u") < F.col("v"))
             .join(
-                und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+                o.select(F.col("s").alias("u"), F.col("t").alias("v")),
                 ["u", "v"],
                 "left_semi",
             )
+            .select(F.col("p.n").alias("p"), F.col("u.n").alias("u"), F.col("v.n").alias("v"))
         )
+
+        def _edge(x, y):
+            return [F.least(x, y).alias("a"), F.greatest(x, y).alias("b")]
+
         support = (
-            tris.select(F.col("p").alias("a"), F.col("u").alias("b"))
-            .unionByName(tris.select(F.col("p").alias("a"), F.col("v").alias("b")))
-            .unionByName(tris.select(F.col("u").alias("a"), F.col("v").alias("b")))
+            tris.select(*_edge(F.col("p"), F.col("u")))
+            .unionByName(tris.select(*_edge(F.col("p"), F.col("v"))))
+            .unionByName(tris.select(*_edge(F.col("u"), F.col("v"))))
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("supp"))
         )
@@ -1805,3 +1833,87 @@ def ktruss(
                 F.col("a").alias("node_a"), F.col("b").alias("node_b")
             )
     raise RuntimeError(f"ktruss: did not converge in {max_rounds} rounds")
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 64,
+) -> DataFrame:
+    """(src, final_url, hops, unresolved) — terminal-target resolution of
+    a crawl redirect map by pointer doubling: every redirect SOURCE is
+    followed through the chain (301/308 hops, URL aliases, shorteners)
+    to the first node that is not itself a redirect source.  The step a
+    web-KG needs before page-level identity: edges, anchors, and CDX
+    captures keyed on intermediate hops all collapse onto the terminal
+    URL (reference analogue: none — the reference QCs tabular records;
+    this is the crawl-graph identity layer, same role as
+    :func:`connected_components` but over a DIRECTED functional graph
+    where the canonical element is the chain END, not the min member).
+
+    Semantics:
+
+    - the map is made functional first (a crawl can record two targets
+      for one source across captures): deterministic ``min(dst)`` wins;
+    - ``final_url``/``hops`` are the terminal node and the exact chain
+      length for resolved sources;
+    - sources on (or draining into) a redirect CYCLE never terminate:
+      they come back ``unresolved=true`` with NULL final/hops — callers
+      drop or quarantine them (serving them would loop a fetcher).
+      Chains of length ≤ ``max_hops`` are guaranteed resolved; doubling
+      may overshoot past ``max_hops`` for longer acyclic chains (they
+      resolve too — ``unresolved`` is strictly cycles/pathological).
+
+    Scale shape: pointer doubling — each round composes the
+    partially-resolved map with ITSELF (one self-join keyed on the
+    current position), so a length-L chain resolves in ⌈log₂ L⌉ rounds,
+    not L; ``ceil(log2(max_hops))+1`` rounds total, each one shuffle +
+    an eager ``localCheckpoint`` to truncate the iterative lineage (the
+    :func:`connected_components` discipline).  State is one row per
+    redirect source forever — never per (source × hop) like a naive
+    transitive closure.
+    """
+    import math
+
+    m = (
+        redirects.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .groupBy("src")
+        .agg(F.min("dst").alias("dst"))
+    )
+    state = m.select(
+        "src",
+        F.col("dst").alias("cur"),
+        F.lit(1).cast("long").alias("hops"),
+        F.lit(False).alias("done"),
+    ).localCheckpoint(eager=True)
+    rounds = max(1, int(math.ceil(math.log2(max(2, max_hops)))) + 1)
+    for _ in range(rounds):
+        jump = state.select(
+            F.col("src").alias("j_src"),
+            F.col("cur").alias("j_cur"),
+            F.col("hops").alias("j_hops"),
+        )
+        advanced = F.col("j_src").isNotNull() & ~F.col("done")
+        state = (
+            state.join(jump, state.cur == F.col("j_src"), "left")
+            .select(
+                "src",
+                F.when(advanced, F.col("j_cur")).otherwise(F.col("cur")).alias("cur"),
+                F.when(advanced, F.col("hops") + F.col("j_hops"))
+                .otherwise(F.col("hops"))
+                .alias("hops"),
+                # a position with no outgoing entry is terminal
+                (F.col("done") | F.col("j_src").isNull()).alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if state.filter(~F.col("done")).limit(1).count() == 0:
+            break
+    return state.select(
+        "src",
+        F.when(F.col("done"), F.col("cur")).alias("final_url"),
+        F.when(F.col("done"), F.col("hops")).alias("hops"),
+        (~F.col("done")).alias("unresolved"),
+    )

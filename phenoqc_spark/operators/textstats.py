@@ -642,6 +642,57 @@ def extract_links(
     )
 
 
+def html_text(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+) -> DataFrame:
+    """Adds ``out_col``: the visible text of a raw HTML page — the
+    extraction step between a crawl archive and every text operator in
+    this module (quality scores, language-ID, shingling, chunking all
+    consume TEXT, not markup).  Rules, in order:
+
+    1. ``<script>``/``<style>`` elements drop WITH their contents
+       (executable/presentation payload, not prose), ``<!-- -->``
+       comments drop;
+    2. every remaining tag becomes a single space (so adjacent block
+       elements don't weld words together);
+    3. the common named HTML entities decode (``&lt; &gt; &quot; &#39;
+       &apos; &nbsp;`` first, ``&amp;`` LAST so double-escaped text
+       decodes exactly one level, per the HTML parsing order);
+    4. whitespace collapses to single spaces, trimmed.
+
+    Numeric character references beyond ``&#39;`` are left intact —
+    decoding arbitrary ``&#NNN;`` needs per-row codepoint math (a UDF);
+    at curation scale the named set covers the overwhelming majority and
+    the residue is harmless to shingles/quality signals.  Scale shape:
+    one chain of JVM ``regexp_replace`` projections — whole-stage
+    codegen, no UDF, no shuffle; the page body never leaves its
+    partition.  Reference analogue: none (tabular reference); this is
+    the crawl text-extraction layer feeding SURVEY §2's text ops.
+    """
+    s = (
+        F.decode(F.col(html_col), "utf-8")
+        if dict(df.dtypes)[html_col] == "binary"
+        else F.col(html_col).cast("string")
+    )
+    s = F.regexp_replace(s, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # last: one decode level for double-escaped text
+    ):
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return df.withColumn(out_col, s)
+
+
 def canonicalize_urls(
     df: DataFrame, url_col: str = "url", out_col: str = "url_canonical"
 ) -> DataFrame:

@@ -2182,3 +2182,57 @@ def test_stream_cms_state_restart_and_additive(spark, tmp_path):
     spark.createDataFrame(b2, "g string, tok string").write.mode("append").parquet(src)
     est2 = run_once()
     assert est2[("a", "t0")] == 13 and est2[("c", "t4")] == 2 and est2[("b", "x")] == 7
+
+
+def test_resolve_redirects_chains_cycles_and_dedup(spark):
+    """Pointer-doubling redirect resolution: exact terminal + hop count
+    for chains, unresolved for cycles AND chains draining into cycles,
+    deterministic min(dst) when a source recorded two targets, self-loop
+    unresolved."""
+    from phenoqc_spark.operators.canonicalize import resolve_redirects
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"),          # chain a->b->c->d
+        ("x", "y"), ("y", "z"), ("z", "x"),          # 3-cycle
+        ("w", "x"),                                   # drains into the cycle
+        ("m", "n2"), ("m", "n1"),                     # non-functional: min wins
+        ("s", "s"),                                   # self-loop
+    ]
+    out = {
+        r.src: (r.final_url, r.hops, r.unresolved)
+        for r in resolve_redirects(
+            spark.createDataFrame(edges, "src string, dst string"), max_hops=16
+        ).collect()
+    }
+    assert out["a"] == ("d", 3, False)
+    assert out["b"] == ("d", 2, False)
+    assert out["c"] == ("d", 1, False)
+    for cyc in ("x", "y", "z", "w", "s"):
+        assert out[cyc] == (None, None, True), (cyc, out[cyc])
+    assert out["m"] == ("n1", 1, False)
+    assert set(out) == {"a", "b", "c", "x", "y", "z", "w", "m", "s"}
+
+
+def test_html_text_extraction(spark):
+    """script/style payloads and comments drop, tags become spaces,
+    named entities decode one level (&amp; last), whitespace collapses;
+    binary and string columns both accepted."""
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators.textstats import html_text
+
+    page = (
+        "<html><head><script type='x'>var a = '<p>not text</p>';</script>"
+        "<style>.c { color: red }</style></head>"
+        "<body><h1>Big   Title</h1><!-- secret --><p>one&nbsp;two "
+        "&lt;tag&gt; &quot;q&quot; &#39;a&#39; Fish &amp; Chips &amp;lt;keep&amp;gt;</p>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], "id long, html string")
+    got = html_text(df).collect()[0].text
+    assert got == (
+        "Big Title one two <tag> \"q\" 'a' Fish & Chips &lt;keep&gt;"
+    ), got
+    # binary column path
+    dfb = df.select("id", F.encode("html", "utf-8").alias("html"))
+    assert html_text(dfb).collect()[0].text == got

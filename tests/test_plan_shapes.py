@@ -447,3 +447,19 @@ def test_extract_links_is_map_only_jvm(spark):
     assert "Exchange" not in txt, txt
     for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
         assert node not in txt, txt
+
+
+def test_html_text_is_map_only_jvm(spark):
+    """html_text is a pure per-row JVM regexp chain: no Exchange, no
+    Python nodes — page bodies never leave their partition."""
+    from pyspark.sql import functions as F
+
+    from phenoqc_spark.operators.textstats import html_text
+
+    df = spark.createDataFrame(
+        [(i, "<p>hello</p>") for i in range(10)], "id long, body string"
+    ).select("id", F.encode("body", "utf-8").alias("html"))
+    txt = plan_text(html_text(df))
+    assert "Exchange" not in txt, txt
+    for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert node not in txt, txt
