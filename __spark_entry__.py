@@ -2067,6 +2067,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_redirects"] = kg_redirects
 
+    def kg_cocitation(spark, sf_dir):
+        # page-page co-citation projection of a synthetic page->term
+        # bipartite graph with a deliberate every-page hub term: max_df
+        # cuts the hub BEFORE pairing, min_weight prunes weak pairs.
+        from phenoqc_spark.operators.canonicalize import cocitation_project
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        page = F.format_string("p%d", F.col("doc_id"))
+        t = lambda c: F.format_string("t%d", c)
+        edges = (
+            docs.select(page.alias("src"), t(F.col("doc_id") % 20).alias("dst"))
+            .unionByName(docs.select(page.alias("src"), t((F.col("doc_id") + 1) % 20).alias("dst")))
+            .unionByName(docs.select(page.alias("src"), t(F.col("doc_id") % 7 + 100).alias("dst")))
+            .unionByName(
+                docs.filter(F.col("doc_id") % 2 == 0).select(
+                    page.alias("src"), F.lit("t999").alias("dst")
+                )
+            )
+        )
+        return (
+            cocitation_project(edges, max_df=60, min_weight=2)
+            .orderBy("node_a", "node_b")
+        )
+
+    q["kg_cocitation"] = kg_cocitation
+
     def txt_html_text(spark, sf_dir):
         # crawl text extraction: pages wrap the corpus text in markup
         # with script/style payloads, a comment, and entities; html_text
@@ -3445,6 +3471,25 @@ ORDER BY entity
         + _ppr_vals
         + '\n) AS t(node, "rank") ORDER BY node'
     )
+
+    o["kg_cocitation"] = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+e0 AS (
+  SELECT printf('p%d', doc_id) AS l, printf('t%d', doc_id % 20) AS r FROM d
+  UNION ALL
+  SELECT printf('p%d', doc_id), printf('t%d', (doc_id + 1) % 20) FROM d
+  UNION ALL
+  SELECT printf('p%d', doc_id), printf('t%d', doc_id % 7 + 100) FROM d
+  UNION ALL
+  SELECT printf('p%d', doc_id), 't999' FROM d WHERE doc_id % 2 = 0
+), e AS (SELECT DISTINCT l, r FROM e0),
+keep AS (SELECT r FROM e GROUP BY r HAVING count(*) <= 60),
+ek AS (SELECT e.l, e.r FROM e JOIN keep USING (r))
+SELECT x.l AS node_a, y.l AS node_b, count(*) AS weight
+FROM ek x JOIN ek y ON x.r = y.r AND x.l < y.l
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY node_a, node_b
+"""
 
     o["kg_redirects"] = """
 WITH RECURSIVE m AS (

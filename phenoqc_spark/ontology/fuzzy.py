@@ -180,13 +180,113 @@ def score(s1: str, s2: str) -> float:
 # extractOne over an ordered key list
 # ---------------------------------------------------------------------------
 
-def extract_one(query: str, keys, score_cutoff: float):
+def _bag(s: str) -> dict:
+    b: dict = {}
+    for ch in s:
+        b[ch] = b.get(ch, 0) + 1
+    return b
+
+
+def _bag_common(b1: dict, b2: dict) -> int:
+    if len(b2) < len(b1):
+        b1, b2 = b2, b1
+    return sum(min(n, b2.get(ch, 0)) for ch, n in b1.items())
+
+
+def _str_stats(s: str):
+    """(len, token_set, bag, sorted_len, sorted_bag, uniq_len, uniq_bag)
+    for the WRatio upper bound: the original string, its token-sorted
+    join (token_sort/partial_token operand), and its unique-token join
+    (token_set/diff operand)."""
+    toks = s.split()
+    ks = " ".join(sorted(toks))
+    ku = " ".join(sorted(set(toks)))
+    bag = _bag(s)
+    return (
+        len(s),
+        set(toks),
+        bag,
+        len(ks),
+        bag if ks == s else _bag(ks),
+        len(ku),
+        bag if ku == s else _bag(ku),
+    )
+
+
+def build_key_stats(keys):
+    """Precomputed :func:`_str_stats` per key (None for empty keys) —
+    built once per process by the resolver so the 50k-key scan prunes
+    with O(distinct-chars) bag math instead of full WRatio."""
+    return [(_str_stats(k) if k else None) for k in keys]
+
+
+def _wratio_upper_bound(q, k) -> float:
+    """Provable upper bound on wratio(s1, s2) from character-bag overlap.
+
+    Every WRatio component is an Indel ratio of (rearrangements /
+    windows / token-subset joins) of the two strings, and an Indel
+    ratio is 200·LCS/(l1+l2) with LCS ≤ the character-multiset
+    intersection of its operands — so each component is bounded by bag
+    overlap over the operands it actually compares:
+
+    - ratio: 200·C/(l1+l2) on the originals;
+    - token_sort: same on the token-sorted joins (multiset preserved);
+    - token_set: 100 iff a token is shared (the sect shortcut),
+      else the diff strings are the unique-token joins → bound there;
+    - partial_*: each window's LCS ≤ C and score = 100·LCS/m with m
+      the shorter operand.
+
+    WRatio's own 0.95/0.9/0.6 scale factors and length-ratio branches
+    are applied exactly as in :func:`wratio`.
+    """
+    (lq, tq, bq, lsq, bsq, luq, buq) = q
+    (lk, tk, bk, lsk, bsk, luk, buk) = k
+    c = _bag_common(bq, bk)
+    r = 200.0 * c / (lq + lk)
+    shared = not tq.isdisjoint(tk)
+    lo, hi = (lq, lk) if lq <= lk else (lk, lq)
+    if hi < 1.5 * lo:
+        ts_sort = (
+            200.0 * _bag_common(bsq, bsk) / (lsq + lsk) if lsq + lsk else 0.0
+        )
+        if shared:
+            tok = 100.0
+        elif luq and luk:
+            tok = max(ts_sort, 200.0 * _bag_common(buq, buk) / (luq + luk))
+        else:
+            tok = ts_sort
+        return max(r, 0.95 * tok)
+    sc = 0.9 if hi < 8 * lo else 0.6
+    pr = 100.0 * min(c, lo) / lo
+    if shared:
+        pt = 100.0
+    else:
+        ms = min(lsq, lsk)
+        mu = min(luq, luk)
+        pt = max(
+            100.0 * min(_bag_common(bsq, bsk), ms) / ms if ms else 0.0,
+            100.0 * min(_bag_common(buq, buk), mu) / mu if mu else 0.0,
+        )
+    return max(r, sc * pr, 0.95 * sc * pt)
+
+
+def extract_one(query: str, keys, score_cutoff: float, key_stats=None):
     """First key (insertion order) with the maximum WRatio ≥ cutoff, or None.
 
     Matches ``rapidfuzz.process.extractOne`` tie-breaking: later keys must
     *strictly* beat the current best to replace it, so with preserved OBO
     term order the chosen key (and thus the mapped id) is identical to the
     reference (SURVEY.md §7.4 risk 1).
+
+    ``key_stats`` (from :func:`build_key_stats`) enables the character-bag
+    upper-bound prune — at HPO dictionary scale (50k keys) this is the
+    difference between ~50k full WRatio evaluations per distinct
+    unmatched surface and a handful (measured 5.3× end-to-end, 7.2× on
+    the fuzzy-tier overhead, on the 1M-page pipeline — BENCH/PR.md):
+    the earlier length-ratio caps (95/90) never fired at the standard
+    cutoff of 80.  The bound only
+    SKIPS keys that provably cannot reach max(cutoff, best), so the
+    returned (key, score) is bit-identical with and without stats.
     """
     if not query:
         return None
@@ -197,24 +297,14 @@ def extract_one(query: str, keys, score_cutoff: float):
         return None if res is None else (res[0], float(res[1]))
     best_key = None
     best_score = -1.0
-    qlen = len(query)
-    for key in keys:
+    qstat = _str_stats(query)
+    for i, key in enumerate(keys):
         if not key:
             continue
-        # Provably safe upper bound before scoring: the plain-ratio branch is
-        # bounded by the length difference (indel ≥ |l1−l2|); the token branch
-        # is capped at 95 and the partial branches at 90 / 57 by WRatio's
-        # scale factors.  Skip keys that cannot beat (cutoff, current best).
-        klen = len(key)
-        lo, hi = (qlen, klen) if qlen <= klen else (klen, qlen)
-        ratio_ub = 100.0 * (2.0 * lo) / (qlen + klen)
-        if hi < 1.5 * lo:
-            cap = 95.0
-        elif hi < 8 * lo:
-            cap = 90.0
-        else:
-            cap = 60.0
-        ub = ratio_ub if ratio_ub > cap else cap
+        kstat = key_stats[i] if key_stats is not None else _str_stats(key)
+        # float-safety margin: the bound math is exact rational-in-float,
+        # but give wratio a hair of headroom before skipping
+        ub = _wratio_upper_bound(qstat, kstat) + 1e-6
         if ub < score_cutoff or ub <= best_score:
             continue
         s = wratio(query, key)

@@ -68,6 +68,10 @@ class TermResolver:
         # ordered key tuples for the fuzzy tier (stable tie-break)
         self._key_lists = {o: tuple(d.keys()) for o, d in ontologies.items()}
         self._cache: Dict[str, Dict[str, Optional[str]]] = {}
+        # per-process char-bag stats for the fuzzy prune (fuzzy.extract_one);
+        # built lazily on first fuzzy miss per ontology, excluded from
+        # pickle so the broadcast ships only the dictionaries
+        self._key_stats: Dict[str, list] = {}
 
     # -- construction -------------------------------------------------------
 
@@ -165,8 +169,13 @@ class TermResolver:
             if mapped is not None:
                 res = (mapped, "exact", 100.0)
             elif d and term_norm:
+                keys = self._key_lists.get(onto, ())
+                stats = self._key_stats.get(onto)
+                if stats is None and keys:
+                    stats = fuzzy.build_key_stats(keys)
+                    self._key_stats[onto] = stats
                 hit = fuzzy.extract_one(
-                    term_norm, self._key_lists.get(onto, ()), self.fuzzy_threshold
+                    term_norm, keys, self.fuzzy_threshold, key_stats=stats
                 )
                 if hit is not None:
                     fid = d.get(hit[0])
@@ -217,4 +226,5 @@ class TermResolver:
     def __getstate__(self):
         state = dict(self.__dict__)
         state["_cache"] = {}
+        state["_key_stats"] = {}
         return state

@@ -1917,3 +1917,52 @@ def resolve_redirects(
         F.when(F.col("done"), F.col("hops")).alias("hops"),
         (~F.col("done")).alias("unresolved"),
     )
+
+
+def cocitation_project(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_df: int | None = None,
+    min_weight: int = 1,
+) -> DataFrame:
+    """(node_a, node_b, weight) — the co-citation projection of a
+    bipartite edge list: two LEFT nodes connect with weight = how many
+    RIGHT nodes they share.  This is how a page–page similarity graph is
+    built from the page→term triple edges (and a term–term one from the
+    transpose): community detection / LPA on the RAW bipartite list just
+    welds everything through the hubs (measured on the 1M-page pipeline
+    graph: 2 "communities" — BENCH/GRAPH.md), while the projection
+    carries the actual co-citation signal.
+
+    Scale shape: one self-join keyed on the right-hand node + one hash
+    aggregate.  A right-hand hub with degree d emits d²/2 pairs — the
+    quadratic hub wall every projection has — so ``max_df`` drops
+    right nodes above that document frequency BEFORE the join (same
+    rationale as the PMI/TF-IDF df-cut: a term cited by everyone
+    carries no co-citation signal; the df computation is one cheap
+    aggregate on the projection side).  ``min_weight`` prunes the long
+    tail of single-shared-term pairs after the aggregate.  Deterministic;
+    pairs are emitted once with ``node_a < node_b``.
+    """
+    e = edges.select(F.col(src).alias("l"), F.col(dst).alias("r")).filter(
+        F.col("l").isNotNull() & F.col("r").isNotNull()
+    ).distinct()
+    if max_df is not None:
+        keep = (
+            e.groupBy("r")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("r")
+        )
+        e = e.join(keep, "r")
+    pairs = (
+        e.alias("x")
+        .join(e.alias("y"), "r")
+        .filter(F.col("x.l") < F.col("y.l"))
+        .groupBy(F.col("x.l").alias("node_a"), F.col("y.l").alias("node_b"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    if min_weight > 1:
+        pairs = pairs.filter(F.col("weight") >= min_weight)
+    return pairs

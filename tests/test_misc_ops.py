@@ -2236,3 +2236,32 @@ def test_html_text_extraction(spark):
     # binary column path
     dfb = df.select("id", F.encode("html", "utf-8").alias("html"))
     assert html_text(dfb).collect()[0].text == got
+
+
+def test_cocitation_project_weights_dfcut_minweight(spark):
+    """Bipartite projection: pair weight = shared right nodes; max_df
+    drops hub right-nodes BEFORE pairing; min_weight prunes after."""
+    from phenoqc_spark.operators.canonicalize import cocitation_project
+
+    edges = [
+        ("p1", "t1"), ("p2", "t1"), ("p1", "t2"), ("p2", "t2"),  # p1-p2 share 2
+        ("p3", "t2"),                                              # p3 shares t2
+        ("p1", "hub"), ("p2", "hub"), ("p3", "hub"), ("p4", "hub"),
+        ("p1", "t1"),                                              # dup edge ignored
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    full = {
+        (r.node_a, r.node_b): r.weight for r in cocitation_project(df).collect()
+    }
+    assert full[("p1", "p2")] == 3  # t1, t2, hub
+    assert full[("p1", "p4")] == 1  # hub only
+    cut = {
+        (r.node_a, r.node_b): r.weight
+        for r in cocitation_project(df, max_df=3).collect()
+    }
+    assert cut[("p1", "p2")] == 2 and ("p1", "p4") not in cut
+    strong = {
+        (r.node_a, r.node_b): r.weight
+        for r in cocitation_project(df, max_df=3, min_weight=2).collect()
+    }
+    assert strong == {("p1", "p2"): 2}

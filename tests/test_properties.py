@@ -113,6 +113,28 @@ def test_extract_one_cutoff_contract(term, keys):
         assert got[1] >= cutoff and abs(got[1] - best) < 1e-9
 
 
+@settings(max_examples=400, deadline=None)
+@given(word_st, word_st)
+def test_wratio_bag_upper_bound_is_sound(a, b):
+    # the character-bag prune bound must dominate the true score —
+    # otherwise extract_one's prune could skip the real best key
+    from phenoqc_spark.ontology.fuzzy import _str_stats, _wratio_upper_bound
+
+    assert wratio(a, b) <= _wratio_upper_bound(_str_stats(a), _str_stats(b)) + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(word_st, st.lists(word_st, min_size=1, max_size=8), st.sampled_from([0.0, 50.0, 80.0, 95.0]))
+def test_extract_one_prune_is_behavior_identical(term, keys, cutoff):
+    # key_stats enables the bag-bound prune; result must be bit-identical
+    from phenoqc_spark.ontology.fuzzy import build_key_stats
+
+    keys = tuple(keys)
+    assert extract_one(term, keys, cutoff) == extract_one(
+        term, keys, cutoff, key_stats=build_key_stats(keys)
+    )
+
+
 def test_impute_unknown_strategy_warns(spark):
     import warnings
 
