@@ -172,7 +172,7 @@ class TermResolver:
                 keys = self._key_lists.get(onto, ())
                 stats = self._key_stats.get(onto)
                 if stats is None and keys:
-                    stats = fuzzy.build_key_stats(keys)
+                    stats = fuzzy.build_key_index(keys)
                     self._key_stats[onto] = stats
                 hit = fuzzy.extract_one(
                     term_norm, keys, self.fuzzy_threshold, key_stats=stats

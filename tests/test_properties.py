@@ -135,6 +135,29 @@ def test_extract_one_prune_is_behavior_identical(term, keys, cutoff):
     )
 
 
+@settings(max_examples=150, deadline=None)
+@given(word_st, st.lists(st.one_of(word_st, st.just("")), min_size=1, max_size=8), st.sampled_from([0.0, 50.0, 80.0, 95.0]))
+def test_key_index_vector_bound_matches_scalar(term, keys, cutoff):
+    # the numpy-batched bound must equal the scalar bound per key (so the
+    # vectorized prune inherits the scalar soundness proof), and the
+    # pruned extract_one must be bit-identical to the unpruned one
+    from phenoqc_spark.ontology.fuzzy import (
+        _str_stats,
+        _wratio_upper_bound,
+        build_key_index,
+    )
+
+    keys = tuple(keys)
+    ki = build_key_index(keys)
+    vb = ki.bounds(_str_stats(term))
+    for i, k in enumerate(keys):
+        if not k:
+            assert vb[i] == -1.0
+        else:
+            assert abs(vb[i] - _wratio_upper_bound(_str_stats(term), _str_stats(k))) < 1e-9
+    assert extract_one(term, keys, cutoff) == extract_one(term, keys, cutoff, key_stats=ki)
+
+
 def test_impute_unknown_strategy_warns(spark):
     import warnings
 
