@@ -169,6 +169,9 @@ _KG_FULL_EXPECTED = [
     ("TertiaryPhenotype", 0, "DO", "DOID:9351"),
     ("TertiaryPhenotype", 0, "MPO", "MP:0001943"),
     ("TertiaryPhenotype", 1, "MPO", "MP:0001902"),
+    # id keys are fuzzy candidates in the reference (mapping.py:259):
+    # mp:0001943 ~ hp:0001939 scores exactly 80.0 = the default cutoff
+    ("TertiaryPhenotype", 2, "HPO", "HP:0001939"),
     ("TertiaryPhenotype", 2, "MPO", "MP:0001943"),
     ("TertiaryPhenotype", 3, "MPO", "MP:1902"),
     ("DiseaseCode", 0, "DO", "DOID:1612"),

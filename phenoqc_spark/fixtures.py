@@ -6,9 +6,14 @@ to hand-verify and rich enough to exercise every resolution tier
 (exact / synonym / id / alt_id / xref / fuzzy / prefix fallback).
 
 The HPO fixture additionally carries an ``is_a`` hierarchy (leaf terms →
-category terms → HP:0000118) feeding the subsumption-rollup path; the
-category [Term] blocks are id-only, so the surface-form dict gains only
-their id keys — no name/synonym keys that could perturb the fuzzy tier.
+category terms → HP:0000118) feeding the subsumption-rollup path.  The
+category [Term] blocks are id-only, but ids ARE surface-dict keys in the
+reference (``terms_to_map = [term_name] + synonyms + [id_key] + ...``,
+reference mapping.py:259) and therefore legitimate fuzzy-tier candidates:
+``mp:0001943`` WRatio-matches the category key ``hp:0001939`` at exactly
+80.0 (the default cutoff), so the full-cascade goldens include that
+cross-ontology id match — regenerate them via scripts/gen_full_expected.py
+whenever these fixtures change.
 """
 
 from __future__ import annotations
@@ -100,12 +105,23 @@ CUSTOM_MAPPINGS = {"CompletelyUnknownTerm": "HP:0999001"}
 
 
 def write_ontology_fixtures(dirpath: str) -> Dict[str, str]:
-    """Write the mini-OBO files, return {ontology_id: path}."""
+    """Write the mini-OBO files, return {ontology_id: path}.
+
+    Rewrites a cached file whenever its content differs from the current
+    fixture source: a create-if-missing cache silently pins resolver
+    behavior to whatever fixture version first populated the directory
+    (a stale /tmp cache once masked an id-key fuzzy match for a whole
+    round), so staleness is compared away instead of trusted.
+    """
     os.makedirs(dirpath, exist_ok=True)
     paths = {}
     for onto, content in (("HPO", HPO_OBO), ("DO", DO_OBO), ("MPO", MPO_OBO)):
         p = os.path.join(dirpath, f"{onto}.obo")
-        if not os.path.exists(p):
+        existing = None
+        if os.path.exists(p):
+            with open(p, "r", encoding="utf-8") as fh:
+                existing = fh.read()
+        if existing != content:
             with open(p, "w", encoding="utf-8") as fh:
                 fh.write(content)
         paths[onto] = p

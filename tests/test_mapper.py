@@ -125,6 +125,18 @@ def test_mpo(resolver):
     assert resolver.map_term("Obesity")["DO"] == "DOID:9351"
 
 
+def test_id_keys_are_fuzzy_candidates_at_cutoff(resolver):
+    """Ids are surface-dict keys in the reference (terms_to_map includes
+    id_key, mapping.py:259) and participate in the fuzzy tier like any
+    other key: mp:0001943 vs the HPO category key hp:0001939 scores
+    exactly 80.0 = the default cutoff, so it MUST match.  A stale
+    ontology fixture cache once hid this boundary case for a whole
+    round — pin it so golden/fixture drift is caught at unit level."""
+    det = resolver.map_term_detailed("MP:0001943", ["HPO", "MPO"])
+    assert det["MPO"] == ("MP:0001943", "exact", 100.0)
+    assert det["HPO"] == ("HP:0001939", "fuzzy", 80.0)
+
+
 def test_resolver_from_config_url_source(tmp_path):
     """End-to-end: source:url configs route through the cached fetcher with
     the reference's retry / cache-hit / expiry / offline semantics

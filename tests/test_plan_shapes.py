@@ -80,7 +80,7 @@ def test_pages_scan_prunes_unused_columns(spark, resolver, tmp_path):
 def test_dimension_join_broadcasts(spark, sf_dir):
     import __spark_entry__ as E
 
-    q3 = E.queries()["q3_shipping"](spark, sf_dir)
+    q3 = {**E.queries(), **E.extra_queries()}["q3_shipping"](spark, sf_dir)
     txt = plan_text(q3)
     assert "BroadcastHashJoin" in txt, txt
     assert "BroadcastNestedLoopJoin" not in txt, txt
@@ -141,7 +141,7 @@ def test_schema_flag_plan_is_python_free(spark, sf_dir):
     round-trip through to_json."""
     import __spark_entry__ as E
 
-    txt = plan_text(E.queries()["v_schema_flag"](spark, sf_dir))
+    txt = plan_text({**E.queries(), **E.extra_queries()}["v_schema_flag"](spark, sf_dir))
     assert "ArrowEvalPython" not in txt, txt
     assert "BatchEvalPython" not in txt, txt
     assert "to_json" not in txt, txt
