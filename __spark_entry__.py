@@ -2615,6 +2615,51 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["td_host_cap"] = td_host_cap
 
+    def td_url_filter(spark, sf_dir):
+        # URL/domain blocklist gate (stage 1 of crawl curation): exact
+        # host, registrable-domain suffix, and path-regex rules with
+        # host > suffix > path reason precedence; the operator parses
+        # hosts with try_parse_url (+ www-strip) while the oracle
+        # recomputes them analytically from the generation formula, so
+        # URL-parsing parity is part of the check
+        from phenoqc_spark.operators.textstats import url_filter
+
+        hostpool = [
+            "www.spam.example.com",
+            "ads.tracker.net",
+            "en.wikipedia.org",
+            "blog.example.org",
+            "files.archive.org",
+        ]
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"),
+                F.element_at(
+                    F.array(*[F.lit(h) for h in hostpool]),
+                    (F.col("doc_id") % 5 + 1).cast("int"),
+                ),
+                F.format_string("/p%d/%d", (F.col("doc_id") % 7), F.col("doc_id")),
+            ).alias("url"),
+        )
+        return (
+            url_filter(
+                docs,
+                block_hosts=["spam.example.com"],
+                block_suffixes=["tracker.net"],
+                block_path_res=[r"^/p3/"],
+                flag_only=True,
+            )
+            .select(
+                "doc_id",
+                "blocked",
+                F.coalesce("block_reason", F.lit("kept")).alias("block_reason"),
+            )
+            .orderBy("doc_id")
+        )
+
+    q["td_url_filter"] = td_url_filter
+
     def v_triple_shapes(spark, sf_dir):
         # SHACL-lite shape validation over a deterministic triple set with
         # planted violations: objects of 'rel' must be e-CURIEs e00-e19
@@ -4051,6 +4096,30 @@ WITH d AS (
   FROM d
 )
 SELECT doc_id, url FROM r WHERE rn <= 10 ORDER BY doc_id
+"""
+
+    o["td_url_filter"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN 'spam.example.com'      -- www. stripped by the engine
+           WHEN 1 THEN 'ads.tracker.net'
+           WHEN 2 THEN 'en.wikipedia.org'
+           WHEN 3 THEN 'blog.example.org'
+           ELSE 'files.archive.org' END AS host,
+         printf('/p%d/%d', CAST(doc_id % 7 AS INT), CAST(doc_id AS INT)) AS path
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CASE WHEN host = 'spam.example.com' THEN 'host'
+              WHEN host = 'tracker.net' OR host LIKE '%.tracker.net' THEN 'suffix'
+              WHEN path LIKE '/p3/%' THEN 'path'
+              ELSE NULL END AS block_reason
+  FROM d
+)
+SELECT doc_id, block_reason IS NOT NULL AS blocked,
+       COALESCE(block_reason, 'kept') AS block_reason
+FROM f ORDER BY doc_id
 """
 
     o["v_triple_shapes"] = """

@@ -3,7 +3,8 @@ configurable composition of the tested operators.
 
 ``curate_corpus`` chains (each stage optional, config-driven):
 
-    URL canonicalization → URL-level dedup → exact text dedup →
+    URL blocklist gate → URL canonicalization → URL-level dedup →
+    exact text dedup →
     MinHash near-dedup → quality / language filters →
     benchmark decontamination → PII redaction →
     deterministic sampling (stratified fractions OR DSIR importance) →
@@ -33,6 +34,7 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     url_col: str | None = None,
+    url_blocklist: dict | None = None,
     latest_by: str | None = None,
     max_per_host: int | None = None,
     exact_dedup: bool = True,
@@ -88,6 +90,16 @@ def curate_corpus(
         return frame
 
     out = record("input", df)
+
+    if url_blocklist is not None:
+        if url_col is None:
+            raise ValueError("url_blocklist requires url_col")
+        # admission control BEFORE any text work: kwargs for
+        # textstats.url_filter (block_hosts / block_suffixes /
+        # block_path_res / blocklist DataFrame)
+        out = record(
+            "url_blocklist", X.url_filter(out, url_col=url_col, **url_blocklist)
+        )
 
     if url_col is not None:
         out = X.canonicalize_urls(out, url_col=url_col)

@@ -744,6 +744,137 @@ def canonicalize_urls(
     return df.withColumn(out_col, canon)
 
 
+def _url_filter_host(url_col: str):
+    """Canonical matching host for the blocklist: lowercase, www-stripped."""
+    return F.regexp_replace(
+        F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))), r"^www\.", ""
+    )
+
+
+def url_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    block_hosts=None,
+    block_suffixes=None,
+    block_path_res=None,
+    blocklist: DataFrame | None = None,
+    flag_only: bool = False,
+    out_col: str = "blocked",
+    reason_col: str = "block_reason",
+) -> DataFrame:
+    """URL/domain blocklist gate — stage 1 of a crawl-curation funnel
+    (the UT1/adult/ad-tracker list pass every public pipeline runs before
+    touching page text).  Reference analogue: none (tabular QC); this is
+    the web-corpus admission control in front of it.
+
+    Three rule kinds, matched against the canonical host (lowercase,
+    ``www.``-stripped — same normalization as :func:`url_canonicalize`):
+
+    - ``host``:    exact canonical-host match (``spam.example.com``);
+    - ``suffix``:  registrable-domain suffix — ``tracker.net`` blocks the
+      host itself and every subdomain (``a.b.tracker.net``);
+    - ``path_re``: Java regex tested against the URL path only.
+
+    Small lists (the common case) arrive via the ``block_*`` kwargs and
+    compile to pure-codegen literal expressions — map-only, no shuffle,
+    no Python.  Million-entry lists (UT1 is ~4M domains) arrive as a
+    ``blocklist`` DataFrame with columns ``(kind, value)``: the host's
+    suffix chain (``a.b.c → [a.b.c, b.c, c]``, ≤ label-count entries) is
+    exploded from a two-column ``(url, suffix)`` projection — the page
+    payload never enters the probe — and hash-joined against the
+    broadcast list, never a nested-loop join.  ``path_re`` rows are
+    collected to literals with a 1 000-pattern guard since regexes
+    cannot hash-join.
+
+    The resulting per-URL hit frame scales with the BLOCKED count (a
+    large corpus fraction when the list bites), so the join back onto
+    the payload uses the same auto-broadcast guard as
+    ``dedup.dedup_exact``: persist + count, broadcast ≤ 10 M rows, else
+    shuffled join.  Call ``dedup.release_intermediates`` on the result
+    when done (blocklist mode only).
+
+    ``flag_only=True`` appends ``blocked`` + ``block_reason``
+    (host > suffix > path precedence) for audit queries; default drops
+    blocked rows.
+    """
+    from phenoqc_spark.operators.dedup import _register_persisted
+    host = _url_filter_host(url_col)
+    path = F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
+    persisted: list[DataFrame] = []
+
+    hosts = [h.lower().lstrip(".") for h in (block_hosts or [])]
+    suffixes = [s.lower().lstrip(".") for s in (block_suffixes or [])]
+    path_res = list(block_path_res or [])
+
+    joined_flags = None
+    if blocklist is not None:
+        kinds = {r["kind"] for r in blocklist.select("kind").distinct().collect()}
+        bad = kinds - {"host", "suffix", "path_re"}
+        if bad:
+            raise ValueError(f"unknown blocklist kinds: {sorted(bad)}")
+        if "path_re" in kinds:
+            pats = blocklist.filter(F.col("kind") == "path_re").select("value").limit(1001).collect()
+            if len(pats) > 1000:
+                raise ValueError(
+                    "url_filter: >1000 path_re rows — regexes cannot hash-join; "
+                    "pre-filter the list or push path rules into block_path_res"
+                )
+            path_res.extend(r["value"] for r in pats)
+        hs = blocklist.filter(F.col("kind").isin("host", "suffix")).select(
+            F.lower(F.col("value")).alias("_blv"), F.col("kind").alias("_blk")
+        )
+        labels = F.split(host, r"\.")
+        chain = F.transform(
+            F.sequence(F.lit(1), F.size(labels)),
+            lambda i: F.array_join(F.slice(labels, i, F.size(labels) - i + 1), "."),
+        )
+        probe = df.select(
+            F.col(url_col).alias("_u"),
+            host.alias("_host"),
+            F.explode(F.when(host.isNotNull(), chain).otherwise(F.array())).alias("_sfx"),
+        )
+        hits = (
+            probe.join(F.broadcast(hs), probe["_sfx"] == hs["_blv"], "inner")
+            .filter((F.col("_blk") == "suffix") | (F.col("_sfx") == F.col("_host")))
+            .groupBy("_u")
+            .agg(
+                F.max(F.when((F.col("_blk") == "host") & (F.col("_sfx") == F.col("_host")), 1).otherwise(0)).alias("_bh"),
+                F.max(F.when(F.col("_blk") == "suffix", 1).otherwise(0)).alias("_bs"),
+            )
+        ).persist()
+        persisted.append(hits)
+        if hits.count() <= 10_000_000:
+            hits = F.broadcast(hits)
+        df = df.join(hits, df[url_col] == hits["_u"], "left").drop("_u")
+        joined_flags = (F.coalesce(F.col("_bh"), F.lit(0)) == 1, F.coalesce(F.col("_bs"), F.lit(0)) == 1)
+
+    host_hit = F.lit(False)
+    if hosts:
+        host_hit = host.isin(hosts)
+    sfx_hit = F.lit(False)
+    for s in suffixes:
+        sfx_hit = sfx_hit | (host == s) | host.endswith("." + s)
+    path_hit = F.lit(False)
+    for p in path_res:
+        path_hit = path_hit | path.rlike(p)
+    if joined_flags is not None:
+        host_hit = host_hit | joined_flags[0]
+        sfx_hit = sfx_hit | joined_flags[1]
+
+    reason = (
+        F.when(host_hit, F.lit("host"))
+        .when(sfx_hit, F.lit("suffix"))
+        .when(path_hit, F.lit("path"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    out = df.withColumn(out_col, reason.isNotNull()).withColumn(reason_col, reason)
+    if joined_flags is not None:
+        out = out.drop("_bh", "_bs")
+    if not flag_only:
+        out = out.filter(~F.col(out_col)).drop(out_col, reason_col)
+    return _register_persisted(out, persisted) if persisted else out
+
+
 def url_host_stats(df: DataFrame, url_col: str = "url", text_col: str | None = "text") -> DataFrame:
     """Per-host curation roll-up over a web corpus: docs, distinct paths,
     corpus share, and (when ``text_col`` is present) exact-dup rate within

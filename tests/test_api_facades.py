@@ -180,6 +180,7 @@ def test_curate_corpus_end_to_end(spark):
     out, report = curate_corpus(
         df,
         url_col="url",
+        url_blocklist={"block_hosts": ["host7.example.org"]},
         exact_dedup=True,
         min_quality=0.6,
         languages=["en"],
@@ -189,10 +190,14 @@ def test_curate_corpus_end_to_end(spark):
         chunk_overlap=2,
     )
     # stage accounting: monotone non-increasing until chunking
-    order = ["input", "url_dedup", "exact_dedup", "quality_filter", "decontaminated"]
+    order = [
+        "input", "url_blocklist", "url_dedup", "exact_dedup",
+        "quality_filter", "decontaminated",
+    ]
     for a, b in zip(order, order[1:]):
         assert report[b] <= report[a], report
-    assert report["url_dedup"] == 21  # 20 canonical urls + the clean one
+    assert report["url_blocklist"] == 39  # host7's two captures gated out
+    assert report["url_dedup"] == 20  # 19 surviving canonical urls + clean one
     rows_out = out.collect()
     assert report["chunked"] == len(rows_out) > 0
     # emails were redacted before chunking

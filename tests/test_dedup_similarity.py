@@ -988,6 +988,60 @@ def test_strip_paragraphs_is_map_only(spark):
     assert "Exchange" not in txt and "Join" not in txt, txt
 
 
+def test_url_filter_literal_and_blocklist_paths_agree(spark):
+    rows = [
+        (1, "https://www.spam.example.com/a"),   # host (www-stripped)
+        (2, "https://sub.tracker.net/x"),        # suffix via subdomain
+        (3, "https://tracker.net/y"),            # suffix exact
+        (4, "https://en.wikipedia.org/wiki/S"),  # kept
+        (5, "https://ok.org/ads/banner"),        # path regex
+        (6, "https://spam.example.com/ads/z"),   # host wins over path
+        (7, "notaurl"),                          # unparseable → kept
+        (8, None),                               # null → kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kw = dict(
+        block_hosts=["spam.example.com"],
+        block_suffixes=["tracker.net"],
+        block_path_res=[r"^/ads/"],
+    )
+    want = {1: "host", 2: "suffix", 3: "suffix", 5: "path", 6: "host"}
+    flagged = {
+        r.doc_id: r.block_reason
+        for r in X.url_filter(df, flag_only=True, **kw).collect()
+        if r.blocked
+    }
+    assert flagged == want
+    # drop mode keeps the complement
+    kept = {r.doc_id for r in X.url_filter(df, **kw).select("doc_id").collect()}
+    assert kept == {4, 7, 8}
+    # big-list DataFrame path: identical decisions via explode + hash join
+    bl = spark.createDataFrame(
+        [("host", "spam.example.com"), ("suffix", "tracker.net"), ("path_re", r"^/ads/")],
+        "kind string, value string",
+    )
+    out = X.url_filter(df, blocklist=bl, flag_only=True)
+    flagged2 = {r.doc_id: r.block_reason for r in out.collect() if r.blocked}
+    assert flagged2 == want
+    D.release_intermediates(out)
+    # literal path is map-only pure codegen
+    from tests.test_plan_shapes import plan_text
+
+    txt = plan_text(X.url_filter(df, flag_only=True, **kw))
+    assert "Exchange" not in txt and "Join" not in txt, txt
+    assert "EvalPython" not in txt, txt
+    # blocklist path must hash-join, never nested-loop
+    txt2 = plan_text(out)
+    assert "BroadcastNestedLoopJoin" not in txt2, txt2
+    # unknown kinds refused
+    badbl = spark.createDataFrame([("tld", "xxx")], "kind string, value string")
+    try:
+        X.url_filter(df, blocklist=badbl)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
 def test_canonicalize_urls(spark):
     cases = [
         (0, "HTTP://WWW.Example.COM:80/Path/To/Page/?utm_source=x&b=2&a=1#frag",
