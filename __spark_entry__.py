@@ -2660,6 +2660,50 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["td_url_filter"] = td_url_filter
 
+    def td_robots(spark, sf_dir):
+        # robots.txt politeness gate: per-host robots bodies are PARSED
+        # (RFC 9309 groups, $-anchor, comments) then urls are judged for
+        # agent=gptbot — even hosts carry a gptbot group (Disallow: / with
+        # an Allow: /feed$ carve-out), odd hosts fall back to the * group
+        # (Disallow: /private with a host-specific Allow: /private/ok{d});
+        # the oracle recomputes every verdict analytically, so group
+        # choice, longest-match, allow-tie and anchor semantics are all
+        # part of the differential
+        from phenoqc_spark.operators.textstats import robots_allowed, robots_rules
+
+        docs = load_table(spark, sf_dir, "documents")
+        hd = (F.col("doc_id") % 10).cast("int")
+        robots = docs.filter(F.col("doc_id") < 10).select(
+            F.format_string("h%d.example.org", hd).alias("host"),
+            F.concat(
+                F.format_string(
+                    "User-agent: *\nDisallow: /private\nAllow: /private/ok%d\n", hd
+                ),
+                F.when(
+                    hd % 2 == 0,
+                    F.lit("\nUser-agent: gptbot\nDisallow: /\nAllow: /feed$\n"),
+                ).otherwise(F.lit("")),
+            ).alias("robots_txt"),
+        )
+        pm = (F.col("doc_id") % 4).cast("int")
+        urls = docs.select(
+            "doc_id",
+            F.concat(
+                F.format_string("https://h%d.example.org", hd),
+                F.when(pm == 0, F.format_string("/private/x%d", F.col("doc_id")))
+                .when(pm == 1, F.format_string("/private/ok%d/y", hd))
+                .when(pm == 2, F.lit("/pub/z"))
+                .otherwise(F.lit("/feed")),
+            ).alias("url"),
+        )
+        return (
+            robots_allowed(urls, robots_rules(robots), agent="gptbot")
+            .select("doc_id", "crawl_allowed")
+            .orderBy("doc_id")
+        )
+
+    q["td_robots"] = td_robots
+
     def v_triple_shapes(spark, sf_dir):
         # SHACL-lite shape validation over a deterministic triple set with
         # planted violations: objects of 'rel' must be e-CURIEs e00-e19
@@ -4120,6 +4164,15 @@ WITH d AS (
 SELECT doc_id, block_reason IS NOT NULL AS blocked,
        COALESCE(block_reason, 'kept') AS block_reason
 FROM f ORDER BY doc_id
+"""
+
+    o["td_robots"] = """
+SELECT doc_id,
+       CASE WHEN CAST(doc_id % 10 AS INT) % 2 = 0
+            THEN doc_id % 4 = 3                     -- gptbot group: only /feed
+            ELSE NOT (doc_id % 4 = 0) END AS crawl_allowed  -- * group: /private blocked,
+                                                            -- /private/ok{d} allow wins
+FROM documents ORDER BY doc_id
 """
 
     o["v_triple_shapes"] = """

@@ -8,6 +8,8 @@ SQL-oracle-checkable.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 # tiny deterministic stopword marker sets per language (n-gram heuristic)
@@ -873,6 +875,139 @@ def url_filter(
     if not flag_only:
         out = out.filter(~F.col(out_col)).drop(out_col, reason_col)
     return _register_persisted(out, persisted) if persisted else out
+
+
+def robots_rules(
+    df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse per-host robots.txt bodies into a rule table:
+    ``(host, agent, allow, pattern, regex, plen)``.
+
+    RFC 9309 group semantics: consecutive ``User-agent`` lines form one
+    group header; every following ``Allow``/``Disallow`` rule belongs to
+    ALL agents of that header until the next header starts.  Comments
+    (``#…``) are stripped, unknown directives (Crawl-delay, Sitemap)
+    ignored, empty-pattern rules dropped (an empty ``Disallow:`` means
+    "allow everything" — no rule).  Pattern → anchored Java regex with
+    the spec's two metacharacters (``*`` → ``.*``; trailing ``$`` →
+    end anchor); ``plen`` (octet length of the raw pattern) is the
+    longest-match specificity key :func:`robots_allowed` ranks by.
+
+    The parse is an Arrow-batched pandas UDF (group state is a line
+    scan — not expressible as JVM columns); robots bodies are small and
+    the output is a dimension table, so this is cold-path work.
+    """
+    import re as _re
+
+    @F.pandas_udf(
+        "array<struct<agent string, allow boolean, pattern string, regex string, plen int>>"
+    )
+    def _parse(bodies: pd.Series) -> pd.Series:
+        def one(body):
+            if body is None:
+                return []
+            out = []
+            agents: list[str] = []
+            in_rules = False
+            for raw in str(body).splitlines():
+                line = raw.split("#", 1)[0].strip()
+                if not line or ":" not in line:
+                    continue
+                key, val = line.split(":", 1)
+                key = key.strip().lower()
+                val = val.strip()
+                if key == "user-agent":
+                    if in_rules:
+                        agents = []
+                        in_rules = False
+                    if val:
+                        agents.append(val.lower())
+                elif key in ("allow", "disallow"):
+                    in_rules = True
+                    if not agents:
+                        continue
+                    if not val:
+                        # empty pattern = "no restriction", but it still
+                        # marks the group as existing for these agents:
+                        # a zero-specificity allow-all keeps group choice
+                        # correct without ever outranking a real rule
+                        for a in agents:
+                            out.append((a, True, "", "^", 0))
+                        continue
+                    anchored = val.endswith("$")
+                    core = val[:-1] if anchored else val
+                    rx = "^" + ".*".join(_re.escape(p) for p in core.split("*"))
+                    if anchored:
+                        rx += "$"
+                    for a in agents:
+                        out.append((a, key == "allow", val, rx, len(val)))
+            return out
+
+        return bodies.map(one)
+
+    return df.select(
+        F.lower(F.col(host_col)).alias("host"),
+        F.explode(_parse(F.col(robots_col))).alias("r"),
+    ).select("host", "r.agent", "r.allow", "r.pattern", "r.regex", "r.plen")
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    out_col: str = "crawl_allowed",
+) -> DataFrame:
+    """Per-URL robots.txt verdict for ``agent`` — the politeness gate a
+    crawl-curation pipeline runs next to :func:`url_filter`.
+
+    RFC 9309 evaluation: pick the most specific matching group (the
+    agent's own rules when the host has any, else the ``*`` group; agent
+    matching is exact-token or ``*`` — the spec's substring product-token
+    match is out of scope and documented here), then the longest-match
+    rule by pattern octet length decides, allow winning length ties; no
+    matching rule — or no robots.txt for the host — means allowed.
+
+    Scale shape: ``rules`` is collapsed to one array per host
+    (dimension-sized: hosts × rules-per-host) and broadcast-joined on
+    host; group choice, per-rule ``regexp_like`` and the longest-match
+    argmax all run as higher-order-function expressions inside the same
+    projection — the URL side never shuffles and never leaves the JVM.
+    """
+    a = agent.lower()
+    per_host = rules.groupBy(F.lower(F.col("host")).alias("host")).agg(
+        F.collect_list(F.struct("agent", "allow", "regex", "plen")).alias("_rules")
+    )
+    u = urls.withColumn(
+        "_h", F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    ).withColumn(
+        "_p", F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    )
+    joined = u.join(F.broadcast(per_host), u["_h"] == per_host["host"], "left").drop(
+        "host"
+    )
+    rl = F.coalesce(F.col("_rules"), F.array().cast(
+        "array<struct<agent string, allow boolean, regex string, plen int>>"
+    ))
+    has_own = F.exists(rl, lambda r: r["agent"] == F.lit(a))
+    group = F.filter(
+        rl,
+        lambda r: F.when(has_own, r["agent"] == F.lit(a)).otherwise(
+            r["agent"] == F.lit("*")
+        ),
+    )
+    best = F.aggregate(
+        F.filter(group, lambda r: F.regexp_like(F.col("_p"), r["regex"])),
+        F.struct(F.lit(-1).alias("plen"), F.lit(True).alias("allow")),
+        lambda acc, r: F.when(
+            (r["plen"] > acc["plen"])
+            | ((r["plen"] == acc["plen"]) & r["allow"] & ~acc["allow"]),
+            F.struct(r["plen"].alias("plen"), r["allow"].alias("allow")),
+        ).otherwise(acc),
+    )
+    return joined.withColumn(out_col, best["allow"]).drop("_h", "_p", "_rules")
 
 
 def url_host_stats(df: DataFrame, url_col: str = "url", text_col: str | None = "text") -> DataFrame:

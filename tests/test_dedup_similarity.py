@@ -1042,6 +1042,65 @@ def test_url_filter_literal_and_blocklist_paths_agree(spark):
         pass
 
 
+def test_robots_rules_and_allowed_rfc_semantics(spark):
+    robots = "\n".join([
+        "# top comment",
+        "User-agent: *",
+        "Disallow: /private   # inline comment",
+        "Allow: /private/ok",
+        "Crawl-delay: 5",        # unknown directive ignored
+        "",
+        "User-agent: GPTBot",    # header case-insensitive
+        "User-agent: ccbot",     # multi-agent header: rules apply to both
+        "Disallow: /",
+        "Allow: /feed$",         # end anchor
+        "Disallow: /*.pdf$",     # mid-pattern wildcard
+        "",
+        "User-agent: emptybot",
+        "Disallow:",             # empty pattern: group exists, allows all
+    ])
+    rb = spark.createDataFrame(
+        [("H1.example.org", robots)], "host string, robots_txt string"
+    )
+    rules = X.robots_rules(rb)
+    got = {(r.agent, r.pattern): (r.allow, r.plen) for r in rules.collect()}
+    assert got[("*", "/private")] == (False, 8)
+    assert got[("gptbot", "/feed$")] == (True, 6)
+    assert got[("ccbot", "/")] == (False, 1)       # multi-agent fan-out
+    assert got[("emptybot", "")] == (True, 0)      # empty-pattern sentinel
+    assert ("*", "crawl-delay") not in got
+    urls = spark.createDataFrame(
+        [
+            (1, "https://h1.example.org/private/x"),   # * blocks
+            (2, "https://h1.example.org/private/okay"),# longest-match allow
+            (3, "https://h1.example.org/pub"),          # no rule -> allow
+            (4, "https://unknown.org/anything"),        # no robots -> allow
+            (5, "https://h1.example.org/feed"),         # $ carve-out
+            (6, "https://h1.example.org/feeds"),        # $ anchor excludes
+            (7, "https://h1.example.org/docs/a.pdf"),   # wildcard match
+        ],
+        "id long, url string",
+    )
+    def verdicts(agent):
+        return {
+            r.id: r.crawl_allowed
+            for r in X.robots_allowed(urls, rules, agent=agent).collect()
+        }
+    assert verdicts("*") == {1: False, 2: True, 3: True, 4: True, 5: True,
+                             6: True, 7: True}
+    # own group wins over *; Disallow:/ blocks except the /feed$ carve-out
+    assert verdicts("GPTBot") == {1: False, 2: False, 3: False, 4: True,
+                                  5: True, 6: False, 7: False}
+    # group with only an empty Disallow: governs and allows everything
+    assert verdicts("emptybot") == {i: True for i in range(1, 8)}
+    # the URL side never shuffles: broadcast join + HOF evaluation only
+    from tests.test_plan_shapes import plan_text
+
+    txt = plan_text(X.robots_allowed(urls, rules, agent="*"))
+    assert "BroadcastHashJoin" in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+
+
 def test_canonicalize_urls(spark):
     cases = [
         (0, "HTTP://WWW.Example.COM:80/Path/To/Page/?utm_source=x&b=2&a=1#frag",
