@@ -2704,6 +2704,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["td_robots"] = td_robots
 
+    def txt_surt(spark, sf_dir):
+        # SURT index keys (the CDX / Common-Crawl URL-index sort key):
+        # www-strip, host-label reversal, query-param sort; the oracle
+        # builds every expected key analytically from the generation
+        # formula, so parse + reversal + sort parity is the differential
+        from phenoqc_spark.operators.textstats import surt_key
+
+        hostpool = ["www.news.example.com", "a.b.tracker.net", "en.wikipedia.org"]
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"),
+                F.element_at(
+                    F.array(*[F.lit(h) for h in hostpool]),
+                    (F.col("doc_id") % 3 + 1).cast("int"),
+                ),
+                F.format_string("/p/%d", (F.col("doc_id") % 5)),
+                F.when(F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1")).otherwise(
+                    F.lit("")
+                ),
+            ).alias("url"),
+        )
+        return surt_key(docs).select("doc_id", "surt").orderBy("doc_id")
+
+    q["txt_surt"] = txt_surt
+
     def v_triple_shapes(spark, sf_dir):
         # SHACL-lite shape validation over a deterministic triple set with
         # planted violations: objects of 'rel' must be e-CURIEs e00-e19
@@ -4172,6 +4198,17 @@ SELECT doc_id,
             THEN doc_id % 4 = 3                     -- gptbot group: only /feed
             ELSE NOT (doc_id % 4 = 0) END AS crawl_allowed  -- * group: /private blocked,
                                                             -- /private/ok{d} allow wins
+FROM documents ORDER BY doc_id
+"""
+
+    o["txt_surt"] = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN 'com,example,news'
+         WHEN 1 THEN 'net,tracker,b,a'
+         ELSE 'org,wikipedia,en' END
+       || ')' || printf('/p/%d', CAST(doc_id % 5 AS INT))
+       || CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '' END AS surt
 FROM documents ORDER BY doc_id
 """
 

@@ -746,6 +746,44 @@ def canonicalize_urls(
     return df.withColumn(out_col, canon)
 
 
+def surt_key(
+    df: DataFrame, url_col: str = "url", out_col: str = "surt"
+) -> DataFrame:
+    """SURT (Sort-friendly URI Reordering Transform) key per URL — the
+    canonical index key of the web-archive world (CDX files, the
+    Common-Crawl URL index): scheme dropped, host lowercased +
+    ``www.``-stripped + label-REVERSED and comma-joined, then ``)`` and
+    the path + sorted query, e.g.
+    ``https://www.sub.Example.org/A/b?z=1&a=2`` →
+    ``org,example,sub)/A/b?a=2&z=1``.
+
+    Reversing the host makes one domain's URLs (and all its subdomains)
+    a contiguous lexicographic RANGE — so a sort/z-order by ``surt``
+    clusters a domain's pages into the same parquet row groups, domain
+    range-scans become min/max-pruned range predicates, and per-domain
+    merges are sort-merge friendly.  Pure JVM expressions
+    (``try_parse_url`` + array ops): map-only, no shuffle, no Python;
+    unparseable URLs yield NULL.
+    """
+    u = F.col(url_col)
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(u, F.lit("HOST"))), r"^www\.", ""
+    )
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    sorted_q = F.array_sort(
+        F.filter(F.split(F.coalesce(query, F.lit("")), "&"), lambda kv: F.length(kv) > 0)
+    )
+    qstr = F.when(
+        F.size(sorted_q) > 0, F.concat(F.lit("?"), F.array_join(sorted_q, "&"))
+    ).otherwise(F.lit(""))
+    key = F.when(
+        host.isNotNull(), F.concat(rev_host, F.lit(")"), path, qstr)
+    ).otherwise(F.lit(None).cast("string"))
+    return df.withColumn(out_col, key)
+
+
 def _url_filter_host(url_col: str):
     """Canonical matching host for the blocklist: lowercase, www-stripped."""
     return F.regexp_replace(

@@ -1101,6 +1101,33 @@ def test_robots_rules_and_allowed_rfc_semantics(spark):
     assert "BroadcastNestedLoopJoin" not in txt, txt
 
 
+def test_surt_key_reversal_and_domain_range(spark):
+    cases = [
+        (0, "https://www.Sub.Example.org/A/b?z=1&a=2", "org,example,sub)/A/b?a=2&z=1"),
+        (1, "http://example.com/", "com,example)/"),
+        (2, "https://example.com/p", "com,example)/p"),
+        (3, "https://a.b.example.com/q/r", "com,example,b,a)/q/r"),
+        (4, "notaurl", None),
+        (5, None, None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "doc_id long, url string")
+    got = {r.doc_id: r.surt for r in X.surt_key(df).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+    # the point of SURT: a domain and its subdomains form one contiguous
+    # lexicographic range
+    keys = sorted(v for v in got.values() if v)
+    dom = [k for k in keys if k.startswith("com,example")]
+    lo, hi = keys.index(dom[0]), keys.index(dom[-1])
+    assert dom == keys[lo : hi + 1]
+    # map-only, pure JVM
+    from tests.test_plan_shapes import plan_text
+
+    txt = plan_text(X.surt_key(df))
+    assert "Exchange" not in txt and "Join" not in txt, txt
+    assert "EvalPython" not in txt, txt
+
+
 def test_canonicalize_urls(spark):
     cases = [
         (0, "HTTP://WWW.Example.COM:80/Path/To/Page/?utm_source=x&b=2&a=1#frag",
