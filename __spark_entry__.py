@@ -2730,6 +2730,50 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["txt_surt"] = txt_surt
 
+    def td_sitemap(spark, sf_dir):
+        # sitemap.xml URL discovery: even hosts serve a <urlset> (2 url
+        # entries, the second CDATA-wrapped with no lastmod), odd hosts a
+        # <sitemapindex> (2 child pointers); the oracle rebuilds every
+        # discovery record analytically, so block extraction, CDATA
+        # stripping, optional-field NULLs and index detection are all in
+        # the differential
+        from phenoqc_spark.operators.textstats import sitemap_entries
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+        hd = (F.col("doc_id") % 100).cast("int")
+        urlset = F.format_string(
+            "<urlset><url><loc>https://h%d.example.org/p/0</loc>"
+            "<lastmod>2024-01-%02d</lastmod><priority>0.5</priority></url>"
+            "<url><loc><![CDATA[ https://h%d.example.org/p/1 ]]></loc></url>"
+            "</urlset>",
+            hd, (hd % 9 + 1), hd,
+        )
+        index = F.format_string(
+            "<sitemapindex><sitemap><loc>https://h%d.example.org/s-a.xml</loc>"
+            "</sitemap><sitemap><loc>https://h%d.example.org/s-b.xml</loc>"
+            "</sitemap></sitemapindex>",
+            hd, hd,
+        )
+        sm = docs.select(
+            F.format_string("https://h%d.example.org/sitemap.xml", hd).alias(
+                "sitemap_url"
+            ),
+            F.when(hd % 2 == 0, urlset).otherwise(index).alias("sitemap_xml"),
+        )
+        return (
+            sitemap_entries(sm)
+            .select(
+                "sitemap_url",
+                "loc",
+                F.coalesce("lastmod", F.lit("none")).alias("lastmod"),
+                F.coalesce("priority", F.lit(-1.0)).alias("priority"),
+                "is_index",
+            )
+            .orderBy("sitemap_url", "loc")
+        )
+
+    q["td_sitemap"] = td_sitemap
+
     def v_triple_shapes(spark, sf_dir):
         # SHACL-lite shape validation over a deterministic triple set with
         # planted violations: objects of 'rel' must be e-CURIEs e00-e19
@@ -4210,6 +4254,33 @@ SELECT doc_id,
        || ')' || printf('/p/%d', CAST(doc_id % 5 AS INT))
        || CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '' END AS surt
 FROM documents ORDER BY doc_id
+"""
+
+    o["td_sitemap"] = """
+WITH d AS (
+  SELECT CAST(doc_id % 100 AS INT) AS hd FROM documents WHERE doc_id < 20
+), e AS (
+  SELECT printf('https://h%d.example.org/sitemap.xml', hd) AS sitemap_url,
+         printf('https://h%d.example.org/p/0', hd) AS loc,
+         printf('2024-01-%02d', hd % 9 + 1) AS lastmod,
+         0.5 AS priority, FALSE AS is_index
+  FROM d WHERE hd % 2 = 0
+  UNION ALL
+  SELECT printf('https://h%d.example.org/sitemap.xml', hd),
+         printf('https://h%d.example.org/p/1', hd),
+         'none', -1.0, FALSE
+  FROM d WHERE hd % 2 = 0
+  UNION ALL
+  SELECT printf('https://h%d.example.org/sitemap.xml', hd),
+         printf('https://h%d.example.org/s-a.xml', hd), 'none', -1.0, TRUE
+  FROM d WHERE hd % 2 = 1
+  UNION ALL
+  SELECT printf('https://h%d.example.org/sitemap.xml', hd),
+         printf('https://h%d.example.org/s-b.xml', hd), 'none', -1.0, TRUE
+  FROM d WHERE hd % 2 = 1
+)
+SELECT sitemap_url, loc, lastmod, CAST(priority AS DOUBLE) AS priority, is_index
+FROM e ORDER BY sitemap_url, loc
 """
 
     o["v_triple_shapes"] = """

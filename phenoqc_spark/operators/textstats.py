@@ -746,6 +746,58 @@ def canonicalize_urls(
     return df.withColumn(out_col, canon)
 
 
+def sitemap_entries(
+    df: DataFrame,
+    xml_col: str = "sitemap_xml",
+    src_col: str = "sitemap_url",
+) -> DataFrame:
+    """URL-discovery records from sitemap.xml bodies:
+    ``(sitemap_url, loc, lastmod, changefreq, priority, is_index)``.
+
+    Handles both document kinds of the sitemaps.org protocol — a
+    ``<urlset>`` of ``<url>`` entries and a ``<sitemapindex>`` of child
+    ``<sitemap>`` pointers (``is_index`` marks the latter; feed those
+    locs back through the fetch loop).  Optional ``lastmod`` /
+    ``changefreq`` / ``priority`` come back NULL when absent; CDATA
+    wrappers and surrounding whitespace are stripped; ``priority`` is
+    try_cast so a malformed value nulls instead of failing the scan.
+
+    Scale shape: one ``regexp_extract_all`` per field over the entry
+    blocks + ``arrays_zip`` + one ``explode`` — pure JVM, map-only, the
+    XML body never leaves its partition (same shape as
+    :func:`extract_links`).  Sitemaps cap at 50k URLs / 50 MB by spec,
+    so per-row work is bounded.
+    """
+    xml = (
+        F.decode(F.col(xml_col), "utf-8")
+        if dict(df.dtypes)[xml_col] == "binary"
+        else F.col(xml_col).cast("string")
+    )
+    block_re = r"(?is)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)\s*>"
+    blocks = F.regexp_extract_all(xml, F.lit(block_re), 1)
+    is_index = F.regexp_like(xml, F.lit(r"(?is)<sitemapindex\b"))
+
+    def field(b, tag):
+        raw = F.regexp_extract(
+            b, rf"(?is)<{tag}\b[^>]*>\s*(?:<!\[CDATA\[)?\s*(.*?)\s*(?:\]\]>)?\s*</{tag}\s*>", 1
+        )
+        return F.when(F.length(raw) > 0, raw)
+
+    exploded = df.select(
+        F.col(src_col).alias("sitemap_url"),
+        is_index.alias("is_index"),
+        F.explode(blocks).alias("_b"),
+    )
+    return exploded.select(
+        "sitemap_url",
+        field(F.col("_b"), "loc").alias("loc"),
+        field(F.col("_b"), "lastmod").alias("lastmod"),
+        field(F.col("_b"), "changefreq").alias("changefreq"),
+        field(F.col("_b"), "priority").try_cast("double").alias("priority"),
+        "is_index",
+    ).filter(F.col("loc").isNotNull())
+
+
 def surt_key(
     df: DataFrame, url_col: str = "url", out_col: str = "surt"
 ) -> DataFrame:

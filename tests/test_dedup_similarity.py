@@ -1128,6 +1128,46 @@ def test_surt_key_reversal_and_domain_range(spark):
     assert "EvalPython" not in txt, txt
 
 
+def test_sitemap_entries_urlset_index_and_edge_cases(spark):
+    urlset = (
+        '<?xml version="1.0"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        " <url><loc>https://e.org/a</loc><lastmod>2024-01-05</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>\n"
+        " <url><loc><![CDATA[ https://e.org/b ]]></loc>"
+        "<priority>notanumber</priority></url>\n"
+        " <url><priority>0.1</priority></url>\n"  # loc-less: dropped
+        "</urlset>"
+    )
+    idx = (
+        "<sitemapindex><sitemap><loc>https://e.org/s1.xml</loc>"
+        "<lastmod>2024-02-01</lastmod></sitemap>"
+        "<sitemap><loc>https://e.org/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("https://e.org/sitemap.xml", urlset), ("https://e.org/index.xml", idx)],
+        "sitemap_url string, sitemap_xml string",
+    )
+    rows = {r.loc: r for r in X.sitemap_entries(df).collect()}
+    assert set(rows) == {
+        "https://e.org/a", "https://e.org/b",
+        "https://e.org/s1.xml", "https://e.org/s2.xml",
+    }
+    a = rows["https://e.org/a"]
+    assert (a.lastmod, a.changefreq, a.priority, a.is_index) == (
+        "2024-01-05", "daily", 0.8, False,
+    )
+    b = rows["https://e.org/b"]  # CDATA stripped, malformed priority -> NULL
+    assert (b.lastmod, b.priority, b.is_index) == (None, None, False)
+    assert rows["https://e.org/s1.xml"].is_index is True
+    assert rows["https://e.org/s2.xml"].lastmod is None
+    # map-only, pure JVM: one explode, no shuffle, no Python
+    from tests.test_plan_shapes import plan_text
+
+    txt = plan_text(X.sitemap_entries(df))
+    assert "Exchange" not in txt and "EvalPython" not in txt, txt
+
+
 def test_canonicalize_urls(spark):
     cases = [
         (0, "HTTP://WWW.Example.COM:80/Path/To/Page/?utm_source=x&b=2&a=1#frag",
