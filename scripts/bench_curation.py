@@ -204,7 +204,7 @@ def main() -> None:
     lo, hi = results[8], results[32]
     speedup = lo["sec"] / hi["sec"]
     print(json.dumps({
-        "pages": ROWS, "sec_8": lo["sec"], "sec_32": hi["sec"],
+        "pages": lo["pages"], "sec_8": lo["sec"], "sec_32": hi["sec"],
         "docs_per_hour_8": lo["docs_per_hour"],
         "docs_per_hour_32": hi["docs_per_hour"],
         "speedup": round(speedup, 2),
