@@ -27,6 +27,25 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from phenoqc_spark.sources import load_table
 
+
+def _par(df: DataFrame, key: str) -> DataFrame:
+    """Scale-adaptive parallelism floor for CPU-heavy per-row queries.
+
+    The local test tables are single parquet files with one row group, so
+    they scan as 1-2 partitions and per-row-expensive stages (tokenize,
+    HOF scoring, vector math) run on 1-2 of the cluster's cores.  When
+    scan parallelism is below ``defaultParallelism``, hash-repartition on
+    the unique row key — a tiny deterministic shuffle.  At production
+    scale inputs have far more partitions than cores and this is a no-op.
+    Only used by queries whose results are provably partition-independent
+    (row-wise maps / aggregates with a final orderBy)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(key))
+    return df
+
+
 # ---------------------------------------------------------------------------
 # shared fixtures
 # ---------------------------------------------------------------------------
@@ -1227,7 +1246,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- similarity -----------------------------------------------------------
     def sim_knn_bruteforce(spark, sf_dir):
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = _par(load_table(spark, sf_dir, "embeddings"), "vec_id")
         queries_df = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
@@ -1505,7 +1524,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["txt_tokens"] = txt_tokens
 
     def txt_quality(spark, sf_dir):
-        docs = load_table(spark, sf_dir, "documents")
+        docs = _par(load_table(spark, sf_dir, "documents"), "doc_id")
         return X.quality_score(docs).select(
             "doc_id", "n_words", "punct_ratio", "stopword_ratio", "mean_word_len", "quality_score"
         ).orderBy("doc_id")

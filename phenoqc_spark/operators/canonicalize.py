@@ -48,7 +48,6 @@ def connected_components(
     # — measured 4× the total wall-clock on a 1M-doc dedup).
     sym = sym.persist()
     # labels: start with each node's min neighbor (or itself)
-    nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = (
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("nbr_min"))
@@ -62,6 +61,10 @@ def connected_components(
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("a", "node")
         )
+        # carry the pre-iteration comp through the round so convergence is
+        # a filter over the checkpointed result — the previous shape
+        # re-joined the new labels against the old (one extra shuffle join
+        # + job per round) for the same answer
         new_labels = (
             labels.join(nbr, "node", "left")
             .select(
@@ -69,6 +72,7 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
                     "comp"
                 ),
+                F.col("comp").alias("_old"),
             )
         )
         # pointer-jumping: comp = comp's comp (halves chain depth per round)
@@ -86,18 +90,15 @@ def connected_components(
                 F.least(
                     F.col("l.comp"), F.coalesce(F.col("r.ccomp"), F.col("l.comp"))
                 ).alias("comp"),
+                F.col("l._old").alias("_old"),
             )
         )
         if checkpoint_every and (i % checkpoint_every == 0):
             jumped = jumped.localCheckpoint(eager=True)
         changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+            jumped.filter(F.col("comp") != F.col("_old")).limit(1).count()
         )
-        labels = jumped
+        labels = jumped.select("node", "comp")
         if changed == 0:
             break
     # labels are localCheckpoint-ed (materialized) — safe to free the edges

@@ -22,6 +22,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 # ---------------------------------------------------------------------------
+# Scan-parallelism guard
+# ---------------------------------------------------------------------------
+
+def _spread(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Scale-adaptive parallelism floor for CPU-heavy per-row stages.
+
+    A small dimension-style parquet input (one file, one row group) scans
+    as 1-2 partitions, so a map-heavy stage (shingling, signatures) runs
+    on 1-2 cores no matter how many the cluster has.  When the input's
+    scan parallelism is below ``sc.defaultParallelism``, hash-repartition
+    by the (unique) id column — a tiny deterministic shuffle of the raw
+    rows that unlocks full-cluster parallelism for everything downstream.
+    At production scale the input has far more partitions than cores and
+    this is a no-op, so nothing here is tuned to local mode."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
+    return df
+
+
+# ---------------------------------------------------------------------------
 # Cached-intermediate lifecycle
 # ---------------------------------------------------------------------------
 
@@ -186,38 +208,44 @@ def ngram_jaccard_pairs(
     executor-disk instead of cache).
     """
     persisted = []
-    # project BEFORE filtering: with the filter in between, Catalyst pushes
-    # the predicate through and then collapses the adjacent Projects by
-    # INLINING the whole shingle-set construction into every reference —
-    # measured 204 s vs 9.5 s per 1M docs for the k-lambda minhash variant
-    # of this exact shape (adjacent Projects without a Filter do NOT get
-    # fully inlined).  Same reason _minhash_rep_graph filters after
-    # minhash_doc_sets.
-    doc_sets = (
-        shingle_sets(df, n, text_col, id_col)
-        .select(
-            "doc_id",
-            "sh_set",
-            "n_sh",
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.array_sort(
-                        F.expr("transform(sh_set, x -> cast(xxhash64(x) as string))")
-                    ),
-                )
-            ).alias("set_hash"),
-        )
-        .filter(F.col("n_sh") > 0)
+    # Word-count pre-filter instead of a post-hoc n_sh > 0 filter: the
+    # latter gets predicate-pushed to the scan with the WHOLE shingle
+    # construction inlined (one full extra interpreted evaluation per row);
+    # the word-count form pushes down as a cheap split+size.  _spread
+    # floors the map parallelism for small single-file inputs.
+    df = _spread(
+        df.select(F.col(id_col), F.col(text_col)).filter(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n
+        ),
+        id_col,
     )
-    if persist:
-        doc_sets = doc_sets.persist()
-        persisted.append(doc_sets)
+    doc_sets = shingle_sets(df, n, text_col, id_col).select(
+        "doc_id",
+        "sh_set",
+        "n_sh",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.expr("transform(sh_set, x -> cast(xxhash64(x) as string))")
+                ),
+            )
+        ).alias("set_hash"),
+    )
+    members = doc_sets.select("set_hash", "doc_id")
     groups = doc_sets.groupBy("set_hash").agg(
         F.min("doc_id").alias("rep_id"),
         F.min_by("n_sh", "doc_id").alias("n_sh"),
         F.min_by("sh_set", "doc_id").alias("sh_set"),
     )
+    if persist:
+        # eager localCheckpoint of the two REUSED intermediates instead of
+        # caching the full per-doc array table: members is ~50 B/doc (the
+        # members evaluation column-prunes sh_set away after set_hash),
+        # groups is one row per unique set.  Same rationale as
+        # _minhash_rep_graph.
+        members = members.localCheckpoint(eager=True)
+        groups = groups.localCheckpoint(eager=True)
     rep_sh = groups.select("set_hash", "rep_id", F.explode("sh_set").alias("shingle"))
     if max_doc_freq is not None:
         keep = (
@@ -252,7 +280,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("sh_a", "sh_b", "jaccard")
     )
-    members = doc_sets.select("set_hash", "doc_id")
     within = (
         members.alias("m1")
         .join(members.alias("m2"), "set_hash")
@@ -350,31 +377,37 @@ def containment_pairs(
     Within-group (identical-set) members emit 1.0 both ways.
     """
     persisted = []
-    doc_sets = (
-        shingle_sets(df, n, text_col, id_col)
-        .select(
-            "doc_id",
-            "sh_set",
-            "n_sh",
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.array_sort(
-                        F.expr("transform(sh_set, x -> cast(xxhash64(x) as string))")
-                    ),
-                )
-            ).alias("set_hash"),
-        )
-        .filter(F.col("n_sh") > 0)
+    # Same pre-filter + parallelism-floor rationale as ngram_jaccard_pairs.
+    df = _spread(
+        df.select(F.col(id_col), F.col(text_col)).filter(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n
+        ),
+        id_col,
     )
-    if persist:
-        doc_sets = doc_sets.persist()
-        persisted.append(doc_sets)
+    doc_sets = shingle_sets(df, n, text_col, id_col).select(
+        "doc_id",
+        "sh_set",
+        "n_sh",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.expr("transform(sh_set, x -> cast(xxhash64(x) as string))")
+                ),
+            )
+        ).alias("set_hash"),
+    )
+    members = doc_sets.select("set_hash", "doc_id")
     groups = doc_sets.groupBy("set_hash").agg(
         F.min("doc_id").alias("rep_id"),
         F.min_by("n_sh", "doc_id").alias("n_sh"),
         F.min_by("sh_set", "doc_id").alias("sh_set"),
     )
+    if persist:
+        # see ngram_jaccard_pairs: checkpoint the two small reused tables,
+        # never the full per-doc array table
+        members = members.localCheckpoint(eager=True)
+        groups = groups.localCheckpoint(eager=True)
     rep_sh = groups.select("set_hash", "rep_id", F.explode("sh_set").alias("shingle"))
     if max_doc_freq is not None:
         keep = (
@@ -414,7 +447,6 @@ def containment_pairs(
         (F.col("_i") / F.col("n_b")).alias("containment"),
     )
     rep_pairs = fwd.unionByName(rev).filter(F.col("containment") >= threshold)
-    members = doc_sets.select("set_hash", "doc_id")
     within = (
         members.alias("m1")
         .join(members.alias("m2"), "set_hash")
@@ -453,7 +485,11 @@ def shingle_sets(df: DataFrame, n: int = 2, text_col: str = "text", id_col: str 
             f" i -> concat_ws(' ', slice(_w, i + 1, {n}))))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return words.select("doc_id", sh.alias("sh_set"), F.size(sh).alias("n_sh"))
+    # n_sh as size() OF THE STAGED COLUMN, not a second textual copy of the
+    # shingle expression: two copies in one projection are each evaluated
+    # per row (Catalyst does not CSE them) — measured 2x the shingle cost.
+    arr = words.select("doc_id", sh.alias("sh_set"))
+    return arr.select("doc_id", "sh_set", F.size("sh_set").alias("n_sh"))
 
 
 def minhash_doc_sets(
@@ -527,24 +563,40 @@ def _minhash_rep_graph(
     id_col: str,
     persist: bool,
 ):
-    """Shared LSH core: (doc_sets, rep_pairs, persisted).
+    """Shared LSH core: (members, rep_pairs, persisted).
 
-    doc_sets = (doc_id, sh_set, n_sh, set_hash, sig) per doc (one map-only
-    stage); rep_pairs = verified near-dup edges BETWEEN unique shingle-sets
-    (sh_a, sh_b, jaccard ≥ t).  See ``minhash_lsh_pairs`` for the design
-    rationale.
+    members = (set_hash, doc_id) per doc; rep_pairs = verified near-dup
+    edges BETWEEN unique shingle-sets (sh_a, sh_b, jaccard ≥ t).  See
+    ``minhash_lsh_pairs`` for the design rationale.
 
-
+    With ``persist`` the two reused intermediates are materialized via
+    eager ``localCheckpoint`` rather than ``persist``: (a) ``members`` is
+    a ~50 B/doc projection whose evaluation column-prunes the signature
+    away entirely, and (b) ``groups`` is one row per UNIQUE shingle-set.
+    The previous design cached the full per-doc (sh_set, sig) table —
+    hundreds of bytes per doc of deserialized arrays — and repeated
+    invocations in one session accumulated those blocks until every later
+    query slowed 2-3× (measured); the checkpointed small tables also cut
+    the lineage, so the final orderBy's range-sampling pass re-reads
+    materialized blocks instead of re-running the joins' upstream.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     persisted = []
-    doc_sets = minhash_doc_sets(df, num_hashes, n, text_col, id_col).filter(
-        F.col("n_sh") > 0
+    # Pre-filter on word count INSTEAD of post-filtering n_sh > 0: they are
+    # equivalent (>= n words <=> >= 1 shingle), but the n_sh filter gets
+    # predicate-pushed to the scan with the WHOLE shingle construction
+    # inlined into it — one full extra interpreted evaluation per input row
+    # at scan parallelism.  The word-count form pushes down as a cheap
+    # split+size.  _spread then floors the map parallelism (see its doc).
+    df = _spread(
+        df.select(F.col(id_col), F.col(text_col)).filter(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n
+        ),
+        id_col,
     )
-    if persist:
-        doc_sets = doc_sets.persist()
-        persisted.append(doc_sets)
+    doc_sets = minhash_doc_sets(df, num_hashes, n, text_col, id_col)
+    members = doc_sets.select("set_hash", "doc_id")
     # sig/n_sh/sh_set are functions of the shingle set: any member
     # represents the group; min_by keeps it deterministic.  Partial
     # aggregation collapses duplicate groups map-side, so at most one
@@ -555,6 +607,9 @@ def _minhash_rep_graph(
         F.min_by("n_sh", "doc_id").alias("n_sh"),
         F.min_by("sh_set", "doc_id").alias("sh_set"),
     )
+    if persist:
+        members = members.localCheckpoint(eager=True)
+        groups = groups.localCheckpoint(eager=True)
     # --- banded LSH over unique shingle-sets ---------------------------
     band_rows = groups.select(
         "set_hash",
@@ -597,7 +652,7 @@ def _minhash_rep_graph(
         .filter(F.col("jaccard") >= threshold)
         .select("sh_a", "sh_b", "jaccard")
     )
-    return doc_sets, rep_pairs, persisted
+    return members, rep_pairs, persisted
 
 
 def minhash_lsh_pairs(
@@ -644,11 +699,10 @@ def minhash_lsh_pairs(
     100 TB tier, materialize it to a staging table instead — same plan,
     executor-disk instead of cache memory.
     """
-    doc_sets, rep_pairs, persisted = _minhash_rep_graph(
+    members, rep_pairs, persisted = _minhash_rep_graph(
         df, threshold, num_hashes, bands, n, text_col, id_col, persist
     )
     # --- expand group members back into doc pairs ----------------------
-    members = doc_sets.select("set_hash", "doc_id")
     # within-group: identical sets → jaccard exactly 1.0, always candidates
     within = (
         members.alias("m1")
@@ -992,13 +1046,12 @@ def minhash_near_dedup(
     """
     from .canonicalize import connected_components
 
-    doc_sets, rep_pairs, persisted = _minhash_rep_graph(
+    members, rep_pairs, persisted = _minhash_rep_graph(
         df, threshold, num_hashes, bands, n, text_col, id_col, persist
     )
     cc = connected_components(
         rep_pairs.select(F.col("sh_a").alias("src"), F.col("sh_b").alias("dst"))
     )
-    members = doc_sets.select("set_hash", "doc_id")
     comp = (
         members.join(cc.withColumnRenamed("node", "set_hash"), "set_hash", "left")
         .withColumn("component", F.coalesce("component", F.col("set_hash")))
@@ -1195,9 +1248,17 @@ def minhash_near_dedup_incremental(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     persisted = []
-    new_sets = minhash_doc_sets(new_df, num_hashes, n, text_col, id_col).filter(
-        F.col("n_sh") > 0
+    # word-count pre-filter (== n_sh > 0, but pushes down cheaply; see
+    # _minhash_rep_graph) + scan-parallelism floor.  Only the signature
+    # staging narrows/filters — the kept output below still comes from the
+    # full new_df (short docs emit no sets and are always kept).
+    new_staged = _spread(
+        new_df.select(F.col(id_col), F.col(text_col)).filter(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n
+        ),
+        id_col,
     )
+    new_sets = minhash_doc_sets(new_staged, num_hashes, n, text_col, id_col)
     if persist:
         new_sets = new_sets.persist()
         persisted.append(new_sets)
