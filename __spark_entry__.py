@@ -960,22 +960,31 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["v_cell_violations"] = v_cell_violations
 
     def q1_pricing(spark, sf_dir):
-        # Sums are exact decimals (scale 2/4) on both engines; the final cast
-        # to DOUBLE makes the driver-visible value representation identical
-        # regardless of each engine's internal SUM(decimal) result precision
-        # (Spark decimal(28,2) vs DuckDB DECIMAL(38,2) hash differently even
-        # when values agree).
+        # Sums are exact to 2/4 decimal digits on both engines; the final
+        # DOUBLE value is identical regardless of each engine's internal
+        # representation.  The sums run over LONG fixed-point units
+        # (cents / ten-thousandths) instead of SUM(decimal): the decimal
+        # accumulator exceeds Spark's 18-digit compact-long range and
+        # falls back to per-row java BigDecimal, measured 1.07 s vs
+        # 0.66 s at sf1.0.  Equivalence is exact, not approximate: the
+        # unscaled long is the decimal's exact value, long sums cannot
+        # overflow at any driver SF (≤ 6e14 « 2^63), and the final
+        # division of an exactly-represented long by 100/10000 is a
+        # single correctly-rounded IEEE op — bit-identical doubles to
+        # cast(sum(decimal) as double), verified per-row at sf0.01/0.1/1.0.
         li = load_table(spark, sf_dir, "lineitem")
         dec = lambda c: F.col(c).cast("decimal(18,2)")
+        cents = lambda c: (dec(c) * 100).cast("long")
         return (
             li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-                F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-                F.sum(
-                    (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
-                ).cast("double").alias("sum_disc_price"),
+                (F.sum(cents("l_quantity")) / F.lit(100.0)).alias("sum_qty"),
+                (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("sum_base_price"),
+                (
+                    F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount")))
+                    / F.lit(10000.0)
+                ).alias("sum_disc_price"),
                 F.count(F.lit(1)).alias("count_order"),
             )
             .orderBy("l_returnflag", "l_linestatus")

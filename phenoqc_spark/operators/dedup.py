@@ -1380,9 +1380,24 @@ def winnow_fingerprints(
     """
     if k < 1 or window < 1:
         raise ValueError("k and window must be ≥ 1")
-    toks = F.split(
-        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " "
+
+    # Every intermediate array (tokens, gram hashes, fingerprints) is
+    # STAGED as a real column in its own projection, referenced by the
+    # next one — the previous shape built the token split inline inside
+    # the gram transform's lambda, and Catalyst re-evaluates a lambda's
+    # free subtrees per element (no CSE across lambda scopes): the
+    # executed plan held 22 copies of split(...), i.e. the tokenizer ran
+    # per gram POSITION.  Measured 86 s → 0.9 s for the sf0.01
+    # shared-span query.  The when() size-guards double as the
+    # outside-lambda references that keep CollapseProject from inlining
+    # the staged alias.
+    toks_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(
+            F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " "
+        ).alias("_toks"),
     )
+    toks = F.col("_toks")
 
     def gram_hash(i):
         g = F.concat_ws(" ", F.slice(toks, i, F.lit(k)))
@@ -1398,7 +1413,7 @@ def winnow_fingerprints(
         F.size(toks) >= k,
         F.transform(F.sequence(F.lit(1), F.size(toks) - k + 1), gram_hash),
     ).otherwise(F.array().cast("array<bigint>"))
-    with_grams = df.select(F.col(id_col).alias("doc_id"), grams.alias("_grams"))
+    with_grams = toks_df.select("doc_id", grams.alias("_grams"))
     fps = with_grams.select(
         "doc_id",
         F.when(

@@ -14,6 +14,19 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONF = {
+    # InferFiltersFromGenerate injects a `size(arr) > 0` filter below every
+    # explode and pushes it toward the scan.  When the exploded array is a
+    # COMPUTED expression (shingle sets, gram/fingerprint arrays, band
+    # structs — most generators in this engine), the pushed filter
+    # re-derives the entire array expression per input row, interpreted,
+    # with nested-lambda re-evaluation — measured 48.4 s → 0.27 s on the
+    # winnowing fingerprint stage (sf0.01, 500 docs) with the rule
+    # excluded.  The rule is results-neutral (explode of an empty array
+    # already emits nothing); excluding it trades a row-skip micro-win for
+    # plans whose generator input is a cheap column against a catastrophic
+    # recompute for computed arrays, at any cluster scale.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
