@@ -103,7 +103,17 @@ def link_terms_inline(
         targets = ontologies or resolver.default_ontologies
         for pdf in batches:
             if normalize:
-                pdf = pdf.assign(term_norm=normalize_series(pdf["term"]))
+                # normalize batch-UNIQUE surface forms and map back (term
+                # columns are Zipfian; the 7-pass regex chain was running
+                # over every row — measured 4.04 -> 3.45 s on the 1M-page
+                # linked stage).  NaN terms map to NaN, exactly as the
+                # full-column normalize produced.
+                uniq_terms = pdf["term"].dropna().unique()
+                norm_map = pd.Series(
+                    normalize_series(pd.Series(uniq_terms, dtype=object)).values,
+                    index=uniq_terms,
+                )
+                pdf = pdf.assign(term_norm=pdf["term"].map(norm_map))
             # resolve once per batch-unique term (memoized across batches),
             # then fan out with a C-level pandas merge — no per-row Python
             uniq = pdf["term_norm"].dropna().unique()

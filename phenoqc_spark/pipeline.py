@@ -51,24 +51,26 @@ def extract_records(
     pages: DataFrame,
     lang: str = "en",
     keep: list[str] | None = None,
-    jvm_extract: bool = False,
+    jvm_extract: bool = True,
 ) -> DataFrame:
     """pages → typed record DataFrame (url, warc_ts, SampleID, …).
 
-    ``extract_text`` (Arrow UDF) is the only Python step; parsing and
-    casting stay in whole-stage codegen.  ``jvm_extract=True`` swaps in
-    the pure-JVM :func:`extract_text_expr` (differentially equal on 1M
-    generated pages) — use it when Python workers are unavailable or the
-    Arrow transfer of html bytes is the bottleneck.  MEASURED at 1M
-    pages, local[32]: the JVM expr wins an extract-only scan (0.60 vs
-    1.01 s) but loses ~5-10% inside THIS fused pipeline (5.5-5.7 vs
-    5.0-5.3 s end-to-end, even with the decode staged against
-    re-evaluation): the Python workers pipeline the decode in separate
-    processes while the JVM threads run parse/link, and pandas'
-    C-level decode+slice beats JVM String allocation at MB-scale rows —
-    so Arrow stays the default.  ``keep`` carries extra input columns
-    (e.g. a resume ``part_key``) through the projection so callers never
-    need a fact-side re-join to recover them.
+    ``jvm_extract=True`` (default since r6) extracts with the pure-JVM
+    :func:`extract_text_expr`: the html bytes never cross the JVM↔Python
+    Arrow boundary at all (guide §4.1 — the strongest form of "pass only
+    the columns the function needs" is passing nothing).  Round-4
+    measurements preferred the Arrow UDF inside the fused pipeline
+    (Python workers pipelined the decode while JVM threads ran
+    parse/link), but after the r6 link-stage optimization shrank the
+    Python side the balance flipped: 5.07 s (Arrow) vs 4.28 s (JVM) for
+    the full 1M-page triples build at local[32].  Both paths are
+    row-level differentially EQUAL on the 1M-page corpus (bit_xor over
+    every record and triple column, re-verified r6).  Pass
+    ``jvm_extract=False`` for corpora that can contain invalid UTF-8,
+    where Java binary→string casting and Python ``decode('utf-8',
+    'replace')`` may emit different U+FFFD runs.  ``keep`` carries extra
+    input columns (e.g. a resume ``part_key``) through the projection so
+    callers never need a fact-side re-join to recover them.
     """
     from .functions.text import extract_text_expr
 
