@@ -75,17 +75,25 @@ def curate_corpus(
 
     report: dict[str, int | None] = {}
     persisted: list[DataFrame] = []
+    lazy_handles: list[DataFrame] = []
 
     def record(stage: str, frame: DataFrame) -> DataFrame:
         # counted mode: persist each recorded stage so its count does not
         # re-execute every upstream stage (O(stages²) otherwise); handles
         # attach to the result for release_intermediates.  Lazy mode
-        # caches nothing — one plan, zero extra jobs.
+        # caches nothing — one plan, zero extra jobs.  Either way, harvest
+        # the OPERATOR-INTERNAL persisted handles a stage attaches (e.g.
+        # url_filter's blocklist-hits cache) so they are freed with the
+        # stage instead of leaking executor storage for the session
+        # (ADVICE r5).
+        inner = list(getattr(frame, "_phenoqc_persisted", []) or [])
         if count_stages:
+            persisted.extend(inner)
             frame = frame.persist()
             persisted.append(frame)
             report[stage] = frame.count()
         else:
+            lazy_handles.extend(inner)
             report[stage] = None
         return frame
 
@@ -219,4 +227,9 @@ def curate_corpus(
             if p is not out:
                 p.unpersist()
         out._phenoqc_persisted = [persisted[-1]]  # type: ignore[attr-defined]
+    elif lazy_handles:
+        # lazy mode: nothing was counted, so operator-internal caches are
+        # still live inputs of the single composed plan — hand them to the
+        # caller for release_intermediates after materialization
+        out._phenoqc_persisted = lazy_handles  # type: ignore[attr-defined]
     return out, report

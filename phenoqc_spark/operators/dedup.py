@@ -596,11 +596,16 @@ def _minhash_rep_graph(
         id_col,
     )
     doc_sets = minhash_doc_sets(df, num_hashes, n, text_col, id_col)
-    members = doc_sets.select("set_hash", "doc_id")
     # sig/n_sh/sh_set are functions of the shingle set: any member
     # represents the group; min_by keeps it deterministic.  Partial
     # aggregation collapses duplicate groups map-side, so at most one
     # (array, sig) per set_hash per input partition reaches the shuffle.
+    # (Tried and rejected: folding collect_list(doc_id) into this agg so
+    # members derive from the groups checkpoint — the Generate over the
+    # checkpoint loses the members table's accurate small-size estimate,
+    # the expansion joins stop broadcasting, and the skewed SMJ made the
+    # expansion 0.5 s → 10 s at sf1.0.)
+    members = doc_sets.select("set_hash", "doc_id")
     groups = doc_sets.groupBy("set_hash").agg(
         F.min("doc_id").alias("rep_id"),
         F.min_by("sig", "doc_id").alias("sig"),
@@ -694,16 +699,23 @@ def minhash_lsh_pairs(
     size by definition; for corpus dedup at the 100 TB tier use
     ``minhash_near_dedup``, which never materializes member pairs.
 
-    ``persist`` caches the small per-doc (set_hash, n_sh, sig) table reused
-    by the group, within-expansion, and cross-expansion branches.  At the
-    100 TB tier, materialize it to a staging table instead — same plan,
-    executor-disk instead of cache memory.
+    ``persist`` materializes (eager localCheckpoint) the small reused
+    core tables; see ``_minhash_rep_graph``.  At the 100 TB tier,
+    materialize them to a staging table instead — same plan,
+    executor-disk instead of block-manager memory.
     """
     members, rep_pairs, persisted = _minhash_rep_graph(
         df, threshold, num_hashes, bands, n, text_col, id_col, persist
     )
     # --- expand group members back into doc pairs ----------------------
-    # within-group: identical sets → jaccard exactly 1.0, always candidates
+    # within-group: identical sets → jaccard exactly 1.0, always candidates.
+    # The checkpointed members table carries an accurate (small) size
+    # estimate, so this self-join plans as a broadcast hash join whose
+    # quadratic OUTPUT is generated on the stream side — which is still
+    # partitioned by doc_id hash, so a duplicate group's pairs are spread
+    # evenly across tasks and hot groups cause no skew.  (Tried and
+    # rejected: explicit salting — it forced the join out of the
+    # broadcast plan and measured 5× slower.)
     within = (
         members.alias("m1")
         .join(members.alias("m2"), "set_hash")
@@ -1380,6 +1392,8 @@ def winnow_fingerprints(
     """
     if k < 1 or window < 1:
         raise ValueError("k and window must be ≥ 1")
+    # scan-parallelism floor for the hash-heavy map stage (see _spread)
+    df = _spread(df.select(F.col(id_col), F.col(text_col)), id_col)
 
     # Every intermediate array (tokens, gram hashes, fingerprints) is
     # STAGED as a real column in its own projection, referenced by the

@@ -912,8 +912,12 @@ def url_filter(
                     "pre-filter the list or push path rules into block_path_res"
                 )
             path_res.extend(r["value"] for r in pats)
+        # normalize exactly like the kwargs path (lower + strip leading
+        # dots): '.domain.tld'-style entries otherwise silently never
+        # match via the DataFrame path (ADVICE r5)
         hs = blocklist.filter(F.col("kind").isin("host", "suffix")).select(
-            F.lower(F.col("value")).alias("_blv"), F.col("kind").alias("_blk")
+            F.regexp_replace(F.lower(F.col("value")), r"^\.+", "").alias("_blv"),
+            F.col("kind").alias("_blk"),
         )
         labels = F.split(host, r"\.")
         chain = F.transform(
@@ -935,7 +939,15 @@ def url_filter(
             )
         ).persist()
         persisted.append(hits)
-        if hits.count() <= 10_000_000:
+        # broadcast guard on estimated BYTES, not row count: unlike
+        # dedup_exact's 8-byte-id drop list, each hit row carries a full
+        # URL string, so a row-count-only threshold could broadcast GBs
+        # (ADVICE r5).  One aggregate over the persisted frame prices it.
+        sz = hits.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.length("_u")), F.lit(0)).alias("b"),
+        ).collect()[0]
+        if int(sz.n) <= 10_000_000 and int(sz.b) + 32 * int(sz.n) <= 128 * 1024 * 1024:
             hits = F.broadcast(hits)
         df = df.join(hits, df[url_col] == hits["_u"], "left").drop("_u")
         joined_flags = (F.coalesce(F.col("_bh"), F.lit(0)) == 1, F.coalesce(F.col("_bs"), F.lit(0)) == 1)

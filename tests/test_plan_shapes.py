@@ -29,27 +29,31 @@ def test_kg_path_single_exchange(spark, resolver):
     assert len(set(re.findall(r"Exchange \((\d+)\)", txt))) == 1, txt
     # no fact-side join anywhere on the inline linking path
     assert "Join" not in txt, txt
-    # one upstream branch (no Union re-scanning the extract), two Python
-    # hops: extract (ArrowEvalPython) and link (MapInPandas), each once
+    # one upstream branch (no Union re-scanning the extract), ONE Python
+    # hop: the link (MapInPandas).  Since r6 the default extraction is
+    # the pure-JVM expression — html bytes never cross the Arrow
+    # boundary, so ArrowEvalPython must not appear on the default path.
     assert "Union" not in txt, txt
-    assert len(set(re.findall(r"ArrowEvalPython \((\d+)\)", txt))) == 1, txt
+    assert "ArrowEvalPython" not in txt, txt
     assert len(set(re.findall(r"MapInPandas \((\d+)\)", txt))) == 1, txt
 
 
-def test_kg_path_jvm_extract_variant(spark, resolver):
-    """The jvm_extract=True variant removes the extract Arrow hop
-    entirely (no html bytes cross the Python boundary) and produces the
-    identical triple set — kept as the option for environments without
-    Python workers; Arrow stays the default (see extract_records)."""
+def test_kg_path_arrow_extract_variant(spark, resolver):
+    """jvm_extract=False keeps the Arrow-UDF extraction (the option for
+    corpora that can contain invalid UTF-8, where Java and Python decode
+    replacement runs can differ) and produces the identical triple set;
+    the JVM expression is the default since r6 (see extract_records)."""
     from phenoqc_spark import pages as PG
     from phenoqc_spark.pipeline import build_triples, extract_records
 
     pages = PG.generate_pages(spark, 500, partitions=4)
     bc = spark.sparkContext.broadcast(resolver)
-    arrow = build_triples(extract_records(pages), bc)[0]
-    jvm = build_triples(extract_records(pages, jvm_extract=True), bc)[0]
+    arrow = build_triples(extract_records(pages, jvm_extract=False), bc)[0]
+    jvm = build_triples(extract_records(pages), bc)[0]
     txt = plan_text(jvm)
     assert "ArrowEvalPython" not in txt, txt
+    txt_arrow = plan_text(arrow)
+    assert "ArrowEvalPython" in txt_arrow, txt_arrow
     assert sorted(map(tuple, arrow.collect())) == sorted(map(tuple, jvm.collect()))
 
 
