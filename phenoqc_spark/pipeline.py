@@ -111,10 +111,14 @@ def build_triples(
     from .functions.linking import link_terms_inline
 
     if link_mode == "inline":
-        # normalization fused into the link UDF: exactly two Python stages
-        # on the fact path (extract_text, link) with JVM parse between
+        # normalization fused into the link UDF — ONE Python stage on the
+        # fact path (extraction is JVM by default since r6); the raw term
+        # string is dropped from the Arrow return path (term_norm is what
+        # everything downstream keys on)
         terms = T.terms_long(records, normalize=False)
-        linked = link_terms_inline(terms, resolver_bc, normalize=True)
+        linked = link_terms_inline(
+            terms, resolver_bc, normalize=True, drop_input_cols=("term",)
+        )
     else:
         terms = T.terms_long(records)
         links = T.resolve_vocab(terms, resolver_bc)
