@@ -1603,7 +1603,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def txt_repetition(spark, sf_dir):
         # inject deterministic line repetition so the signals have mass
-        docs = load_table(spark, sf_dir, "documents").select(
+        # (_par: the per-doc O(b²) bigram-mass lambda is the most
+        # CPU-expensive per-row text stat — parallelism floor, see _par)
+        docs = _par(load_table(spark, sf_dir, "documents"), "doc_id").select(
             "doc_id",
             F.when(
                 F.col("doc_id") % 5 == 0,

@@ -37,6 +37,7 @@ QUERIES = [
     "dd_span_winnow",
     "txt_dup_spans",
     "txt_quality",
+    "txt_repetition",
     "sim_knn_bruteforce",
     "kg_canonicalize_cc",
     "q1_pricing",
