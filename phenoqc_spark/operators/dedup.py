@@ -657,6 +657,13 @@ def _minhash_rep_graph(
         .filter(F.col("jaccard") >= threshold)
         .select("sh_a", "sh_b", "jaccard")
     )
+    if persist:
+        # rep_pairs is consumed more than once downstream (the pair
+        # expansion under a global sort samples+sorts, i.e. executes its
+        # subtree twice; near-dedup's connected components iterate over
+        # it) — materialize the tiny verified-edge set once instead of
+        # re-running the band join + exact verify per consumer pass
+        rep_pairs = rep_pairs.localCheckpoint(eager=True)
     return members, rep_pairs, persisted
 
 
