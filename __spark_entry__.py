@@ -1536,7 +1536,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _par(load_table(spark, sf_dir, "documents"), "doc_id")
         return X.quality_score(docs).select(
             "doc_id", "n_words", "punct_ratio", "stopword_ratio", "mean_word_len", "quality_score"
-        ).orderBy("doc_id")
+        # a second keyed exchange AFTER the per-doc stats: the global
+        # orderBy executes its child twice (range-sample pass + sort
+        # pass), and without this boundary the child is the narrow
+        # tokenizer/HOF stage — both passes would re-run it.  The narrow
+        # (doc_id + 5 doubles) shuffle is ~free; the stats then run once
+        # as this exchange's map side (guide §2.4; measured, r6 notes).
+        ).repartition(F.col("doc_id")).orderBy("doc_id")
 
     q["txt_quality"] = txt_quality
 
@@ -1623,6 +1629,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "dup_word_frac",
                 "top_bigram_char_frac",
             )
+            # post-compute exchange so the orderBy's two passes don't each
+            # re-run the O(b²) per-doc stats — see txt_quality
+            .repartition(F.col("doc_id"))
             .orderBy("doc_id")
         )
 
