@@ -96,17 +96,19 @@ def connected_components(
         if checkpoint_every and (i % checkpoint_every == 0):
             # LAZY checkpoint: the convergence count below is the action
             # that materializes it, so each round costs ONE driver job
-            # instead of two (eager-materialize + count) — at graph scale
-            # that is one full pass over the node-sized label table saved
-            # per round.  A full count (not limit(1)) keeps it one job: a
-            # limited count runs Spark's incremental partition-escalation
-            # jobs and, under a lazy checkpoint, leaves missing partitions
-            # for a fill-in job.  Eager's only advantage — accurate size
-            # stats for broadcast planning — is moot: labels is node-sized
-            # and never broadcast at graph scale.  (On the tiny bench star
-            # graph the four {eager,lazy}×{limit,full} variants measure
-            # within noise, ~1.0-1.2 s warm — this is a per-round job-count
-            # reduction for real graphs, not a local-bench tune.)
+            # instead of two (eager-materialize, then a count that re-read
+            # the checkpointed blocks).  A full count (not limit(1)) keeps
+            # it one job: a limited count runs Spark's incremental
+            # partition-escalation jobs and, under a lazy checkpoint,
+            # leaves missing partitions for a fill-in job.  Eager's only
+            # advantage — accurate size stats for broadcast planning — is
+            # moot: labels is node-sized and never broadcast at graph
+            # scale.  Measured result-identical and time-neutral at both
+            # ends (bench star graph ~1.0-1.2 s warm either way; 4M-edge
+            # 16-round graph 67-77 s either way): the second job's read
+            # was cheap cached I/O, so this buys only the per-round job
+            # launch — kept because it is strictly less scheduling work
+            # for the same answer, not as a measured speedup.
             jumped = jumped.localCheckpoint(eager=False)
         changed = jumped.filter(F.col("comp") != F.col("_old")).count()
         labels = jumped.select("node", "comp")
